@@ -1,0 +1,573 @@
+"""LLM-training-data pipeline operators (driver mandate, SURVEY.md §2-C):
+deduplication (exact, minhash/LSH, simhash, n-gram Jaccard), similarity
+search (brute-force cosine + LSH-bucketed ANN), and text analysis
+(language-ID, quality scoring, token stats, fingerprinting) over the
+`documents` / `embeddings` tables.
+
+Everything is built-in Spark expressions (higher-order array functions,
+md5/sha2, window ranking) — no Python in the hot path — and every
+operator except the multimodal plumbing has a DuckDB differential
+oracle. md5-seeded hashing (functions/text.py) is what makes the sketch
+operators (minhash, simhash, fingerprints) oracle-checkable across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.similarity import cosine, dot, lsh_bucket, lsh_planes
+from ..functions.text import minhash_hex, shingles, stopword_count, tokens
+from ..tables import table
+from . import query
+
+# DuckDB-side twins of functions/text.py (kept adjacent so any change to
+# the tokenizer/shingler updates both engines together).
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_SHINGLES = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+def _sql_minhash(seed: int) -> str:
+    return (
+        f"list_aggregate(list_transform(shingles, s -> md5('{seed}|' || s)), 'min')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_dedup_exact",
+    oracle=(
+        "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, "
+        "COUNT(*) AS dup_count FROM documents GROUP BY md5(text)"
+    ),
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the first (min id)
+    occurrence. At scale this is one shuffle on a 32-byte hash instead of
+    the full text — the standard content-addressed dedup plan."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+sig AS (SELECT doc_id,
+  {_sql_minhash(0)} AS h0, {_sql_minhash(1)} AS h1,
+  {_sql_minhash(2)} AS h2, {_sql_minhash(3)} AS h3
+FROM sh),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, h0 || h1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, h2 || h3 AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+
+
+@query("x_dedup_minhash", oracle=_MINHASH_ORACLE)
+def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash + LSH banding (shingle → minhash
+    signature → band → bucket equi-join). 4 hashes, 2 bands of 2: docs
+    collide in a band iff both its minhashes agree — P(candidate) ≈
+    1-(1-J²)², so only genuinely similar docs pair up. The candidate join
+    is an EQUI-join on band_key (shuffle/broadcast hash join), never an
+    all-pairs comparison — this is the property that survives 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("shingles")
+    )
+    sig = sh.select(
+        "doc_id",
+        *[minhash_hex(F.col("shingles"), s).alias(f"h{s}") for s in range(4)],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.concat("h0", "h1").alias("band_key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.concat("h2", "h3").alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash (16-bit, md5-derived token hashes)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        "SUM(CASE WHEN (th >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}".format(k=k)
+        for k in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{k} >= 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(tok), 1, 4))::UBIGINT AS BIGINT) AS th
+  FROM tok
+), bits AS (
+  SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@query("x_dedup_simhash", oracle=_simhash_oracle())
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash: each token votes ±1 on each bit of its
+    md5-derived hash; the fingerprint sets bit k iff the vote sum is
+    non-negative. Near-dup docs land at small Hamming distance. Explode +
+    single groupBy(doc_id) — one shuffle keyed by doc id."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    th = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+    hashed = tok.select("doc_id", th.alias("th"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), k).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(_SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for k in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: n-gram Jaccard (verification pass over neighboring docs)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_a, doc_b,
+  ROUND(CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE)
+    / (len(sha) + len(shb) - len(list_filter(sha, x -> list_contains(shb, x)))),
+    6) AS jaccard
+FROM pairs
+"""
+
+
+@query("x_dedup_jaccard", oracle=_JACCARD_ORACLE)
+def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity between adjacent doc ids — the
+    verification kernel that a production near-dup pipeline runs on LSH
+    candidate pairs (here on a deterministic pair set so the oracle is
+    stable). array_intersect/union sizes, all JVM-side."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+    )
+    a = s.alias("a")
+    b = s.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("shb"),
+    ).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("shb")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("shb")) - inter
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("join_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = (
+    "list_dot_product(qe, ce) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+)
+
+_COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL} AS score
+  FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(score, 9) DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("x_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
+def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a query set (vec_id < 10): the exact
+    baseline every ANN variant is measured against. The tiny query side
+    broadcasts, so the 'cross' join is a map-side nested loop over the
+    candidate partitions — no shuffle of the big side. Ranking keys are
+    rounded to 9 dp so float noise can't flip neighbor order between
+    engines; ties break on neighbor_id."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ce")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rnk"),
+            F.round("score", 6).alias("score"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+_PLANES = lsh_planes(_N_PLANES, 64, seed=42)
+
+
+def _ann_oracle() -> str:
+    def plane_sql(p: int) -> str:
+        vals = ", ".join(str(v) for v in _PLANES[p])
+        return f"CAST([{vals}] AS DOUBLE[])"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {plane_sql(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), bucketed AS (
+  SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, bucket FROM bucketed WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_dot_product(qe, c.e) /
+    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))) AS score
+  FROM q JOIN bucketed c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(score, 9) DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("x_ann_lsh", oracle=_ann_oracle())
+def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via signed-random-projection LSH: vectors only
+    compare within their 8-bit bucket, turning ANN into an equi-join on
+    bucket id — the plan that scales (bucket count grows with planes, and
+    AQE splits any hot bucket). Same deterministic planes embedded in the
+    SQL oracle; recall vs x_cosine_topk is asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+    )
+    q = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rnk"),
+            F.round("score", 6).alias("score"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: corpus stats, per-doc quality, language ID, fingerprints
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_text_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, len({_SQL_TOKS}) AS n_tokens, length(text) AS n_chars
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  ROUND(AVG(n_tokens), 4) AS avg_tokens,
+  ROUND(AVG(n_chars), 4) AS avg_chars
+FROM t GROUP BY lang
+""",
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+_PUNCT_RE = "[.,!?;:]"
+
+
+@query(
+    "x_text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  ROUND(CAST(length(text) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+  ROUND(CAST(len(list_filter(toks, x -> list_contains(
+    {_STOPWORDS!r}, x))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+  ROUND(CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE)
+    / length(text), 6) AS punct_ratio
+FROM t
+""",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals (length / stopword / punctuation ratios) —
+    the standard cheap filters before expensive LLM-data processing."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    n_tokens = F.size("toks")
+    return t.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tokens, 4).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            stopword_count(F.col("toks"), _STOPWORDS).cast("double") / n_tokens, 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.regexp_count("text", F.lit(_PUNCT_RE)).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+_LEXICONS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "que"],
+    "fr": ["le", "les", "des", "et", "une"],
+}
+
+
+def _lang_id_oracle() -> str:
+    scores = ", ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({_LEXICONS[lg]!r}, x))) "
+        f"AS INTEGER) AS score_{lg}"
+        for lg in _LEXICONS
+    )
+    m = "GREATEST(" + ", ".join(f"score_{lg}" for lg in _LEXICONS) + ")"
+    case = " ".join(
+        f"WHEN score_{lg} = m THEN '{lg}'" for lg in _LEXICONS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {scores} FROM t),
+g AS (SELECT *, {m} AS m FROM s)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+  CASE WHEN m = 0 THEN 'unknown' {case} END AS pred_lang
+FROM g
+"""
+
+
+@query("x_lang_id", oracle=_lang_id_oracle())
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of stopword-lexicon hits, fixed
+    priority order for ties, 'unknown' when nothing matches. (A real LID
+    model slots in behind the same argmax contract as a pandas UDF.)"""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    scored = t.select(
+        "doc_id",
+        *[
+            stopword_count(F.col("toks"), lex).alias(f"score_{lg}")
+            for lg, lex in _LEXICONS.items()
+        ],
+    )
+    m = F.greatest(*[F.col(f"score_{lg}") for lg in _LEXICONS])
+    pred = F.when(m == 0, F.lit("unknown"))
+    for lg in _LEXICONS:
+        pred = pred.when(F.col(f"score_{lg}") == m, F.lit(lg))
+    return scored.select(
+        "doc_id",
+        "score_en",
+        "score_de",
+        "score_es",
+        "score_fr",
+        pred.alias("pred_lang"),
+    )
+
+
+@query(
+    "x_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, text, {_SQL_SHINGLES} AS shingles FROM t)
+SELECT doc_id, md5(text) AS doc_md5,
+  list_aggregate(list_transform(shingles, s -> md5(s)), 'min')
+    AS min_shingle_hash,
+  md5(substr(text, 1, 64)) AS prefix_hash
+FROM s
+""",
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-doc hash, winnowing-style min shingle
+    hash (rolling-window representative), and prefix hash — the id set a
+    dedup/provenance pipeline keys on."""
+    docs = table(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("doc_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"),
+        F.md5(F.substring("text", 1, 64)).alias("prefix_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: content-addressed ids over opaque binary payloads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_multimodal_ids",
+    oracle=(
+        "SELECT doc_id, sha256(text) AS content_id, "
+        "CAST(strlen(text) AS BIGINT) AS n_bytes, "
+        "CAST(strlen(text) // 1024 AS BIGINT) AS chunk, "
+        "'text' AS modality FROM documents"
+    ),
+)
+def x_multimodal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed identity for opaque payloads: sha256 id + byte
+    size + storage chunk. `text` stands in for the binary column here;
+    the real binary decode path (images/audio) lives in
+    functions/multimodal.py as mapInPandas plumbing with a stubbed
+    decoder (codec libs absent in this environment)."""
+    docs = table(spark, sf_dir, "documents")
+    nbytes = F.octet_length("text").cast("long")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_id"),
+        nbytes.alias("n_bytes"),
+        F.floor(nbytes / 1024).alias("chunk"),
+        F.lit("text").alias("modality"),
+    )

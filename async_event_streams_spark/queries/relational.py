@@ -1,0 +1,548 @@
+"""Classical relational operators (SURVEY.md §2-C) over the star schema.
+
+The reference has none of these (its relational surface is exactly
+{source, broadcast, filter, map, route, union, ordered-merge, max-merge,
+UDF-sink} — SURVEY.md §2 exhaustiveness note); they are the
+driver-mandated engine capability, all expressed with built-in Spark so
+Catalyst/AQE pick physical strategies (broadcast-hash for dimension
+joins, partial+final hash aggregation, sort-merge only where both sides
+are large).
+
+Determinism discipline for the DuckDB differential oracle:
+- every window/top-k ordering includes a unique tie-break key;
+- double aggregates are rounded (error << rounding quantum);
+- counts/sums of integers are CAST to BIGINT in the oracle (DuckDB SUM
+  on integers returns HUGEINT, which would mismatch Spark's long).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+from ..tables import table
+from . import query
+from .reference import FIZZBUZZ_CASE_SQL
+
+# ---------------------------------------------------------------------------
+# Scans
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_scan_parquet",
+    oracle=(
+        "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_quantity > 25.0"
+    ),
+)
+def c_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter both reach the parquet scan (PushedFilters /
+    ReadSchema in .explain) — at 100 TB this is the difference between
+    reading 4 columns of ~half the row groups and reading everything."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 25.0)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_agg_basic",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+        "ROUND(AVG(l_discount), 6) AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def c_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial (map-side) + final hash aggregation is
+    automatic; only the 2-key grouped partials shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "c_agg_distinct",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, "
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def c_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("c_agg_approx_distinct")  # no oracle: approximate result (HLL++ vs DuckDB's sketch)
+def c_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the scale path for distinct
+    counts — no exact-distinct shuffle explosion at 100 TB. Rows-only
+    check; the companion test asserts <2% error vs exact at small SF."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@query(
+    "c_agg_rollup",
+    oracle=(
+        "SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY ROLLUP (c_mktsegment, o_orderpriority)"
+    ),
+)
+def c_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = table(spark, sf_dir, "orders").join(
+        F.broadcast(table(spark, sf_dir, "customer")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.rollup("c_mktsegment", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_join_equi",
+    oracle=(
+        "SELECT c_mktsegment, n_name, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY c_mktsegment, n_name"
+    ),
+)
+def c_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: both dimensions broadcast, so the fact table never
+    shuffles for the join — only the final 2-key aggregation does."""
+    orders = table(spark, sf_dir, "orders")
+    customer = F.broadcast(table(spark, sf_dir, "customer"))
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "c_join_semi",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        " AND o.o_totalprice > 100000)"
+    ),
+)
+def c_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big_orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "c_join_anti",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+)
+def c_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .join(
+            table(spark, sf_dir, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "c_join_range",
+    oracle=(
+        "SELECT band_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+        "FROM events JOIN ("
+        "  SELECT CAST(i AS BIGINT) AS band_id, i * 25.0 AS lo, (i + 1) * 25.0 AS hi"
+        "  FROM range(0, 20) t(i)"
+        ") bands ON value >= lo AND value < hi "
+        "GROUP BY band_id"
+    ),
+)
+def c_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range-band) join: the band dimension is tiny and broadcast,
+    so the non-equi predicate evaluates map-side (BroadcastNestedLoop)
+    instead of a cartesian shuffle."""
+    bands = (
+        spark.range(0, 20)
+        .select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 25.0).alias("lo"),
+            ((F.col("id") + 1) * 25.0).alias("hi"),
+        )
+    )
+    events = table(spark, sf_dir, "events")
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "c_join_asof",
+    oracle=(
+        "SELECT e.event_id, e.user_id, "
+        "(SELECT o.o_orderkey FROM orders o "
+        " WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+        " ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey "
+        "FROM events e"
+    ),
+)
+def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event ⋈ latest prior order of the same user),
+    Spark-native via the union + last-non-null-window technique: tag both
+    sides, union, and carry the most recent order key forward within each
+    user's timeline. ONE shuffle on the join key — no row explosion, no
+    range cross-product — which is the 100 TB-safe as-of strategy.
+    Ties (equal o_orderdate) break toward the larger o_orderkey."""
+    events = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    e = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_key"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("o_key"),
+    )
+    # Orders sort before events at the same timestamp (<= semantics); among
+    # equal-time orders the larger key sorts last, so last() picks it.
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "o_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = e.unionByName(o).withColumn(
+        "asof_orderkey", F.last("o_key", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "asof_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_window_rank",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+        "ROW_NUMBER() OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_extendedprice DESC, l_linenumber) AS price_rank "
+        "FROM lineitem"
+    ),
+)
+def c_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.row_number().over(w).alias("price_rank"),
+    )
+
+
+@query(
+    "c_window_running_sum",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, "
+        "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend "
+        "FROM orders"
+    ),
+)
+def c_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "c_window_lag",
+    oracle=(
+        "SELECT event_id, user_id, value, "
+        "LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value "
+        "FROM events"
+    ),
+)
+def c_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    )
+
+
+@query(
+    "c_topk_per_group",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM ("
+        "  SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER ("
+        "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk"
+        "  FROM orders) WHERE rnk <= 3"
+    ),
+)
+def c_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank-then-filter; Catalyst pushes the rnk<=3
+    limit into the window sort (WindowGroupLimit) so each partition keeps
+    only k rows — no full materialization of the ranked set."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_intersect",
+    oracle=(
+        "SELECT c_custkey AS custkey FROM customer "
+        "INTERSECT "
+        "SELECT o_custkey AS custkey FROM orders"
+    ),
+)
+def c_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ords = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.intersect(ords)
+
+
+@query(
+    "c_except",
+    oracle=(
+        "SELECT c_custkey AS custkey FROM customer "
+        "EXCEPT "
+        "SELECT o_custkey AS custkey FROM orders"
+    ),
+)
+def c_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ords = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.subtract(ords)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_scalar_string",
+    oracle=(
+        "SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 8)) AS name8, "
+        "p_brand || '#' || p_type AS brand_type, "
+        "LENGTH(p_name) AS name_len FROM part"
+    ),
+)
+def c_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@query(
+    "c_scalar_date",
+    oracle=(
+        "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year, "
+        "CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month, "
+        "COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders GROUP BY 1, 2"
+    ),
+)
+def c_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            "o_totalprice",
+        )
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "c_json_extract",
+    oracle=(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+        "FROM events"
+    ),
+)
+def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@query(
+    "c_array_ops",
+    oracle=(
+        "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, "
+        "embedding[1] AS first_val, embedding[64] AS last_val, "
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[])), 6) AS norm_sq FROM embeddings"
+    ),
+)
+def c_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops stay JVM-side: higher-order F.aggregate computes the
+    self-dot-product inside codegen — no Python, no explode."""
+    emb = table(spark, sf_dir, "embeddings")
+    dot_self = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", 64).alias("last_val"),
+        F.round(dot_self, 6).alias("norm_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDF (the engine's vectorized user-code surface, cf. A12/A16)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_pandas_udf",
+    oracle=(
+        f"SELECT {FIZZBUZZ_CASE_SQL.format(n='event_id')} AS label, "
+        "COUNT(*) AS n_events FROM events GROUP BY 1"
+    ),
+)
+def c_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF re-implementing the fizzbuzz classifier;
+    must agree exactly with the built-in CASE version (b4). This mirrors
+    the reference's EventSink user-code surface (src/pipes.rs:43-56) in
+    its vectorized Spark form."""
+
+    @F.pandas_udf(StringType())
+    def classify(n: pd.Series) -> pd.Series:
+        out = pd.Series("number", index=n.index, dtype="object")
+        out[(n % 3 == 0)] = "fizz"
+        out[(n % 5 == 0)] = "buzz"
+        out[(n % 15 == 0)] = "fizzbuzz"
+        return out
+
+    return (
+        table(spark, sf_dir, "events")
+        .select(classify(F.col("event_id")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_events"))
+    )

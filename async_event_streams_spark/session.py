@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tested on local[N]; the config is written for a real multi-executor
+cluster at ~100 TB: AQE handles skew + partition coalescing at runtime,
+Arrow keeps the Python boundary vectorized, and broadcast threshold
+covers the dimension tables (region/nation/customer/supplier/part are
+all tiny relative to fact tables, so star joins broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "async-event-streams-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults chosen for scale-out behavior, not just local runs:
+    - AQE on (runtime partition coalescing, skew-join splitting, plan
+      re-optimization from observed shuffle stats);
+    - Arrow on for every Python<->JVM exchange (pandas UDFs, toPandas);
+    - broadcast threshold 64 MB: every TPC-H-style dimension broadcasts,
+      so star-schema joins are shuffle-free on the fact side.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus) * 1),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events.parquet uses TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read as long and convert in tables.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

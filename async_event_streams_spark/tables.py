@@ -1,0 +1,62 @@
+"""Parquet table loader for the driver's synthetic star schema + streams.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file each under the
+scale-factor directory. Schemas are fixed (FIXTURES.md §B); we rely on
+parquet's embedded schema (no inference pass) and let Catalyst push
+filters/projections into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the
+# engine targets (they grow ~linearly but stay << fact tables).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
+    # parquet reader rejects by default. Set the legacy conf here (runtime
+    # SQL conf) so reads work on ANY session, including the driver's own
+    # — then convert the long nanos back to timestamps below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_nanos(df)
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Convert TIMESTAMP(NANOS) columns (read as long nanos via
+    spark.sql.legacy.parquet.nanosAsLong) to microsecond timestamps,
+    matching how DuckDB truncates them. Integer `div` — float division
+    would lose precision (epoch nanos ≈ 1.7e18 > 2^53)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name in ("ts",) and isinstance(field.dataType, LongType):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+            )
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
