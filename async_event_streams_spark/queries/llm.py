@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.similarity import cosine, dot, lsh_bucket, lsh_planes
-from ..functions.text import minhash_hex, shingles, stopword_count, tokens
+from ..functions.text import (
+    minhash_component,
+    shingle_digests,
+    shingles,
+    stopword_count,
+    tokens,
+)
 from ..tables import table
 from . import query
 
@@ -32,9 +38,12 @@ _SQL_SHINGLES = (
 )
 
 
-def _sql_minhash(seed: int) -> str:
+_SQL_DIGESTS = "list_transform(shingles, s -> md5(s))"
+
+
+def _sql_minhash(k: int) -> str:
     return (
-        f"list_aggregate(list_transform(shingles, s -> md5('{seed}|' || s)), 'min')"
+        f"list_aggregate(list_transform(hs, d -> substr(d, {1 + 8 * k}, 8)), 'min')"
     )
 
 
@@ -71,10 +80,11 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+dg AS (SELECT doc_id, {_SQL_DIGESTS} AS hs FROM sh),
 sig AS (SELECT doc_id,
   {_sql_minhash(0)} AS h0, {_sql_minhash(1)} AS h1,
   {_sql_minhash(2)} AS h2, {_sql_minhash(3)} AS h3
-FROM sh),
+FROM dg),
 bands AS (
   SELECT doc_id, 0 AS band_idx, h0 || h1 AS band_key FROM sig
   UNION ALL
@@ -96,12 +106,13 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an EQUI-join on band_key (shuffle/broadcast hash join), never an
     all-pairs comparison — this is the property that survives 100 TB."""
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles(tokens(F.col("text"))).alias("shingles")
-    )
-    sig = sh.select(
+    dg = docs.select(
         "doc_id",
-        *[minhash_hex(F.col("shingles"), s).alias(f"h{s}") for s in range(4)],
+        shingle_digests(shingles(tokens(F.col("text")))).alias("hs"),
+    )
+    sig = dg.select(
+        "doc_id",
+        *[minhash_component(F.col("hs"), k).alias(f"h{k}") for k in range(4)],
     )
     bands = sig.select(
         "doc_id",
