@@ -1,0 +1,140 @@
+"""`pipe` ≈ `spawn_event_pipe` (/root/reference/src/pipes.rs:99-154) and
+`@sink` ≈ the `EventSink` trait + derive macro (src/pipes.rs:43-94,
+async-event-streams-derive/src/lib.rs:36-87).
+
+A pipe is source-topic → transform → (target-topic | sink-fn), realized
+as one streaming query with a foreachBatch handler. Two reference
+behaviors are threaded through automatically:
+
+- **causality** (src/pipes.rs:116): before the user transform runs, the
+  consumed event's id is exposed as `source_event_id`, so anything the
+  pipe re-emits downstream carries its cause — the lineage column the
+  chain barrier and b10_lineage_join rely on;
+- **error handling** (src/pipes.rs:117-124): the first transform/sink
+  error stops the pipe and invokes `error_handler(exc)`.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .topic import ENVELOPE_NAMES, Topic
+
+
+class PipeHandle:
+    """Joinable pipe handle (≈ spawn_event_pipe_with_handle,
+    src/pipes.rs:127-154): exposes the underlying StreamingQuery."""
+
+    def __init__(self, query, name: str):
+        self.query = query
+        self.name = name
+
+    def await_idle(self) -> None:
+        self.query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self.query.isActive:
+            self.query.stop()
+
+    @property
+    def is_active(self) -> bool:
+        return self.query.isActive
+
+    def exception(self):
+        return self.query.exception()
+
+
+def pipe(
+    source: Topic,
+    fn: Callable[[DataFrame], DataFrame] | None = None,
+    target: Topic | None = None,
+    sink_fn: Callable[[DataFrame, int], None] | None = None,
+    name: str | None = None,
+    error_handler: Callable[[Exception], None] | None = None,
+    subscribe_from: str = "latest",
+    trigger_interval: str = "50 milliseconds",
+) -> PipeHandle:
+    """Wire source → fn → (target and/or sink_fn) as a streaming query.
+
+    `fn` maps a micro-batch DataFrame to a DataFrame (None = identity).
+    Rows re-emitted to `target` get fresh event ids on the target topic
+    but keep `source_event_id` lineage (auto-set to the consumed
+    event_id before `fn`; `fn` may override it).
+    """
+    if target is None and sink_fn is None:
+        raise ValueError("pipe needs a target topic and/or a sink_fn")
+    pipe_name = name or f"pipe-{source.name}-{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(source.dir, "_checkpoints", pipe_name)
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        try:
+            # Auto-causality: the consumed event is the source of
+            # whatever this pipe re-emits (pipes.rs:116).
+            out = df.withColumn("source_event_id", F.col("event_id"))
+            if fn is not None:
+                out = fn(out)
+            if target is not None:
+                rows = [r.asDict(recursive=True) for r in out.collect()]
+                if rows:
+                    target.post(
+                        [
+                            {
+                                k: v
+                                for k, v in r.items()
+                                if k == "source_event_id"
+                                or k == "event_type"
+                                or k not in ENVELOPE_NAMES
+                            }
+                            for r in rows
+                        ]
+                    )
+            if sink_fn is not None:
+                sink_fn(out, batch_id)
+        except Exception as exc:  # first error terminates the pipe (A14)
+            if error_handler is not None:
+                error_handler(exc)
+            raise
+
+    stream = source.subscribe(subscribe_from=subscribe_from)
+    query = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .queryName(pipe_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
+    source.attach_query(query)
+    if target is not None:
+        source.registry.add_edge(source.name, target.name)
+    return PipeHandle(query, pipe_name)
+
+
+def sink(
+    *topics: Topic,
+    name: str | None = None,
+    error_handler: Callable[[Exception], None] | None = None,
+) -> Callable:
+    """Decorator registering a batch handler as a sink on one or more
+    topics (multi-event sinks mirror the derive macro's multi-`event`
+    attribute). The decorated function keeps a `.handles` list of
+    PipeHandles; the function itself is returned unchanged."""
+
+    def deco(fn: Callable[[DataFrame, int], None]):
+        handles = [
+            pipe(
+                t,
+                sink_fn=fn,
+                name=f"{name or fn.__name__}-{t.name}",
+                error_handler=error_handler,
+            )
+            for t in topics
+        ]
+        fn.handles = handles
+        return fn
+
+    return deco

@@ -1,0 +1,296 @@
+"""`Topic` ≈ the reference's `EventStreams<EVT>` re-expressed on
+Structured Streaming.
+
+Semantics preserved (citations → /root/reference/):
+- typed topic with broadcast fan-out: every subscriber's streaming query
+  sees every event (src/event_streams.rs:129-136) — free here, because
+  each query reads the same segment files independently;
+- per-subscriber FIFO order: segments are consumed in index order and
+  events in file order (src/lib.rs:41-42 arrival order);
+- `send` barrier: returns only after every live subscriber query has
+  processed everything published (src/lib.rs:47-54) — micro-batch
+  granularity, SURVEY.md §8-H1;
+- dependent events / causal chain: `send(barrier="chain")` also waits
+  for the full downstream pipe cascade (src/lib.rs:56-73);
+- subscribe-sees-only-future: latest-offset initial offset
+  (src/event_streams.rs:66-72);
+- `clear()` drops pending (published but unconsumed) events
+  (src/event_streams.rs:75-77);
+- zero-subscriber sends never block (src/event_streams.rs:58-61) —
+  barrier over an empty query set returns immediately.
+
+Scale boundary: a Topic is a CONTROL-PLANE ordering primitive (the
+reference's tests cap at 100 events) — publishes are sequential by
+design because the channel IS the FIFO. Bulk data belongs in parquet
+tables partitioned for parallelism; pipes move DataFrames, so a pipe's
+transform can reference/join those tables at full cluster parallelism
+while the topic carries the (small) event flow.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+from .datasource import (
+    TopicDataSource,
+    cleared_before,
+    list_segments,
+    next_segment_index,
+    segment_path,
+    write_clear_marker,
+    write_segment,
+)
+
+ENVELOPE_FIELDS = [
+    StructField("event_id", LongType(), False),
+    StructField("ts", TimestampType(), False),
+    StructField("event_type", StringType(), True),
+    StructField("source_event_id", LongType(), True),
+]
+ENVELOPE_NAMES = [f.name for f in ENVELOPE_FIELDS]
+
+
+class TopicRegistry:
+    """Tracks topics and the pipe DAG between them (who feeds whom),
+    which is what the chain barrier walks (SURVEY.md §3.3)."""
+
+    def __init__(self) -> None:
+        self.topics: dict[str, Topic] = {}
+        self.downstream: dict[str, set[str]] = {}
+
+    def add_topic(self, topic: "Topic") -> None:
+        self.topics[topic.name] = topic
+
+    def add_edge(self, src: str, dst: str) -> None:
+        self.downstream.setdefault(src, set()).add(dst)
+
+    def downstream_of(self, name: str) -> list["Topic"]:
+        """All topics reachable from `name` via pipes, BFS order."""
+        seen: list[str] = []
+        frontier = [name]
+        while frontier:
+            nxt: list[str] = []
+            for t in frontier:
+                for d in self.downstream.get(t, ()):
+                    if d not in seen and d != name:
+                        seen.append(d)
+                        nxt.append(d)
+            frontier = nxt
+        return [self.topics[n] for n in seen if n in self.topics]
+
+
+DEFAULT_REGISTRY = TopicRegistry()
+
+
+class Topic:
+    """A typed event topic backed by the file-channel data source."""
+
+    _datasource_registered: set[int] = set()
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        payload_schema: StructType | str,
+        root_dir: str,
+        registry: TopicRegistry | None = None,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        if isinstance(payload_schema, str):
+            payload_schema = StructType.fromDDL(payload_schema)
+        overlap = set(f.name for f in payload_schema.fields) & set(ENVELOPE_NAMES)
+        if overlap:
+            raise ValueError(f"payload columns shadow envelope columns: {overlap}")
+        self.payload_schema = payload_schema
+        self.schema = StructType(ENVELOPE_FIELDS + list(payload_schema.fields))
+        self.dir = os.path.join(root_dir, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._lock = threading.Lock()
+        self._next_id = self._recover_next_id()
+        self._queries: list = []  # live subscriber StreamingQuery objects
+        self.registry = registry or DEFAULT_REGISTRY
+        self.registry.add_topic(self)
+        self._register_datasource()
+
+    def _register_datasource(self) -> None:
+        key = id(self.spark)
+        if key not in Topic._datasource_registered:
+            # The DataSource class is shipped to a separate Python worker
+            # via cloudpickle. Pickle the module BY VALUE so the worker
+            # needs no importable copy of this package — otherwise topics
+            # only work when the driver's cwd happens to contain the repo
+            # (and on a cluster would require --py-files).
+            try:
+                from pyspark import cloudpickle
+
+                from . import datasource as _ds_mod
+
+                cloudpickle.register_pickle_by_value(_ds_mod)
+            except Exception:
+                pass  # fall back to by-reference (works when importable)
+            self.spark.dataSource.register(TopicDataSource)
+            Topic._datasource_registered.add(key)
+
+    def _recover_next_id(self) -> int:
+        """Restart recovery: next event id = last id in last segment + 1."""
+        segs = list_segments(self.dir)
+        if not segs:
+            return 0
+        import json
+
+        last = 0
+        with open(segment_path(self.dir, segs[-1])) as f:
+            for line in f:
+                if line.strip():
+                    last = json.loads(line)["event_id"]
+        return last + 1
+
+    # -- publish ------------------------------------------------------ A3/A4
+
+    def post(
+        self,
+        rows: list[dict],
+        event_type: str = "event",
+        source_event_ids: list[int | None] | None = None,
+    ) -> tuple[int, int]:
+        """Fire-and-forget publish (`post_event`): append one segment,
+        return (first_id, last_id). Never blocks on subscribers."""
+        if not rows:
+            raise ValueError("post requires at least one row")
+        with self._lock:
+            first = self._next_id
+            seg_idx = next_segment_index(self.dir)
+            out = []
+            now = datetime.now(timezone.utc)
+            for i, row in enumerate(rows):
+                rec = {
+                    "event_id": first + i,
+                    "ts": now,
+                    "event_type": row.get("event_type", event_type),
+                    "source_event_id": (
+                        source_event_ids[i] if source_event_ids else row.get("source_event_id")
+                    ),
+                }
+                rec.update(
+                    {k: v for k, v in row.items() if k not in ENVELOPE_NAMES}
+                )
+                out.append(rec)
+            write_segment(self.dir, seg_idx, out)
+            self._next_id = first + len(rows)
+            return first, self._next_id - 1
+
+    def send(
+        self,
+        rows: list[dict],
+        event_type: str = "event",
+        source_event_ids: list[int | None] | None = None,
+        barrier: str = "local",
+    ) -> tuple[int, int]:
+        """Publish **with completion barrier** (`send_event`): returns
+        only after every live subscriber query has processed all
+        available events — and, with barrier="chain", after the entire
+        downstream pipe cascade has too (dependent-event semantics)."""
+        ids = self.post(rows, event_type, source_event_ids)
+        self.barrier(chain=(barrier == "chain"))
+        return ids
+
+    def barrier(self, chain: bool = False) -> None:
+        """Block until all live subscribers are caught up (micro-batch
+        completion barrier, §8-H1). Zero subscribers → immediate. A
+        subscriber that FAILED mid-barrier counts as detached (its
+        queue died — the reference drops the Arc and the sender's
+        barrier resolves); its error stays observable on the handle."""
+        for q in self.live_queries():
+            self._await_caught_up(q)
+        if chain:
+            for t in self.registry.downstream_of(self.name):
+                for q in t.live_queries():
+                    t._await_caught_up(q)
+
+    @staticmethod
+    def _await_caught_up(query) -> None:
+        try:
+            query.processAllAvailable()
+        except Exception:
+            if query.isActive:
+                raise  # real barrier failure, not a dead subscriber
+
+    # -- subscribe ----------------------------------------------------- A5
+
+    def subscribe(
+        self,
+        subscribe_from: str = "latest",
+        max_segments_per_batch: int = 1000,
+    ) -> DataFrame:
+        """New subscription: a streaming DataFrame over this topic.
+        `latest` (default) sees only future events, like
+        `create_event_stream` — the subscription point is pinned HERE,
+        synchronously, not when the engine first polls the source;
+        `earliest` replays retained history (a bonus the file channel
+        gives us for free)."""
+        import json as _json
+
+        if subscribe_from == "earliest":
+            start = cleared_before(self.dir)
+        else:
+            start = next_segment_index(self.dir)
+        return (
+            self.spark.readStream.format("aes_topic")
+            .option("path", self.dir)
+            .option("schema_json", _json.dumps(self.schema.jsonValue()))
+            .option("start_segment", str(start))
+            .option("max_segments_per_batch", str(max_segments_per_batch))
+            .load()
+        )
+
+    def batch_df(self) -> DataFrame:
+        """All retained events as a batch DataFrame (segments are JSONL;
+        read with the fixed topic schema, no inference)."""
+        lo = cleared_before(self.dir)
+        paths = [
+            segment_path(self.dir, i)
+            for i in list_segments(self.dir)
+            if i >= lo
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).json(paths)
+
+    def attach_query(self, query) -> None:
+        self._queries.append(query)
+
+    def live_queries(self) -> list:
+        self._queries = [q for q in self._queries if q.isActive]
+        return list(self._queries)
+
+    # -- introspection / lifecycle ------------------------------- A2/A6/B11
+
+    def count(self) -> int:
+        """Live subscriber count (`EventStreams::count`)."""
+        return len(self.live_queries())
+
+    def clear(self) -> None:
+        """Drop all pending (published but not yet consumed) events
+        (`EventStreams::clear`, best-effort per SURVEY.md §8-H4):
+        readers skip every segment written before this marker."""
+        write_clear_marker(self.dir, next_segment_index(self.dir))
+
+    def close(self, drain: bool = True) -> None:
+        """End-of-stream (B11): optionally drain subscribers (they see
+        every published event), then stop their queries — the analog of
+        dropping the `EventStreams` and letting streams finish."""
+        for q in self.live_queries():
+            if drain:
+                self._await_caught_up(q)
+            try:
+                q.stop()
+            except Exception:
+                pass  # already terminated (possibly with a sink error)
+        self._queries = []

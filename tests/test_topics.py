@@ -1,0 +1,238 @@
+"""Streaming conformance tests for the topic/pipe layer — the runtime
+checks SURVEY.md §5.2 maps from the reference's semantic probes:
+
+- B2  fan-out: every subscriber sees every event
+- B9  barrier: send() returns only after subscribers processed the event
+- B10 causality: pipes auto-thread source_event_id lineage
+- B11 end-of-stream: close() drains then stops subscribers
+- B12 subscriber count introspection
+- fizzbuzz pipe topology: streaming accumulated output == batch answer
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.topics import Topic, TopicRegistry, pipe, sink
+
+
+@pytest.fixture()
+def registry():
+    return TopicRegistry()
+
+
+@pytest.fixture()
+def topic_root(tmp_path):
+    return str(tmp_path / "topics")
+
+
+def collecting_sink():
+    seen: list[dict] = []
+
+    def fn(df, batch_id):
+        seen.extend(r.asDict() for r in df.collect())
+
+    return fn, seen
+
+
+def test_fanout_every_subscriber_sees_every_event(spark, topic_root, registry):
+    t = Topic(spark, "fanout", "v long", topic_root, registry)
+    sinks = []
+    for i in range(3):
+        fn, seen = collecting_sink()
+        pipe(t, sink_fn=fn, name=f"sub{i}")
+        sinks.append(seen)
+    try:
+        t.post([{"v": n} for n in range(10)])
+        t.barrier()
+        for seen in sinks:
+            assert sorted(r["v"] for r in seen) == list(range(10))
+    finally:
+        t.close()
+
+
+def test_send_barrier_blocks_until_processed(spark, topic_root, registry):
+    t = Topic(spark, "barrier", "v long", topic_root, registry)
+    fn, seen = collecting_sink()
+    pipe(t, sink_fn=fn, name="slowsub")
+    try:
+        # B9: when send() returns, the subscriber must already have the
+        # event — no sleeping/polling needed, that's the guarantee.
+        for n in range(5):
+            t.send([{"v": n}])
+            assert n in {r["v"] for r in seen}, f"event {n} not processed at send-return"
+    finally:
+        t.close()
+
+
+def test_send_with_zero_subscribers_returns_immediately(spark, topic_root, registry):
+    t = Topic(spark, "nosubs", "v long", topic_root, registry)
+    first, last = t.send([{"v": 1}, {"v": 2}])
+    assert (first, last) == (0, 1)
+
+
+def test_subscribe_sees_only_future_events(spark, topic_root, registry):
+    t = Topic(spark, "latest", "v long", topic_root, registry)
+    t.post([{"v": 0}, {"v": 1}])  # before subscribe — invisible
+    fn, seen = collecting_sink()
+    pipe(t, sink_fn=fn, name="late")
+    try:
+        t.send([{"v": 2}])
+        assert [r["v"] for r in seen] == [2]
+    finally:
+        t.close()
+
+
+def test_subscriber_count_introspection(spark, topic_root, registry):
+    t = Topic(spark, "count", "v long", topic_root, registry)
+    assert t.count() == 0
+    h1 = pipe(t, sink_fn=lambda df, b: None, name="c1")
+    h2 = pipe(t, sink_fn=lambda df, b: None, name="c2")
+    assert t.count() == 2
+    h1.stop()
+    assert t.count() == 1
+    h2.stop()
+    assert t.count() == 0
+
+
+def test_close_drains_then_stops(spark, topic_root, registry):
+    t = Topic(spark, "eos", "v long", topic_root, registry)
+    fn, seen = collecting_sink()
+    pipe(t, sink_fn=fn, name="drainer")
+    t.post([{"v": n} for n in range(20)])
+    t.close(drain=True)
+    assert sorted(r["v"] for r in seen) == list(range(20))
+    assert t.count() == 0
+
+
+def test_clear_drops_pending_events(spark, topic_root, registry):
+    t = Topic(spark, "clr", "v long", topic_root, registry)
+    t.post([{"v": 0}])
+    t.clear()  # pending (no subscriber consumed it) -> dropped
+    fn, seen = collecting_sink()
+    pipe(t, sink_fn=fn, name="postclear", subscribe_from="earliest")
+    try:
+        t.send([{"v": 1}])
+        assert [r["v"] for r in seen] == [1]
+    finally:
+        t.close()
+
+
+def test_pipe_lineage_and_chain_barrier(spark, topic_root, registry):
+    """B10: a pipe's re-emitted events carry source_event_id; the chain
+    barrier covers the downstream cascade."""
+    src = Topic(spark, "src", "v long", topic_root, registry)
+    derived = Topic(spark, "derived", "label string", topic_root, registry)
+    pipe(
+        src,
+        fn=lambda df: df.select(
+            "source_event_id",
+            F.when(F.col("v") % 2 == 0, "even").otherwise("odd").alias("label"),
+        ),
+        target=derived,
+        name="labeler",
+    )
+    fn, seen = collecting_sink()
+    pipe(derived, sink_fn=fn, name="collector")
+    try:
+        first, last = src.send([{"v": n} for n in range(6)], barrier="chain")
+        # chain barrier returned -> downstream collector already has all 6
+        assert len(seen) == 6
+        by_src = {r["source_event_id"]: r["label"] for r in seen}
+        assert by_src == {n: ("even" if n % 2 == 0 else "odd") for n in range(6)}
+    finally:
+        src.close()
+        derived.close()
+
+
+def test_fizzbuzz_stream_equals_batch(spark, topic_root, registry):
+    """The reference's fizz_buzz_sink topology (generator -> classify
+    pipe -> sink), streamed; accumulated output must equal the batch
+    CASE-classification of the same inputs."""
+    from async_event_streams_spark.queries.reference import fizzbuzz_label
+
+    nums = Topic(spark, "nums", "n long", topic_root, registry)
+    labels = Topic(spark, "labels", "n long, label string", topic_root, registry)
+    pipe(
+        nums,
+        fn=lambda df: df.select(
+            "source_event_id", "n", fizzbuzz_label(F.col("n")).alias("label")
+        ),
+        target=labels,
+        name="classify",
+    )
+    fn, seen = collecting_sink()
+    pipe(labels, sink_fn=fn, name="validate")
+    try:
+        nums.send([{"n": n} for n in range(100)], barrier="chain")
+        assert len(seen) == 100
+        expected = {
+            n: (
+                "fizzbuzz"
+                if n % 15 == 0
+                else "buzz" if n % 5 == 0 else "fizz" if n % 3 == 0 else "number"
+            )
+            for n in range(100)
+        }
+        assert {r["n"]: r["label"] for r in seen} == expected
+        # positional validation like the reference's Sink::validate
+        ordered = sorted(seen, key=lambda r: r["n"])
+        assert [r["n"] for r in ordered] == list(range(100))
+    finally:
+        nums.close()
+        labels.close()
+
+
+def test_sink_decorator_multi_topic(spark, topic_root, registry):
+    """A16: one sink function subscribed to several topics."""
+    t1 = Topic(spark, "m1", "v long", topic_root, registry)
+    t2 = Topic(spark, "m2", "v long", topic_root, registry)
+    seen: list[tuple] = []
+
+    @sink(t1, t2, name="multi")
+    def collect(df, batch_id):
+        seen.extend((r["event_type"], r["v"]) for r in df.collect())
+
+    try:
+        t1.send([{"v": 1}], event_type="a")
+        t2.send([{"v": 2}], event_type="b")
+        assert ("a", 1) in seen and ("b", 2) in seen
+    finally:
+        t1.close()
+        t2.close()
+
+
+def test_pipe_error_handler(spark, topic_root, registry):
+    errors: list[Exception] = []
+    t = Topic(spark, "err", "v long", topic_root, registry)
+
+    def bad_sink(df, batch_id):
+        if any(r["v"] == 13 for r in df.collect()):
+            raise ValueError("unlucky")
+
+    h = pipe(t, sink_fn=bad_sink, name="failing", error_handler=errors.append)
+    try:
+        t.post([{"v": 13}])
+        import time
+
+        for _ in range(100):
+            if errors:
+                break
+            time.sleep(0.1)
+        assert errors and "unlucky" in str(errors[0])
+        assert not h.is_active  # first error terminates the pipe (A14)
+    finally:
+        t.close()
+
+
+def test_batch_df_roundtrip(spark, topic_root, registry):
+    t = Topic(spark, "roundtrip", "v long, s string", topic_root, registry)
+    t.post([{"v": 1, "s": "x"}, {"v": 2, "s": "y"}], event_type="tp")
+    df = t.batch_df()
+    rows = sorted(df.collect(), key=lambda r: r.event_id)
+    assert [r.v for r in rows] == [1, 2]
+    assert [r.s for r in rows] == ["x", "y"]
+    assert all(r.event_type == "tp" for r in rows)
+    assert rows[0].ts is not None
