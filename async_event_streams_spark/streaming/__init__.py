@@ -1,0 +1,14 @@
+"""Streaming topologies: event-time windows with watermarks and custom
+stateful operators over topic streams (SURVEY.md §7-M3).
+
+Each topology reuses the SAME transformation its batch twin in
+`queries/temporal.py` uses, so the oracle-checked batch result is the
+specification of the streaming output.
+"""
+
+from .windows import (  # noqa: F401
+    tumbling_counts,
+    session_counts,
+    run_stream_to_memory,
+)
+from .stateful import running_max_by_key  # noqa: F401

@@ -1,0 +1,98 @@
+"""Physical-plan audits: the scale-critical properties .explain() must
+show. These encode the 100 TB requirements — filters/projections reach
+the parquet scan, dimension joins broadcast, candidate joins are
+equi-joins (never cartesian), top-k pushes its limit into the window
+sort — so a regression that silently de-optimizes a plan fails CI, not
+a cluster bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from async_event_streams_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c_scan_parquet")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)" in plan
+    # only the 4 selected columns reach the reader
+    assert "l_extendedprice" in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_returnflag" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c_join_equi")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_joins_stay_broadcast_at_this_scale(spark, sf_dir):
+    for name in ("c_join_semi", "c_join_anti"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_range_join_is_broadcast_nested_loop_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c_join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_pushes_group_limit_into_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_candidates_join_is_equi_join(spark, sf_dir):
+    """The LSH property: candidate generation must be a hash join on
+    band_key, never an all-pairs product."""
+    plan = plan_of(spark, sf_dir, "x_dedup_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_asof_join_is_single_window_no_join_explosion(spark, sf_dir):
+    """The as-of strategy: union + window, one shuffle on the key —
+    no join operator at all in the plan."""
+    plan = plan_of(spark, sf_dir, "c_join_asof")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one for the window, one AQE read
+
+
+def test_agg_uses_partial_aggregation(spark, sf_dir):
+    """Map-side combine: two HashAggregate levels around one Exchange."""
+    plan = plan_of(spark, sf_dir, "c_agg_basic")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_covers_hot_paths(spark, sf_dir):
+    # codegen explain mode (formatted mode hides codegen spans under an
+    # unexecuted AdaptiveSparkPlan wrapper)
+    for name in ("c_agg_basic", "b4_classify_fizzbuzz", "c_window_rank"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+        assert "WholeStageCodegen subtree" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["b4_classify_fizzbuzz", "c_agg_basic", "c_stream_tumbling"]
+)
+def test_single_shuffle_aggregations(spark, sf_dir, name):
+    """These aggregations must shuffle exactly once (grouped partials)."""
+    plan = plan_of(spark, sf_dir, name)
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2, f"{name}: {n_exchange} Exchanges"

@@ -1,0 +1,159 @@
+"""M3 streaming semantics: watermarked windows and custom stateful ops
+over topic streams must converge to their oracle-checked batch twins;
+plus the two-executor determinism analog (SURVEY.md §5.2-3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.streaming import (
+    run_stream_to_memory,
+    running_max_by_key,
+    tumbling_counts,
+)
+from async_event_streams_spark.tables import table
+from async_event_streams_spark.topics import Topic, TopicRegistry
+
+
+@pytest.fixture()
+def topic_root(tmp_path):
+    return str(tmp_path / "topics")
+
+
+def _events_sample(spark, sf_dir, n=300):
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < n)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def test_tumbling_stream_converges_to_batch(spark, sf_dir, topic_root):
+    """Feed events through a topic; the streaming windowed aggregation's
+    final memory-sink state must equal the batch aggregation."""
+    src = _events_sample(spark, sf_dir)
+    batch_expected = {
+        r.window_start: (r.n_events, r.sum_value)
+        for r in tumbling_counts(src.drop("event_id", "event_type")).collect()
+    }
+
+    t = Topic(
+        spark,
+        "tumble",
+        "orig_id long, user_id long, value double, ev_ts string",
+        topic_root,
+        TopicRegistry(),
+    )
+    stream = t.subscribe().select(
+        F.col("ev_ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "value",
+    )
+    query, tbl = run_stream_to_memory(tumbling_counts(stream), output_mode="update")
+    t.attach_query(query)
+    try:
+        rows = [
+            {
+                "orig_id": r.event_id,
+                "user_id": r.user_id,
+                "value": r.value,
+                "ev_ts": r.ts.isoformat(),
+            }
+            for r in src.collect()
+        ]
+        # publish in two chunks to exercise multi-batch accumulation
+        t.post(rows[: len(rows) // 2])
+        t.send(rows[len(rows) // 2 :])
+        got = {
+            r.window_start: (r.n_events, r.sum_value)
+            for r in spark.sql(
+                "SELECT window_start, n_events, sum_value FROM ("
+                "  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start"
+                "    ORDER BY n_events DESC) AS rn FROM "
+                f" {tbl}) WHERE rn = 1"
+            ).collect()
+        }
+        assert got == batch_expected
+    finally:
+        t.close()
+
+
+def test_stateful_running_max_converges_to_batch(spark, sf_dir, topic_root):
+    """applyInPandasWithState max-merge over a stream equals the batch
+    groupBy(pos).max — the reference's Sink state, streamed."""
+    from async_event_streams_spark.queries.reference import (
+        fizzbuzz_label,
+        fizzbuzz_priority,
+    )
+
+    n = 200
+    src = (
+        _events_sample(spark, sf_dir, n)
+        .select(
+            (F.col("event_id") % 20).alias("pos"),
+            fizzbuzz_priority(F.col("event_id")).alias("priority"),
+            fizzbuzz_label(F.col("event_id")).alias("label"),
+        )
+    )
+    batch_expected = {
+        r.pos: (r.max_priority, r.max_label)
+        for r in src.groupBy("pos")
+        .agg(
+            F.max("priority").alias("max_priority"),
+            F.max_by("label", "priority").alias("max_label"),
+        )
+        .collect()
+    }
+
+    t = Topic(
+        spark,
+        "maxmerge",
+        "pos long, priority int, label string",
+        topic_root,
+        TopicRegistry(),
+    )
+    stream = t.subscribe().select("pos", "priority", "label")
+    query, tbl = run_stream_to_memory(
+        running_max_by_key(stream), output_mode="update"
+    )
+    t.attach_query(query)
+    try:
+        rows = [r.asDict() for r in src.collect()]
+        t.post(rows[:100])
+        t.send(rows[100:])
+        got = {
+            r.pos: (r.max_priority, r.max_label)
+            for r in spark.sql(
+                "SELECT pos, max_priority, max_label FROM ("
+                "  SELECT *, ROW_NUMBER() OVER (PARTITION BY pos"
+                "    ORDER BY max_priority DESC) AS rn FROM "
+                f" {tbl}) WHERE rn = 1"
+            ).collect()
+        }
+        assert got == batch_expected
+    finally:
+        t.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["c_agg_basic", "b8_groupby_max", "c_join_equi", "x_dedup_minhash"],
+)
+def test_determinism_under_repartition(spark, sf_dir, name):
+    """Two-executor determinism analog (the reference runs every
+    topology on LocalPool AND ThreadPool — tests/fizz_buzz.rs:149-177):
+    results must be identical under different physical partitionings."""
+    from async_event_streams_spark.queries import QUERIES
+
+    from .oracle_compare import value_hash
+
+    base = QUERIES[name](spark, sf_dir).toPandas()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        repart = QUERIES[name](spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert value_hash(base) == value_hash(repart)
