@@ -395,7 +395,106 @@ def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: embedding-cosine near-duplicates (LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+_ND_PLANES = lsh_planes(10, 64, seed=43)
+_ND_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal; this yields
+# a small non-empty pair set at sf>=0.01 so the differential check
+# actually exercises pair emission (a real corpus would use ~0.9)
+
+
+def _embdup_oracle() -> str:
+    def plane_sql(p: int) -> str:
+        vals = ", ".join(str(v) for v in _ND_PLANES[p])
+        return f"CAST([{vals}] AS DOUBLE[])"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {plane_sql(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(len(_ND_PLANES))
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), b AS (
+  SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v
+), pairs AS (
+  SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+    list_dot_product(a.e, x.e) /
+    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(x.e, x.e))) AS score
+  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+)
+SELECT vec_a, vec_b, ROUND(score, 6) AS score
+FROM pairs WHERE ROUND(score, 6) >= {_ND_THRESHOLD}
+"""
+
+
+@query("x_dedup_embedding", oracle=_embdup_oracle())
+def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucketing (10 signed
+    projections → 1024 buckets) turns the quadratic all-pairs scan into
+    a bucket-local self-equi-join; candidates above the cosine threshold
+    survive. Threshold filters on the ROUNDED score so the cross-engine
+    comparison can't flip on a 1e-12 boundary."""
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
+    )
+    a = b.alias("a")
+    x = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    ).alias("x")
+    score = F.round(cosine(F.col("a.e"), F.col("eb")), 6)
+    return (
+        a.join(
+            x,
+            (F.col("a.bucket") == F.col("bucket_b"))
+            & (F.col("a.vec_id") < F.col("vec_b")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            "vec_b",
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= _ND_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: corpus stats, per-doc quality, language ID, fingerprints
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@query(
+    "x_token_count",
+    oracle=f"""
+SELECT doc_id,
+  CAST(len({_SQL_TOKS}) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS bpe_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+""",
+)
+def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation) — the
+    cheap pre-tokenizer count an LLM-data pipeline budgets with."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -140,6 +140,44 @@ def c_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c_agg_cube",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+)
+def c_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "c_agg_grouping_sets",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    ),
+)
+def c_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupingSets(
+            [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
@@ -293,6 +331,144 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.filter(F.col("is_event") == 1).select(
         "event_id", F.col("k").alias("user_id"), "asof_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped headline joins (multi-join perf anchors)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_tpch_q3",
+    oracle=(
+        "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) "
+        "AS revenue, o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+    ),
+)
+def c_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): the segment filter prunes the
+    broadcast customer side BEFORE the join, lineitem's date filter is
+    pushed to the scan, and the top-10 is a TakeOrderedAndProject — no
+    full sort of the aggregate."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    customer = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    lineitem = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "c_tpch_q5",
+    oracle=(
+        "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "GROUP BY n_name"
+    ),
+)
+def c_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-way star join — every
+    dimension broadcasts, so the plan is a single pass over lineitem
+    with map-side hash probes, then one aggregation shuffle on n_name."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(table(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "supplier")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "c_subquery_scalar",
+    oracle=(
+        "WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER "
+        "  (PARTITION BY o_custkey) AS BIGINT) AS cust_sum_cents, "
+        "COUNT(*) OVER (PARTITION BY o_custkey) AS cust_n "
+        "FROM orders) "
+        "SELECT o_orderkey, o_custkey, o_totalprice, cust_sum_cents, cust_n "
+        "FROM w WHERE cents * cust_n > cust_sum_cents"
+    ),
+)
+def c_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above their customer's average
+    order value), decorrelated to a window aggregate — one shuffle
+    instead of a per-row subquery. The avg comparison is done in exact
+    integer cents (price*n > sum) so the cross-engine differential can't
+    flip on a float-rounding boundary."""
+    w = Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            cents.alias("cents"),
+            F.sum(cents).over(w).alias("cust_sum_cents"),
+            F.count("*").over(w).alias("cust_n"),
+        )
+        .filter(F.col("cents") * F.col("cust_n") > F.col("cust_sum_cents"))
+        .drop("cents")
     )
 
 
@@ -511,6 +687,41 @@ def c_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).alias("first_val"),
         F.element_at("embedding", 64).alias("last_val"),
         F.round(dot_self, 6).alias("norm_sq"),
+    )
+
+
+@query(
+    "c_array_explode",
+    oracle=(
+        "SELECT vec_id, CAST(pos AS INTEGER) AS pos, embedding[pos] AS val "
+        "FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) positions"
+    ),
+)
+def c_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array → rows via posexplode (UNNEST WITH ORDINALITY)."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+
+
+@query(
+    "c_scalar_math",
+    oracle=(
+        "SELECT event_id, ROUND(SQRT(value), 6) AS sqrt_v, "
+        "ROUND(LN(value + 1), 6) AS ln_v, "
+        "ROUND(POW(value, 2), 4) AS sq_v, "
+        "CAST(FLOOR(value / 10) AS BIGINT) AS decade "
+        "FROM events"
+    ),
+)
+def c_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.round(F.sqrt("value"), 6).alias("sqrt_v"),
+        F.round(F.log(F.col("value") + 1), 6).alias("ln_v"),
+        F.round(F.pow("value", 2), 4).alias("sq_v"),
+        F.floor(F.col("value") / 10).alias("decade"),
     )
 
 
