@@ -1,0 +1,79 @@
+"""Skew mitigation: salted two-stage aggregation.
+
+AQE's skew-join splitting handles joins, but a groupBy on a key where
+one value carries most of the rows still funnels that key's partials
+into one reducer. Salting splits each key into `n_salts` sub-keys for
+the first (heavy) aggregation, then combines the tiny partials — the
+hot key's work spreads across n_salts tasks. Cost: a second (cheap)
+shuffle over ~keys×n_salts rows.
+
+Supported aggregates are the decomposable ones (sum/count/min/max, and
+avg via sum+count) — exactly the set for which two-stage combining is
+algebraically exact, so results equal the unsalted plan bit-for-bit
+for integer/count aggregates (float sums may differ in rounding, same
+as any partial-aggregation reorder).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PARTIAL = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+}
+_COMBINE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """groupBy(keys).agg(...) with a salt stage.
+
+    `aggs` maps output column → (fn, input column), fn in
+    {sum, count, min, max, avg}. Example:
+
+        salted_agg(events, ["user_id"],
+                   {"n": ("count", "*"), "total": ("sum", "value"),
+                    "avg_value": ("avg", "value")})
+    """
+    partial_cols: list[Column] = []
+    combine_cols: list[Column] = []
+    final_cols: list[Column] = []
+    for out, (fn, col) in aggs.items():
+        if fn == "avg":
+            partial_cols += [
+                F.sum(col).alias(f"__{out}_sum"),
+                F.count(col).alias(f"__{out}_cnt"),
+            ]
+            combine_cols += [
+                F.sum(f"__{out}_sum").alias(f"__{out}_sum"),
+                F.sum(f"__{out}_cnt").alias(f"__{out}_cnt"),
+            ]
+            final_cols.append(
+                (F.col(f"__{out}_sum") / F.col(f"__{out}_cnt")).alias(out)
+            )
+        elif fn in _PARTIAL:
+            partial_cols.append(_PARTIAL[fn](col).alias(f"__{out}"))
+            combine_cols.append(_COMBINE[fn](f"__{out}").alias(f"__{out}"))
+            final_cols.append(F.col(f"__{out}").alias(out))
+        else:
+            raise ValueError(f"unsupported agg {fn!r} (decomposable only)")
+
+    salt = (F.rand(seed=0) * n_salts).cast("int").alias("__salt")
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *partial_cols
+    )
+    combined = partial.groupBy(*keys).agg(*combine_cols)
+    return combined.select(*keys, *final_cols)

@@ -1,0 +1,86 @@
+"""Scale tooling: salted aggregation equals the unsalted plan; writers
+produce prunable partitioned/bucketed layouts; topic archival round-trips."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.functions.skew import salted_agg
+from async_event_streams_spark.io import archive_topic, read_archive, write_partitioned
+from async_event_streams_spark.tables import table
+from async_event_streams_spark.topics import Topic, TopicRegistry
+
+
+@pytest.fixture()
+def skewed(spark):
+    """90% of rows on one key — the shape that melts a naive groupBy."""
+    hot = spark.range(0, 9000).select(
+        F.lit(7).alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    rest = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    return hot.unionByName(rest)
+
+
+def test_salted_agg_matches_unsalted(spark, skewed):
+    plain = {
+        r.k: (r.n, round(r.total, 6), round(r.avg_v, 6))
+        for r in skewed.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("total"),
+            F.avg("v").alias("avg_v"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, round(r.total, 6), round(r.avg_v, 6))
+        for r in salted_agg(
+            skewed,
+            ["k"],
+            {"n": ("count", "*"), "total": ("sum", "v"), "avg_v": ("avg", "v")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_min_max(spark, skewed):
+    got = salted_agg(
+        skewed, ["k"], {"lo": ("min", "v"), "hi": ("max", "v")}, n_salts=4
+    )
+    plain = skewed.groupBy("k").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_rejects_non_decomposable(spark, skewed):
+    with pytest.raises(ValueError, match="decomposable"):
+        salted_agg(skewed, ["k"], {"m": ("median", "v")})
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    events = table(spark, sf_dir, "events").limit(500)
+    path = str(tmp_path / "events_part")
+    write_partitioned(events, path, ["event_type"])
+    back = read_archive(spark, path)
+    assert back.count() == 500
+    # a filter on the partition column must prune to that directory
+    plan = back.filter(F.col("event_type") == "click")._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+
+
+def test_topic_archive_roundtrip(spark, tmp_path):
+    t = Topic(
+        spark, "arch", "n long", str(tmp_path / "topics"), TopicRegistry()
+    )
+    t.post([{"n": i} for i in range(10)], event_type="tick")
+    t.post([{"n": 10}], event_type="tock")
+    path = str(tmp_path / "archive")
+    assert archive_topic(t, path) == 11
+    back = read_archive(spark, path)
+    assert back.count() == 11
+    assert back.filter(F.col("event_type") == "tock").count() == 1
+    assert {r.n for r in back.collect()} == set(range(11))
