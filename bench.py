@@ -37,19 +37,27 @@ def main() -> None:
     spark = get_spark(app_name="aes-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once with the flagship so the first
-    # measured query doesn't pay one-time session costs.
-    QUERIES["b4_classify_fizzbuzz"](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    # Warm one-time session costs (JVM/codegen spin-up, Python UDF
+    # worker pool spawn) so per-query timings reflect steady state.
+    for warm in ("b4_classify_fizzbuzz", "c_pandas_udf"):
+        QUERIES[warm](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # Two passes, min per query: single-pass local timings are ±20%
+    # noisy (JIT/GC/page-cache); the min reflects the plan's steady
+    # state, which is what matters for cluster extrapolation.
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
-    for name in sorted(QUERIES):
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_suite, 3)
+    for _pass in range(2):
+        for name in sorted(QUERIES):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    total = round(sum(timings.values()), 3)
+    wall = round(time.perf_counter() - t_suite, 3)
 
     print(
         json.dumps(
@@ -59,6 +67,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "passes": 2,
+                "wall_sec_both_passes": wall,
             }
         )
     )
