@@ -263,8 +263,9 @@ scored AS (
   SELECT query_id, neighbor_id, {_COSINE_SQL} AS score
   FROM q CROSS JOIN c WHERE neighbor_id <> query_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, score, ROW_NUMBER() OVER (
-    PARTITION BY query_id ORDER BY ROUND(score, 9) DESC, neighbor_id) AS rnk
+  SELECT query_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(score, 9) DESC, neighbor_id)
+    AS INTEGER) AS rnk
   FROM scored
 )
 SELECT query_id, neighbor_id, rnk, ROUND(score, 6) AS score
@@ -341,8 +342,9 @@ WITH v AS (
     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))) AS score
   FROM q JOIN bucketed c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, score, ROW_NUMBER() OVER (
-    PARTITION BY query_id ORDER BY ROUND(score, 9) DESC, neighbor_id) AS rnk
+  SELECT query_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(score, 9) DESC, neighbor_id)
+    AS INTEGER) AS rnk
   FROM scored
 )
 SELECT query_id, neighbor_id, rnk, ROUND(score, 6) AS score

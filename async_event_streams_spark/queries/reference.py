@@ -222,7 +222,8 @@ def b6_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  UNION ALL"
         "  SELECT event_id FROM events WHERE event_id % 2 = 1"
         "), ordered AS ("
-        "  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS pos FROM merged"
+        "  SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS INTEGER)"
+        "    AS pos FROM merged"
         ") SELECT event_id, pos, "
         f"{FIZZBUZZ_CASE_SQL.format(n='event_id')} AS label, "
         "(pos - 1 = event_id) AS in_order FROM ordered"

@@ -481,8 +481,8 @@ def c_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_window_rank",
     oracle=(
         "SELECT l_orderkey, l_linenumber, l_extendedprice, "
-        "ROW_NUMBER() OVER (PARTITION BY l_orderkey "
-        "ORDER BY l_extendedprice DESC, l_linenumber) AS price_rank "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_extendedprice DESC, l_linenumber) AS INTEGER) AS price_rank "
         "FROM lineitem"
     ),
 )
@@ -540,8 +540,9 @@ def c_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_topk_per_group",
     oracle=(
         "SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM ("
-        "  SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER ("
-        "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk"
+        "  SELECT o_custkey, o_orderkey, o_totalprice, CAST(ROW_NUMBER() OVER ("
+        "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
+        "    AS INTEGER) AS rnk"
         "  FROM orders) WHERE rnk <= 3"
     ),
 )

@@ -74,9 +74,42 @@ class CompareResult:
     detail: str = ""
 
 
+def _dtype_key(dt) -> str:
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s in ("object", "string"):
+        return "object"
+    return s
+
+
+def dtypes_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Columns whose dtypes disagree (int32 vs int64 etc.) — the driver
+    compares schemas, so these are latent failures even when values
+    stringify identically."""
+    bad = []
+    for c in spark_pdf.columns:
+        if c in oracle_pdf.columns:
+            a, b = _dtype_key(spark_pdf[c].dtype), _dtype_key(oracle_pdf[c].dtype)
+            if a != b:
+                bad.append(f"{c}: spark={a} oracle={b}")
+    return bad
+
+
 def compare(name: str, spark_df, oracle_pdf: pd.DataFrame) -> CompareResult:
     spark_pdf = spark_df.toPandas()
     cols_ok = sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
+    dtype_mismatch = dtypes_match(spark_pdf, oracle_pdf) if cols_ok else []
+    if dtype_mismatch:
+        return CompareResult(
+            name=name,
+            ok=False,
+            spark_rows=len(spark_pdf),
+            oracle_rows=len(oracle_pdf),
+            columns_match=False,
+            hash_match=False,
+            detail=f"dtype mismatch: {dtype_mismatch}",
+        )
     rows_ok = len(spark_pdf) == len(oracle_pdf)
     hash_ok = False
     detail = ""
