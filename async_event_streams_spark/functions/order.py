@@ -1,0 +1,66 @@
+"""Scalable global ordering: total-order row numbers without a
+single-partition window.
+
+`ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY collapses the
+whole dataset into ONE task — the classic plan that works in tests and
+dies at 100 TB. This module computes the same numbering with a
+range-partitioned sort (parallel), per-partition local numbering, and a
+broadcast prefix-sum of partition counts: every stage is distributed,
+and the only single-point data is the tiny (n_partitions)-row offset
+table.
+
+This is the engine's answer to SURVEY.md §8-H2 (the reference's causal
+total order re-established after parallel fan-out): ordering keys must
+form a total order (include a unique tie-break) so the range partition
+boundaries are unambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    pos_col: str = "pos",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append `pos_col` = 1-based global rank by `order_cols`.
+
+    Equivalent to ROW_NUMBER() OVER (ORDER BY order_cols) but scalable:
+    rows never leave their range partition; only partition row-counts
+    are centralized (one tiny aggregate + broadcast join).
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    # Pin ONE physical partitioning: range boundaries come from sampling,
+    # so the counts branch and the main branch would otherwise each
+    # re-sample and could disagree on partition membership. The
+    # checkpoint materializes the sorted partitions once; both branches
+    # (and the final window) reuse them.
+    with_pid = parts.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+
+    counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # windows over n_partitions rows — trivially small
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__offset"),
+    )
+
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            pos_col,
+            (F.row_number().over(w_local) + F.col("__offset")).cast("int"),
+        )
+        .drop("__pid", "__offset")
+    )

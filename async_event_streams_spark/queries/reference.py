@@ -232,17 +232,24 @@ def b6_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b7_ordered_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parity-split then merge; re-establish the reference's causal total
     order with the monotone event_id (SURVEY.md §3.3 / §8-H2). `in_order`
-    encodes the reference's assertion that position i holds event i."""
+    encodes the reference's assertion that position i holds event i.
+
+    The global numbering uses the range-partitioned prefix-sum scheme
+    (functions/order.py), NOT `ROW_NUMBER() OVER (ORDER BY ...)` — the
+    unpartitioned window would funnel the whole stream through one task
+    at scale."""
+    from ..functions.order import global_row_number
+
     src = table(spark, sf_dir, "events")
     evens = src.filter(F.col("event_id") % 2 == 0).select("event_id")
     odds = src.filter(F.col("event_id") % 2 == 1).select("event_id")
     merged = evens.unionByName(odds)
-    w = Window.orderBy("event_id")
-    return merged.select(
+    return global_row_number(merged, ["event_id"]).select(
         "event_id",
-        F.row_number().over(w).alias("pos"),
+        "pos",
         fizzbuzz_label(F.col("event_id")).alias("label"),
-    ).withColumn("in_order", F.col("pos") - 1 == F.col("event_id"))
+        (F.col("pos") - 1 == F.col("event_id")).alias("in_order"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,62 @@
+"""global_row_number must equal the single-partition window numbering
+for any total order, at any partitioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from async_event_streams_spark.functions.order import global_row_number
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 16])
+def test_matches_window_row_number(spark, n_parts):
+    df = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") * 37 % 4999).alias("k"),  # scrambled unique keys
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    expected = {
+        r.k: r.pos
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy("k")).alias("pos")
+        ).collect()
+    }
+    got = {
+        r.k: r.pos
+        for r in global_row_number(df, ["k"], n_partitions=n_parts).collect()
+    }
+    assert got == expected
+
+
+def test_data_path_never_single_partitions(spark):
+    """The point of the helper: the data path is hash/range partitioned;
+    the only SinglePartition exchange is the (n_partitions)-row offsets
+    aggregate, never the data."""
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    plan = (
+        global_row_number(df, ["k"], n_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # data window runs per __pid bucket (hash partitioning), and at most
+    # one SinglePartition exchange exists (the tiny offsets branch)
+    assert "hashpartitioning(__pid" in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_multi_column_order_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (0, "z"), (2, "a")], "g long, s string"
+    )
+    got = [
+        (r.g, r.s, r.pos)
+        for r in global_row_number(df, ["g", "s"]).orderBy("pos").collect()
+    ]
+    assert got == [(0, "z", 1), (1, "a", 2), (1, "b", 3), (2, "a", 4)]
