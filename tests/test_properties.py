@@ -1,0 +1,133 @@
+"""Property-based tests: the engine's JVM-side column expressions must
+agree with straightforward Python reference implementations on
+hypothesis-generated inputs (arbitrary whitespace, unicode-ish tokens,
+negative/huge ints). Batched: each hypothesis example is a list of
+inputs evaluated in ONE Spark job."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.functions.text import (
+    minhash_component,
+    shingle_digests,
+    shingles,
+    tokens,
+)
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+texts = st.lists(
+    st.lists(word, min_size=0, max_size=12).map(" ".join)
+    # throw in irregular whitespace
+    .flatmap(lambda s: st.sampled_from([s, f"  {s}", f"{s}\t x", s.replace(" ", "  ", 1)])),
+    min_size=1,
+    max_size=20,
+)
+
+
+def py_tokens(s: str) -> list[str]:
+    return s.split()
+
+
+def py_shingles(toks: list[str], k: int = 3) -> list[str]:
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_shingles_match_python(spark, batch):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(batch)], "i long, text string")
+    got = {
+        r.i: r.sh
+        for r in df.select("i", shingles(tokens(F.col("text"))).alias("sh")).collect()
+    }
+    for i, s in enumerate(batch):
+        assert got[i] == py_shingles(py_tokens(s)), repr(s)
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_minhash_components_match_python(spark, batch):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(batch)], "i long, text string")
+    dg = shingle_digests(shingles(tokens(F.col("text"))))
+    got = {
+        r.i: (r.h0, r.h1)
+        for r in df.select(
+            "i",
+            minhash_component(dg, 0).alias("h0"),
+            minhash_component(dg, 1).alias("h1"),
+        ).collect()
+    }
+    for i, s in enumerate(batch):
+        digests = [
+            hashlib.md5(sh.encode()).hexdigest()
+            for sh in py_shingles(py_tokens(s))
+        ]
+        exp0 = min((d[0:8] for d in digests), default=None)
+        exp1 = min((d[8:16] for d in digests), default=None)
+        assert got[i] == (exp0, exp1), repr(s)
+
+
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_fizzbuzz_label_matches_python(spark, ns):
+    from async_event_streams_spark.queries.reference import fizzbuzz_label
+
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {r.n: r.label for r in df.select("n", fizzbuzz_label(F.col("n")).alias("label")).collect()}
+    for n in ns:
+        exp = (
+            "fizzbuzz"
+            if n % 15 == 0
+            else "buzz" if n % 5 == 0 else "fizz" if n % 3 == 0 else "number"
+        )
+        assert got[n] == exp, n
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda v: tuple(v),
+    )
+)
+@settings(**SETTINGS)
+def test_lsh_bucket_matches_python(spark, vecs):
+    from async_event_streams_spark.functions.similarity import lsh_bucket, lsh_planes
+
+    planes = lsh_planes(3, 4, seed=7)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, e array<float>"
+    )
+    got = {r.i: r.b for r in df.select("i", lsh_bucket(F.col("e"), planes).alias("b")).collect()}
+    import struct
+
+    for i, v in enumerate(vecs):
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]  # float32 round-trip
+        b = 0
+        for p, plane in enumerate(planes):
+            acc = 0.0
+            for x, w in zip(v32, plane):
+                acc += float(x) * w
+            if acc >= 0:
+                b |= 1 << p
+        assert got[i] == b, (i, v)
