@@ -141,6 +141,52 @@ def c_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_agg_median",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) "
+        "  AS median_cents, "
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def c_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group. Computed over integer cents so the
+    0.5-interpolation ((a+b)/2 on exact ints) is bit-identical across
+    engines. At 100 TB the exact percentile needs a per-group sort —
+    approx_percentile is the scale path; this is the reference answer
+    it is checked against."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile(cents, F.lit(0.5)).alias("median_cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "c_agg_collect",
+    oracle=(
+        "SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys, "
+        "COUNT(*) AS n FROM customer GROUP BY c_nationkey"
+    ),
+)
+def c_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped list aggregation, sorted for determinism (collect order
+    is partition-dependent; the sort makes it comparable)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
     "c_agg_cube",
     oracle=(
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, "
