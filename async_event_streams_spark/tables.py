@@ -37,6 +37,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # SQL conf) so reads work on ANY session, including the driver's own
     # — then convert the long nanos back to timestamps below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC so timestamp rendering and year()/date_trunc() agree with
+    # the (naive-timestamp) SQL oracle regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _normalize_nanos(df)
 

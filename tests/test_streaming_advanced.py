@@ -1,0 +1,112 @@
+"""Advanced streaming conformance: checkpoint restart recovery,
+stream-stream joins with time bounds, and streaming dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.streaming import run_stream_to_memory
+from async_event_streams_spark.topics import Topic, TopicRegistry, pipe
+
+
+@pytest.fixture()
+def topic_root(tmp_path):
+    return str(tmp_path / "topics")
+
+
+def test_pipe_restart_resumes_from_checkpoint(spark, topic_root):
+    """Stop a pipe mid-stream and restart it with the same name: the
+    checkpoint (plus the source's readBetweenOffsets replay) must give
+    every event exactly once across the two incarnations."""
+    reg = TopicRegistry()
+    t = Topic(spark, "restart", "n long", topic_root, reg)
+    seen: list[int] = []
+    sink_fn = lambda df, b: seen.extend(r.n for r in df.collect())  # noqa: E731
+
+    h1 = pipe(t, sink_fn=sink_fn, name="resumable")
+    t.send([{"n": i} for i in range(10)])
+    h1.stop()
+
+    t.post([{"n": i} for i in range(10, 20)])  # published while down
+
+    # same pipe name -> same checkpoint; subscribe offsets come from the
+    # checkpoint, not from the fresh "latest" subscription point
+    h2 = pipe(t, sink_fn=sink_fn, name="resumable")
+    try:
+        t.barrier()
+        assert sorted(seen) == list(range(20)), sorted(seen)
+        assert len(seen) == 20  # exactly once, no replay duplicates
+    finally:
+        t.close()
+
+
+def test_stream_stream_join_with_time_bounds(spark, topic_root):
+    """Two topic streams joined on key with a time-bound condition and
+    watermarks — the streaming as-of building block (SURVEY.md §2-C)."""
+    reg = TopicRegistry()
+    clicks = Topic(spark, "clicks", "user long, cts string", topic_root, reg)
+    buys = Topic(spark, "buys", "user long, bts string", topic_root, reg)
+
+    c = (
+        clicks.subscribe()
+        .select("user", F.col("cts").cast("timestamp").alias("click_time"))
+        .withWatermark("click_time", "1 hour")
+    )
+    b = (
+        buys.subscribe()
+        .select(
+            F.col("user").alias("buyer"),
+            F.col("bts").cast("timestamp").alias("buy_time"),
+        )
+        .withWatermark("buy_time", "1 hour")
+    )
+    joined = c.join(
+        b,
+        (F.col("user") == F.col("buyer"))
+        & (F.col("buy_time") >= F.col("click_time"))
+        & (F.col("buy_time") <= F.col("click_time") + F.expr("INTERVAL 30 minutes")),
+    ).select("user", "click_time", "buy_time")
+
+    query, tbl = run_stream_to_memory(joined, output_mode="append")
+    clicks.attach_query(query)
+    buys.attach_query(query)
+    try:
+        clicks.post(
+            [
+                {"user": 1, "cts": "2024-03-01T10:00:00"},
+                {"user": 2, "cts": "2024-03-01T10:00:00"},
+            ]
+        )
+        buys.post(
+            [
+                {"user": 1, "bts": "2024-03-01T10:10:00"},  # within 30min -> match
+                {"user": 2, "bts": "2024-03-01T11:30:00"},  # too late -> no match
+            ]
+        )
+        clicks.barrier()
+        buys.barrier()
+        rows = spark.sql(f"SELECT user FROM {tbl}").collect()
+        assert [r.user for r in rows] == [1], rows
+    finally:
+        clicks.close()
+        buys.close()
+
+
+def test_streaming_drop_duplicates(spark, topic_root):
+    """dropDuplicates on a stream: re-published events (same key) are
+    suppressed across micro-batches — state carries between batches."""
+    reg = TopicRegistry()
+    t = Topic(spark, "dd", "k long, v string", topic_root, reg)
+    stream = t.subscribe().select("k", "v").dropDuplicates(["k"])
+    query, tbl = run_stream_to_memory(stream, output_mode="append")
+    t.attach_query(query)
+    try:
+        t.send([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+        t.send([{"k": 1, "v": "a-again"}, {"k": 3, "v": "c"}])  # k=1 is a dup
+        rows = {r.k: r.v for r in spark.sql(f"SELECT * FROM {tbl}").collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1] == "a"  # first arrival wins
+    finally:
+        t.close()
