@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Scale probe: replicate the sf0.1 tables K× (with key offsets so
+cardinalities grow realistically) and measure how the heavy plans scale
+vs the sf0.1 baseline. A plan whose runtime grows ~linearly with input
+(at fixed parallelism) is shuffle/skew-healthy; super-linear growth
+flags a plan that won't survive the next 100×.
+
+Usage: python tools/scale_probe.py [K] (default 10)
+Writes replicated parquet under /tmp/scale_probe_sfK/ and prints one
+JSON line with per-query times at both scales and the growth ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.queries import QUERIES
+from async_event_streams_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+
+# (table, key columns to offset so replicas don't collide)
+OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": [],
+    "region": [],
+}
+
+PROBE_QUERIES = [
+    "c_agg_basic",
+    "c_tpch_q3",
+    "c_tpch_q5",
+    "c_window_rank",
+    "c_join_asof",
+    "x_dedup_minhash",
+    "x_cosine_topk",
+    "b7_ordered_fanin",
+]
+
+KEY_STRIDE = 100_000_000
+
+
+def replicate(spark, out_dir: str, k: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name, keys in OFFSETS.items():
+        dst = f"{out_dir}/{name}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        if not keys or name in ("nation", "region", "part", "supplier"):
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        copies = []
+        for i in range(k):
+            c = df
+            for key in keys:
+                c = c.withColumn(key, F.col(key) + F.lit(i * KEY_STRIDE))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(dst)
+
+
+def time_query(name: str, sf_dir: str, spark) -> float:
+    t0 = time.perf_counter()
+    QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = f"/tmp/scale_probe_sf{k}"
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    replicate(spark, out_dir, k)
+
+    # warm
+    QUERIES["b4_classify_fizzbuzz"](spark, BASE).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    results = {}
+    for name in PROBE_QUERIES:
+        base = min(time_query(name, BASE, spark) for _ in range(2))
+        big = min(time_query(name, out_dir, spark) for _ in range(2))
+        results[name] = {
+            "sf0.1_sec": base,
+            f"x{k}_sec": big,
+            "growth": round(big / base, 2) if base > 0 else None,
+        }
+    print(json.dumps({"k": k, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
