@@ -772,6 +772,101 @@ def c_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c_scalar_regex",
+    oracle=(
+        "SELECT p_partkey, "
+        "regexp_replace(p_name, '[aeiou]', '*', 'g') AS vowels_masked, "
+        "regexp_extract(p_name, '^[a-z]+') AS first_word, "
+        "lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded "
+        "FROM part"
+    ),
+)
+def c_scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("vowels_masked"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "c_scalar_interval",
+    oracle=(
+        "SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS due_date, "
+        "CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) "
+        "  AS INTEGER) AS days_since_epoch_start "
+        "FROM orders"
+    ),
+)
+def c_scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "c_map_ops",
+    oracle=(
+        "SELECT event_id, m['type'][1] AS m_type, "
+        "CAST(cardinality(m) AS INTEGER) AS m_size FROM ("
+        "  SELECT event_id, MAP {'type': event_type, "
+        "    'user': CAST(user_id AS VARCHAR)} AS m FROM events)"
+    ),
+)
+def c_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup + cardinality (scalars out, so the
+    cross-engine compare avoids raw map value representation)."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("user"),
+        F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.size(m).alias("m_size"),
+    )
+
+
+@query(
+    "c_null_handling",
+    oracle=(
+        "WITH w AS (SELECT event_id, user_id, value, "
+        "  LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev "
+        "FROM events) "
+        "SELECT event_id, COALESCE(prev, -1.0) AS prev_or_default, "
+        "NULLIF(value, 0.0) AS value_nonzero, "
+        "(prev IS NOT DISTINCT FROM value) AS same_as_prev, "
+        "(prev IS NULL) AS is_first "
+        "FROM w"
+    ),
+)
+def c_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics: coalesce, nullif, null-safe equality (<=>), and
+    IS NULL over a lag column (null on each user's first event)."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.lag("value").over(w).alias("prev")
+    )
+    return e.select(
+        "event_id",
+        F.coalesce(F.col("prev"), F.lit(-1.0)).alias("prev_or_default"),
+        F.nullif(F.col("value"), F.lit(0.0)).alias("value_nonzero"),
+        F.col("prev").eqNullSafe(F.col("value")).alias("same_as_prev"),
+        F.isnull("prev").alias("is_first"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pandas UDF (the engine's vectorized user-code surface, cf. A12/A16)
 # ---------------------------------------------------------------------------
