@@ -11,4 +11,4 @@ from .windows import (  # noqa: F401
     session_counts,
     run_stream_to_memory,
 )
-from .stateful import running_max_by_key  # noqa: F401
+from .stateful import running_max_by_key, sessionize  # noqa: F401

@@ -1,4 +1,5 @@
-"""Custom stateful streaming operator via applyInPandasWithState.
+"""Custom stateful streaming operators via applyInPandasWithState and
+transformWithStateInPandas.
 
 Re-expresses the reference's stateful max-merge sink
 (/root/reference/tests/fizz_buzz.rs:31-43: `set_value` keeps the max
@@ -53,4 +54,143 @@ def running_max_by_key(df: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization via transformWithStateInPandas (Spark 4 state API v2)
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start double, n_events int, total double"
+)
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas speaks to the JVM state server over
+    protobuf; absent in this container, so the v2 path is gated."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def sessionize(
+    df: DataFrame, gap_seconds: float = 1800.0, engine: str = "auto"
+) -> DataFrame:
+    """Emit COMPLETED sessions per user: a session closes when the next
+    event arrives more than `gap_seconds` after the previous one. The
+    open session is held in per-key state (O(keys)) across
+    micro-batches; closure is driven by event time in the data, so the
+    operator is deterministic (no wall-clock timers).
+
+    engine="tws" uses transformWithStateInPandas (the v2 arbitrary-state
+    API: typed state handles, RocksDB-backed) — requires protobuf;
+    engine="compat" uses applyInPandasWithState with identical
+    semantics; "auto" picks tws when available.
+    """
+    if engine == "auto":
+        engine = "tws" if _protobuf_available() else "compat"
+    if engine == "compat":
+        return _sessionize_compat(df, gap_seconds)
+    if engine != "tws":
+        raise ValueError(f"unknown engine {engine!r} (tws|compat|auto)")
+    return _sessionize_tws(df, gap_seconds)
+
+
+def _sessionize_compat(df: DataFrame, gap_seconds: float) -> DataFrame:
+    """applyInPandasWithState sessionizer (same semantics as the tws
+    path; works without protobuf)."""
+
+    def update(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        events: list[tuple[float, float]] = []
+        for pdf in pdf_iter:
+            events.extend(
+                zip(pdf["ts_sec"].astype(float), pdf["value"].astype(float))
+            )
+        events.sort()
+        cur = tuple(state.get) if state.exists else None
+        completed = []
+        for ts, v in events:
+            if cur is None:
+                cur = (ts, ts, 1, v)
+            elif ts - cur[1] >= gap_seconds:
+                completed.append(cur)
+                cur = (ts, ts, 1, v)
+            else:
+                cur = (cur[0], ts, cur[2] + 1, cur[3] + v)
+        if cur is not None:
+            state.update(cur)
+        if completed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(completed),
+                    "session_start": [c[0] for c in completed],
+                    "n_events": [c[2] for c in completed],
+                    "total": [c[3] for c in completed],
+                }
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType="start double, last double, n int, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _sessionize_tws(df: DataFrame, gap_seconds: float) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "open_session", "start double, last double, n int, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            events: list[tuple[float, float]] = []
+            for pdf in rows:
+                events.extend(
+                    zip(pdf["ts_sec"].astype(float), pdf["value"].astype(float))
+                )
+            events.sort()
+            cur = self._state.get() if self._state.exists() else None
+            completed = []
+            for ts, v in events:
+                if cur is None:
+                    cur = (ts, ts, 1, v)
+                elif ts - cur[1] >= gap_seconds:
+                    completed.append(cur)
+                    cur = (ts, ts, 1, v)
+                else:
+                    cur = (cur[0], ts, cur[2] + 1, cur[3] + v)
+            if cur is not None:
+                self._state.update(cur)
+            if completed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(completed),
+                        "session_start": [c[0] for c in completed],
+                        "n_events": [c[2] for c in completed],
+                        "total": [c[3] for c in completed],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Sessionizer(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
