@@ -611,6 +611,102 @@ def c_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "c_pivot",
+    oracle=(
+        "SELECT user_id, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {t}"
+            for t in _EVENT_TYPES
+        )
+        + " FROM events GROUP BY user_id"
+    ),
+)
+def c_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event_type with per-user counts. Explicit
+    value list (no extra distinct-scan pass) — the form that scales;
+    missing combinations coalesce to 0 to match SQL conditional
+    aggregation."""
+    pivoted = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "c_window_range_frame",
+    oracle=(
+        "WITH o AS (SELECT o_orderkey, o_custkey, "
+        "  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) "
+        "    AS BIGINT) AS day_no, "
+        "  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day_no "
+        "  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "  AS spend_30d_cents "
+        "FROM o"
+    ),
+)
+def c_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: trailing-30-day spend per customer — a value-based
+    window frame (all rows within 30 day-numbers), not a row-count
+    frame. Exact integer cents keep the differential deterministic."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        )
+        .cast("long")
+        .alias("day_no"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("cents").over(w).alias("spend_30d_cents"),
+    )
+
+
+@query(
+    "c_window_rank_variants",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(DENSE_RANK() OVER w AS INTEGER) AS drank, "
+        "ROUND(PERCENT_RANK() OVER w, 9) AS prank, "
+        "CAST(NTILE(4) OVER w AS INTEGER) AS quartile "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)"
+    ),
+)
+def c_window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / percent_rank / ntile over a unique ordering key (so
+    every variant is deterministic)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 9).alias("prank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------
