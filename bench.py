@@ -59,6 +59,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     wall = round(time.perf_counter() - t_suite, 3)
 
+    topic_eps = _topic_throughput(spark)
+
     print(
         json.dumps(
             {
@@ -69,9 +71,38 @@ def main() -> None:
                 "sf": _sf_from_dir(sf_dir),
                 "passes": 2,
                 "wall_sec_both_passes": wall,
+                "topic_events_per_sec": topic_eps,
             }
         )
     )
+
+
+def _topic_throughput(spark, n_batches: int = 20, batch_size: int = 500) -> float:
+    """Topic-layer throughput: publish→subscribe→drain events/sec
+    through the custom streaming source with one subscriber."""
+    import tempfile
+
+    from async_event_streams_spark.topics import Topic, TopicRegistry, pipe
+
+    root = tempfile.mkdtemp(prefix="bench-topic-")
+    t = Topic(spark, "bench", "n long, v double", root, TopicRegistry())
+    seen = []
+    pipe(t, sink_fn=lambda df, b: seen.append(df.count()), name="bench-sub")
+    try:
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            t.post(
+                [
+                    {"n": b * batch_size + i, "v": float(i)}
+                    for i in range(batch_size)
+                ]
+            )
+        t.barrier()
+        dt = time.perf_counter() - t0
+        assert sum(seen) == n_batches * batch_size
+        return round(n_batches * batch_size / dt, 1)
+    finally:
+        t.close()
 
 
 if __name__ == "__main__":
