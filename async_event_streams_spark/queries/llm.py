@@ -655,6 +655,72 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Chunking + sampling (training-data prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 20
+_CHUNK_STRIDE = 15  # 5-token overlap
+
+
+@query(
+    "x_chunk_documents",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id,
+  list_transform(range(1, len(toks) + 1, {_CHUNK_STRIDE}),
+    s -> array_to_string(list_slice(toks, s, s + {_CHUNK_TOKENS - 1}), ' '))
+  AS chunks FROM t),
+e AS (SELECT doc_id, chunks, unnest(range(1, len(chunks) + 1)) AS idx FROM c)
+SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx, chunks[idx] AS chunk_text,
+  CAST(len(regexp_split_to_array(chunks[idx], '\\s+')) AS INTEGER) AS n_tokens
+FROM e
+""",
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (20 tokens, stride 15): the
+    standard context-length prep for LLM training data. Chunks are
+    built as one array column per doc (no row blowup until the final
+    posexplode), all inside codegen."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(toks, s, _CHUNK_TOKENS)),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("idx0", "chunk_text"))
+        .select(
+            "doc_id",
+            (F.col("idx0") + 1).cast("int").alias("chunk_idx"),
+            "chunk_text",
+            F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "x_sample_systematic",
+    oracle=(
+        "WITH w AS (SELECT doc_id, lang, ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
+        "SELECT doc_id, lang FROM w WHERE rn % 10 = 1"
+    ),
+)
+def x_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (systematic) sampling: every 10th doc
+    per language stratum by doc_id order — reproducible across engines
+    and runs, unlike RNG-based sampleBy, so eval sets stay pinned."""
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: content-addressed ids over opaque binary payloads
 # ---------------------------------------------------------------------------
 

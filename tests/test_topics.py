@@ -227,6 +227,33 @@ def test_pipe_error_handler(spark, topic_root, registry):
         t.close()
 
 
+def test_concurrent_producers_get_unique_ids(spark, topic_root, registry):
+    """EventStreams is shared across producer tasks in the reference
+    (Arc-wrapped); concurrent post() calls must serialize id assignment."""
+    import threading
+
+    t = Topic(spark, "conc", "v long", topic_root, registry)
+    errors = []
+
+    def producer(base: int):
+        try:
+            for i in range(25):
+                t.post([{"v": base + i}])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=producer, args=(k * 100,)) for k in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    rows = t.batch_df().collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == 100
+    assert sorted(ids) == list(range(100))  # no gaps, no duplicates
+
+
 def test_batch_df_roundtrip(spark, topic_root, registry):
     t = Topic(spark, "roundtrip", "v long, s string", topic_root, registry)
     t.post([{"v": 1, "s": "x"}, {"v": 2, "s": "y"}], event_type="tp")
