@@ -27,6 +27,7 @@ from ..functions.text import (
     tokens,
 )
 from ..tables import table
+from ..util import materialize
 from . import query
 
 # DuckDB-side twins of functions/text.py (kept adjacent so any change to
@@ -129,6 +130,7 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    bands = materialize(bands)  # both self-join branches reuse the sketch
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -223,9 +225,11 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (here on a deterministic pair set so the oracle is
     stable). array_intersect/union sizes, all JVM-side."""
     docs = table(spark, sf_dir, "documents")
-    s = docs.select(
-        "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+    s = materialize(
+        docs.select(
+            "doc_id",
+            F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+        )
     )
     a = s.alias("a")
     b = s.select(
@@ -360,10 +364,12 @@ def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE splits any hot bucket). Same deterministic planes embedded in the
     SQL oracle; recall vs x_cosine_topk is asserted in tests."""
     emb = table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id",
-        F.col("embedding").alias("e"),
-        lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+    bucketed = materialize(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("e"),
+            lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+        )
     )
     q = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -440,10 +446,12 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive. Threshold filters on the ROUNDED score so the cross-engine
     comparison can't flip on a 1e-12 boundary."""
     emb = table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        F.col("embedding").alias("e"),
-        lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
+    b = materialize(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("e"),
+            lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
+        )
     )
     a = b.alias("a")
     x = b.select(
