@@ -146,6 +146,56 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VERIFY_THRESHOLD = 0.8
+
+_VERIFIED_ORACLE = f"""
+WITH cand AS ({_MINHASH_ORACLE}),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+    ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+      / (len(a.sh) + len(b.sh)
+         - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+  FROM cand JOIN s a ON a.doc_id = cand.doc_a
+            JOIN s b ON b.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {_VERIFY_THRESHOLD}
+"""
+
+
+@query("x_dedup_verified", oracle=_VERIFIED_ORACLE)
+def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup pipeline composed end-to-end:
+    MinHash/LSH candidate generation (recall stage, equi-join) → exact
+    3-gram Jaccard verification (precision stage) → threshold. The
+    synthetic corpus contains both genuine near-dups (J≈0.99) and
+    spurious band collisions (J≈0.01); the verify stage separates them.
+    Verification cost is O(candidates), never O(n²)."""
+    candidates = x_dedup_minhash(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    s = materialize(
+        docs.select(
+            "doc_id",
+            F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+        )
+    )
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _VERIFY_THRESHOLD)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup: SimHash (16-bit, md5-derived token hashes)
 # ---------------------------------------------------------------------------
