@@ -969,6 +969,43 @@ def c_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_grouped_map_zscore",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, "
+        "ROUND((o_totalprice - AVG(o_totalprice) OVER w) "
+        "  / (STDDEV_SAMP(o_totalprice) OVER w), 6) AS zscore "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey) "
+        "QUALIFY COUNT(*) OVER w >= 2"
+    ),
+)
+def c_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the UDTF-shaped user-code surface):
+    per-customer z-score normalization, each group handed to Python as
+    one Arrow-backed pandas frame. Groups of 1 are dropped (stddev
+    undefined) — mirrored by the QUALIFY in the oracle."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][["o_orderkey", "o_custkey"]].assign(zscore=0.0)
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "zscore": ((pdf["o_totalprice"] - mu) / sd).round(6),
+            }
+        )
+
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(zscore, "o_orderkey long, o_custkey long, zscore double")
+    )
+
+
+@query(
     "c_pandas_udf",
     oracle=(
         f"SELECT {FIZZBUZZ_CASE_SQL.format(n='event_id')} AS label, "
