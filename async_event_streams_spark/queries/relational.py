@@ -979,29 +979,37 @@ def c_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def c_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas (the UDTF-shaped user-code surface):
-    per-customer z-score normalization, each group handed to Python as
-    one Arrow-backed pandas frame. Groups of 1 are dropped (stddev
-    undefined) — mirrored by the QUALIFY in the oracle."""
+    """Grouped-map applyInPandas: per-customer z-score normalization.
+
+    Scale pattern: the PHYSICAL group is a hash bucket of the customer
+    key (bounded count, large frames), and the per-customer LOGICAL
+    grouping happens vectorized inside pandas. Grouping applyInPandas
+    directly by the high-cardinality key (one Python call per customer)
+    measured ~15× slower. Single-order customers are dropped (stddev
+    undefined) — mirrored by QUALIFY in the oracle."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pdf.iloc[0:0][["o_orderkey", "o_custkey"]].assign(zscore=0.0)
-        mu = pdf["o_totalprice"].mean()
-        sd = pdf["o_totalprice"].std(ddof=1)
-        return pd.DataFrame(
-            {
-                "o_orderkey": pdf["o_orderkey"],
-                "o_custkey": pdf["o_custkey"],
-                "zscore": ((pdf["o_totalprice"] - mu) / sd).round(6),
-            }
-        )
+        g = pdf.groupby("o_custkey")["o_totalprice"]
+        mu = g.transform("mean")
+        sd = g.transform("std")  # ddof=1
+        n = g.transform("count")
+        out = pdf.loc[n >= 2, ["o_orderkey", "o_custkey"]].copy()
+        out["zscore"] = ((pdf["o_totalprice"] - mu) / sd)[n >= 2].round(6)
+        return out
 
     return (
         table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .groupBy("o_custkey")
-        .applyInPandas(zscore, "o_orderkey long, o_custkey long, zscore double")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.pmod(F.hash("o_custkey"), F.lit(64)).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(
+            lambda pdf: zscore(pdf),
+            "o_orderkey long, o_custkey long, zscore double",
+        )
     )
 
 
