@@ -1,0 +1,115 @@
+"""End-to-end LLM training-data pipeline composed from the engine's
+operators: quality filter → exact dedup → near-dup removal →
+chunking → token accounting.
+
+This is the 100 TB shape: every stage is a DataFrame transformation
+(filters push to scans, dedup joins are hash/equi-joins on sketches),
+intermediates that feed multiple branches are materialized once, and
+nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import minhash_component, shingle_digests, shingles, tokens
+from .tables import table
+from .util import materialize
+
+QUALITY_MIN_TOKENS = 10
+QUALITY_MAX_PUNCT_RATIO = 0.2
+NEAR_DUP_JACCARD = 0.8
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Cheap quality gates first — they prune before any hashing."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    punct_ratio = F.regexp_count("text", F.lit("[.,!?;:]")).cast(
+        "double"
+    ) / F.length("text")
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .filter(
+            (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+            & (punct_ratio <= QUALITY_MAX_PUNCT_RATIO)
+        )
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Keep the first (min doc_id) copy of each exact text."""
+    keep = docs.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def dedup_near(docs: DataFrame, jaccard_threshold: float = NEAR_DUP_JACCARD) -> DataFrame:
+    """Remove near-duplicates: minhash/LSH candidates → exact Jaccard
+    verify → drop the higher doc_id of each verified pair. Everything is
+    equi-joins over materialized sketches — O(n + candidates)."""
+    sk = materialize(
+        docs.select(
+            "doc_id",
+            shingle_digests(shingles(tokens(F.col("text")))).alias("hs"),
+            F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+        )
+    )
+    sig = sk.select(
+        "doc_id",
+        "sh",
+        *[minhash_component(F.col("hs"), k).alias(f"h{k}") for k in range(4)],
+    )
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), F.concat("h0", "h1").alias("bk")),
+                F.struct(F.lit(1).alias("bi"), F.concat("h2", "h3").alias("bk")),
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.bi", "band.bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter.cast("double") / union >= jaccard_threshold)
+        .select(F.col("b.doc_id").alias("doc_id"))  # drop the later copy
+        .distinct()
+    )
+    return docs.join(dup_ids, "doc_id", "left_anti")
+
+
+def chunk(docs: DataFrame, chunk_tokens: int = 20, stride: int = 15) -> DataFrame:
+    toks = tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(chunks).alias("idx0", "chunk_text"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("idx0") + 1).cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split("chunk_text", r"\s+")).alias("chunk_tokens"),
+    )
+
+
+def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quality gate → exact dedup → near-dup removal →
+    sliding-window chunks with token counts."""
+    docs = table(spark, sf_dir, "documents")
+    return chunk(dedup_near(dedup_exact(quality_filter(docs))))
