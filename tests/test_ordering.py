@@ -107,6 +107,38 @@ def test_per_event_batches(spark, topic_root):
         t.close()
 
 
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """The scale path for percentiles (c_agg_median docstring): GK-sketch
+    approx_percentile must land within 1% relative of the exact value."""
+    from async_event_streams_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    exact = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    ).first().m
+    approx = orders.agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("m")
+    ).first().m
+    assert abs(approx - exact) / exact < 0.01, (exact, approx)
+
+
+def test_barrier_advances_committed_batches(spark, topic_root):
+    """B9 via StreamingQueryProgress: after send() returns, the
+    subscriber's committed batch id has advanced past the pre-send id
+    (the micro-batch analog of the reference's event-held probe,
+    tests/event_test.rs:25-35)."""
+    t = Topic(spark, "progress", "v long", topic_root, TopicRegistry())
+    h = pipe(t, sink_fn=lambda df, b: None, name="psub")
+    try:
+        t.send([{"v": 1}])
+        before = h.query.lastProgress["batchId"]
+        t.send([{"v": 2}])
+        after = h.query.lastProgress["batchId"]
+        assert after > before, (before, after)
+    finally:
+        t.close()
+
+
 def test_approx_distinct_within_error_bound(spark, sf_dir):
     """Companion to c_agg_approx_distinct: HLL++ at rsd=0.01 must land
     within 2% of the exact distinct count."""
