@@ -134,6 +134,9 @@ class TopicStreamReader(SimpleDataSourceStreamReader):
                     if not line.strip():
                         continue
                     obj = json.loads(line)
+                    if obj.get("__bulk__"):
+                        rows.extend(self._expand_bulk(obj, fields))
+                        continue
                     rows.append(
                         tuple(
                             _parse_value(obj.get(name), tname)
@@ -141,6 +144,45 @@ class TopicStreamReader(SimpleDataSourceStreamReader):
                         )
                     )
         return rows
+
+    def _expand_bulk(self, marker: dict, fields: list[tuple]) -> list[tuple]:
+        """A bulk marker references an executor-written parquet
+        directory; expand it to envelope rows with ids assigned
+        sequentially from the reserved range (file order is pinned by
+        sorting part names)."""
+        import pyarrow.parquet as pq
+
+        ts = _parse_value(marker["ts"], "timestamp")
+        event_type = marker.get("event_type")
+        next_id = marker["base_id"]
+        out: list[tuple] = []
+        part_files = sorted(
+            os.path.join(marker["path"], n)
+            for n in os.listdir(marker["path"])
+            if n.endswith(".parquet")
+        )
+        for pf in part_files:
+            tbl = pq.read_table(pf)
+            cols = {name: tbl.column(name).to_pylist() for name in tbl.column_names}
+            n = tbl.num_rows
+            for i in range(n):
+                row = []
+                for name, tname in fields:
+                    if name == "event_id":
+                        row.append(next_id + i)
+                    elif name == "ts":
+                        row.append(ts)
+                    elif name == "event_type":
+                        v = cols.get("event_type", [None] * n)[i]
+                        row.append(v if v is not None else event_type)
+                    else:
+                        v = cols.get(name, [None] * n)[i]
+                        if name == "source_event_id" and v is not None:
+                            v = int(v)
+                        row.append(v)
+                out.append(tuple(row))
+            next_id += n
+        return out
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = max(start["segment"], cleared_before(self._dir))

@@ -149,7 +149,11 @@ class Topic:
         with open(segment_path(self.dir, segs[-1])) as f:
             for line in f:
                 if line.strip():
-                    last = json.loads(line)["event_id"]
+                    obj = json.loads(line)
+                    if obj.get("__bulk__"):
+                        last = obj["base_id"] + obj["n"] - 1
+                    else:
+                        last = obj["event_id"]
         return last + 1
 
     # -- publish ------------------------------------------------------ A3/A4
@@ -185,6 +189,50 @@ class Topic:
             write_segment(self.dir, seg_idx, out)
             self._next_id = first + len(rows)
             return first, self._next_id - 1
+
+    def post_df(self, df: DataFrame, event_type: str = "event") -> tuple[int, int]:
+        """Bulk publish a DataFrame: payload rows are written to the
+        channel by EXECUTORS (parquet, full cluster parallelism); only a
+        tiny marker referencing the bulk directory and the reserved
+        event-id range goes through the sequential segment log. This is
+        how large flows enter a topic without the driver touching rows —
+        the control-plane FIFO stays cheap, the data plane scales.
+
+        Ids are assigned from a reserved contiguous range in part-file
+        order; `source_event_id` and `event_type` columns are honored
+        when present in `df`."""
+        payload_names = {f.name for f in self.payload_schema.fields}
+        allowed = payload_names | {"source_event_id", "event_type"}
+        extra = set(df.columns) - allowed
+        if extra:
+            raise ValueError(f"post_df columns not in topic schema: {sorted(extra)}")
+        n = df.count()
+        if n == 0:
+            raise ValueError("post_df requires a non-empty DataFrame")
+        with self._lock:
+            base = self._next_id
+            seg_idx = next_segment_index(self.dir)
+            bulk_dir = os.path.join(self.dir, f"bulk-{seg_idx:08d}")
+            df.write.mode("errorifexists").parquet(bulk_dir)
+            marker = {
+                "__bulk__": True,
+                "path": bulk_dir,
+                "base_id": base,
+                "n": n,
+                "event_type": event_type,
+                "ts": datetime.now(timezone.utc),
+            }
+            write_segment(self.dir, seg_idx, [marker])
+            self._next_id = base + n
+            return base, self._next_id - 1
+
+    def send_df(
+        self, df: DataFrame, event_type: str = "event", barrier: str = "local"
+    ) -> tuple[int, int]:
+        """Bulk publish + completion barrier (post_df ∘ send)."""
+        ids = self.post_df(df, event_type)
+        self.barrier(chain=(barrier == "chain"))
+        return ids
 
     def send(
         self,
@@ -251,17 +299,20 @@ class Topic:
         )
 
     def batch_df(self) -> DataFrame:
-        """All retained events as a batch DataFrame (segments are JSONL;
-        read with the fixed topic schema, no inference)."""
+        """All retained events as a batch DataFrame, with bulk markers
+        expanded exactly as the streaming reader expands them (same
+        event-id assignment). Materializes through the channel reader —
+        fine for the control-plane event volume; bulk payloads are
+        already parquet under the topic dir for direct analytical reads
+        (or use io.archive_topic)."""
+        from .datasource import TopicStreamReader
+
         lo = cleared_before(self.dir)
-        paths = [
-            segment_path(self.dir, i)
-            for i in list_segments(self.dir)
-            if i >= lo
-        ]
-        if not paths:
-            return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).json(paths)
+        reader = TopicStreamReader(
+            self.schema, {"path": self.dir, "start_segment": str(lo)}
+        )
+        rows = reader._rows_between(lo, next_segment_index(self.dir))
+        return self.spark.createDataFrame(rows, self.schema)
 
     def attach_query(self, query) -> None:
         self._queries.append(query)
