@@ -19,6 +19,6 @@ every subscriber is an independent streaming query with latest-offset
 subscribe semantics.
 """
 
-from .topic import Topic, TopicRegistry  # noqa: F401
+from .topic import SentEvent, Topic, TopicRegistry  # noqa: F401
 from .pipe import pipe, sink  # noqa: F401
 from .datasource import TopicDataSource  # noqa: F401

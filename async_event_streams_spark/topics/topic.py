@@ -88,6 +88,42 @@ class TopicRegistry:
 DEFAULT_REGISTRY = TopicRegistry()
 
 
+class SentEvent:
+    """Deferred completion barrier for one publish (≈ the reference's
+    `SentEvent` future): `wait()` blocks until all live subscribers
+    caught up; `done()` polls without blocking (true when no subscriber
+    has unprocessed data — with zero subscribers, immediately true,
+    matching the reference's zero-subscriber resolve)."""
+
+    def __init__(self, topic: "Topic", ids: tuple[int, int]):
+        self.topic = topic
+        self.first_id, self.last_id = ids
+
+    def wait(self, chain: bool = False) -> None:
+        self.topic.barrier(chain=chain)
+
+    def done(self) -> bool:
+        from .datasource import next_segment_index
+
+        published = next_segment_index(self.topic.dir)
+        for q in self.topic.live_queries():
+            progress = q.lastProgress
+            if progress is None:
+                return False
+            try:
+                import ast
+
+                end = progress["sources"][0]["endOffset"]
+                if isinstance(end, str):
+                    # rendered as a Python-literal string ("{'segment': 1}")
+                    end = ast.literal_eval(end)
+                if not isinstance(end, dict) or end.get("segment", 0) < published:
+                    return False
+            except (KeyError, IndexError, TypeError, ValueError, SyntaxError):
+                return False
+        return True
+
+
 class Topic:
     """A typed event topic backed by the file-channel data source."""
 
@@ -248,6 +284,21 @@ class Topic:
         ids = self.post(rows, event_type, source_event_ids)
         self.barrier(chain=(barrier == "chain"))
         return ids
+
+    def send_async(
+        self,
+        rows: list[dict],
+        event_type: str = "event",
+        source_event_ids: list[int | None] | None = None,
+    ) -> "SentEvent":
+        """Publish now, await the barrier later — the shape of the
+        reference's `send_event` returning a `SentEvent` future
+        (src/event_streams.rs:51-62, 82-103): the returned handle's
+        `wait()` resolves once every live subscriber has processed
+        everything published (and, with wait(chain=True), the full
+        downstream cascade)."""
+        ids = self.post(rows, event_type, source_event_ids)
+        return SentEvent(self, ids)
 
     def barrier(self, chain: bool = False) -> None:
         """Block until all live subscribers are caught up (micro-batch

@@ -67,6 +67,29 @@ def test_send_barrier_blocks_until_processed(spark, topic_root, registry):
         t.close()
 
 
+def test_send_async_deferred_barrier(spark, topic_root, registry):
+    """A10: publish returns a SentEvent; wait() resolves the barrier
+    later; done() polls subscriber progress without blocking."""
+    t = Topic(spark, "sentev", "v long", topic_root, registry)
+    fn, seen = collecting_sink()
+    pipe(t, sink_fn=fn, name="sesub")
+    try:
+        handle = t.send_async([{"v": 7}])
+        assert (handle.first_id, handle.last_id) == (0, 0)
+        handle.wait()
+        assert [r["v"] for r in seen] == [7]
+        assert handle.done()  # after wait, everything is consumed
+    finally:
+        t.close()
+
+
+def test_sent_event_done_with_zero_subscribers(spark, topic_root, registry):
+    t = Topic(spark, "sentev0", "v long", topic_root, registry)
+    handle = t.send_async([{"v": 1}])
+    assert handle.done()  # no subscribers -> resolves immediately
+    handle.wait()  # and wait() is a no-op
+
+
 def test_send_with_zero_subscribers_returns_immediately(spark, topic_root, registry):
     t = Topic(spark, "nosubs", "v long", topic_root, registry)
     first, last = t.send([{"v": 1}, {"v": 2}])
@@ -218,7 +241,7 @@ def test_pipe_error_handler(spark, topic_root, registry):
         import time
 
         for _ in range(100):
-            if errors:
+            if errors and not h.is_active:
                 break
             time.sleep(0.1)
         assert errors and "unlucky" in str(errors[0])
