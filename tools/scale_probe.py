@@ -49,6 +49,10 @@ PROBE_QUERIES = [
     "x_dedup_minhash",
     "x_cosine_topk",
     "b7_ordered_fanin",
+    "c_pivot",
+    "c_window_range_frame",
+    "x_dedup_verified",
+    "c_grouped_map_zscore",
 ]
 
 KEY_STRIDE = 100_000_000
