@@ -296,6 +296,66 @@ def c_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_join_left_outer",
+    oracle=(
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice "
+        "FROM customer LEFT JOIN orders "
+        "ON o_custkey = c_custkey AND o_totalprice > 300000"
+    ),
+)
+def c_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON
+    clause, NOT pushed to a WHERE — the semantics differ for outer
+    joins and Catalyst must preserve that)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        table(spark, sf_dir, "customer")
+        .join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_totalprice") > 300000),
+            "left_outer",
+        )
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "c_join_full_outer",
+    oracle=(
+        "WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0), "
+        "o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 2 = 0) "
+        "SELECT c_custkey, o_custkey, "
+        "(c_custkey IS NULL) AS only_orders, (o_custkey IS NULL) AS only_customers "
+        "FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"
+    ),
+)
+def c_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two deliberately-disjoint-ish key sets, with
+    side-indicator columns."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(
+            "c_custkey",
+            "o_custkey",
+            F.isnull("c_custkey").alias("only_orders"),
+            F.isnull("o_custkey").alias("only_customers"),
+        )
+    )
+
+
+@query(
     "c_join_range",
     oracle=(
         "SELECT band_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
