@@ -134,6 +134,8 @@ class TopicStreamReader(SimpleDataSourceStreamReader):
                     if not line.strip():
                         continue
                     obj = json.loads(line)
+                    if obj.get("__txn__"):
+                        continue  # transaction header, not an event
                     if obj.get("__bulk__"):
                         rows.extend(self._expand_bulk(obj, fields))
                         continue

@@ -40,6 +40,12 @@ class PipeHandle:
     def stop(self) -> None:
         if self.query.isActive:
             self.query.stop()
+        try:
+            # stop() can return before the run releases its checkpoint;
+            # a same-name restart would then see "concurrently using".
+            self.query.awaitTermination(30)
+        except Exception:
+            pass
 
     @property
     def is_active(self) -> bool:
@@ -70,6 +76,11 @@ def pipe(
         raise ValueError("pipe needs a target topic and/or a sink_fn")
     pipe_name = name or f"pipe-{source.name}-{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(source.dir, "_checkpoints", pipe_name)
+    # Exactly-once re-publish across crash replays: foreachBatch replays
+    # the last uncommitted batch after a restart; the txn header recorded
+    # inside the target's (atomically renamed) segment tells us which
+    # batches already published. Resolved lazily on the first batch.
+    publish_state = {"last": None}
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         try:
@@ -79,20 +90,25 @@ def pipe(
             if fn is not None:
                 out = fn(out)
             if target is not None:
-                rows = [r.asDict(recursive=True) for r in out.collect()]
-                if rows:
-                    target.post(
-                        [
-                            {
-                                k: v
-                                for k, v in r.items()
-                                if k == "source_event_id"
-                                or k == "event_type"
-                                or k not in ENVELOPE_NAMES
-                            }
-                            for r in rows
-                        ]
-                    )
+                if publish_state["last"] is None:
+                    publish_state["last"] = target.last_txn(pipe_name)
+                if batch_id > publish_state["last"]:
+                    rows = [r.asDict(recursive=True) for r in out.collect()]
+                    if rows:
+                        target.post(
+                            [
+                                {
+                                    k: v
+                                    for k, v in r.items()
+                                    if k == "source_event_id"
+                                    or k == "event_type"
+                                    or k not in ENVELOPE_NAMES
+                                }
+                                for r in rows
+                            ],
+                            txn=f"{pipe_name}:{batch_id}",
+                        )
+                    publish_state["last"] = batch_id
             if sink_fn is not None:
                 sink_fn(out, batch_id)
         except Exception as exc:  # first error terminates the pipe (A14)

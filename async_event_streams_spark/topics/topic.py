@@ -186,11 +186,35 @@ class Topic:
             for line in f:
                 if line.strip():
                     obj = json.loads(line)
+                    if obj.get("__txn__"):
+                        continue
                     if obj.get("__bulk__"):
                         last = obj["base_id"] + obj["n"] - 1
                     else:
                         last = obj["event_id"]
         return last + 1
+
+    def last_txn(self, prefix: str) -> int:
+        """Highest batch id recorded in a `{prefix}:{batch_id}` txn
+        header, or -1. Scanned newest-first; used by pipes on (re)start
+        to skip already-published replayed batches."""
+        import json
+
+        for seg in reversed(list_segments(self.dir)):
+            try:
+                f = open(segment_path(self.dir, seg))
+            except FileNotFoundError:
+                continue
+            with f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    obj = json.loads(line)
+                    t = obj.get("__txn__")
+                    if t and t.startswith(prefix + ":"):
+                        return int(t.split(":", 1)[1])
+                    break  # headers are always the first record
+        return -1
 
     # -- publish ------------------------------------------------------ A3/A4
 
@@ -199,15 +223,23 @@ class Topic:
         rows: list[dict],
         event_type: str = "event",
         source_event_ids: list[int | None] | None = None,
+        txn: str | None = None,
     ) -> tuple[int, int]:
         """Fire-and-forget publish (`post_event`): append one segment,
-        return (first_id, last_id). Never blocks on subscribers."""
+        return (first_id, last_id). Never blocks on subscribers.
+
+        `txn` makes the publish transactional: the id rides inside the
+        atomically-renamed segment, so a retried publish with an
+        already-recorded txn can be detected via `last_txn()` — the
+        exactly-once mechanism pipes use across crash replays."""
         if not rows:
             raise ValueError("post requires at least one row")
         with self._lock:
             first = self._next_id
             seg_idx = next_segment_index(self.dir)
             out = []
+            if txn is not None:
+                out.append({"__txn__": txn})
             now = datetime.now(timezone.utc)
             for i, row in enumerate(rows):
                 rec = {

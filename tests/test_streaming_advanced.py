@@ -42,6 +42,57 @@ def test_pipe_restart_resumes_from_checkpoint(spark, topic_root):
         t.close()
 
 
+def test_pipe_replay_publishes_exactly_once(spark, topic_root):
+    """Simulated crash replay: delete the pipe's latest checkpoint
+    commit so the restarted query re-runs its last batch. The txn
+    header in the target topic must dedupe the re-publish — downstream
+    sees every event exactly once."""
+    import glob
+    import os
+
+    reg = TopicRegistry()
+    src = Topic(spark, "eo_src", "n long", topic_root, reg)
+    dst = Topic(spark, "eo_dst", "n long", topic_root, reg)
+    h = pipe(
+        src,
+        fn=lambda df: df.select("source_event_id", "n"),
+        target=dst,
+        name="eo-pipe",
+    )
+    src.send([{"n": i} for i in range(10)], barrier="chain")
+    h.stop()
+
+    # forge the crash: the last batch is now "uncommitted"
+    commit_dir = os.path.join(src.dir, "_checkpoints", "eo-pipe", "commits")
+    real_commits = sorted(
+        c
+        for c in glob.glob(os.path.join(commit_dir, "*"))
+        if not c.endswith((".tmp", ".crc"))
+    )
+    last = real_commits[-1]
+    os.remove(last)
+    # remove the checksum sidecar too, or the restarted run treats the
+    # mismatch as another query using its checkpoint
+    crc = os.path.join(commit_dir, f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    h2 = pipe(
+        src,
+        fn=lambda df: df.select("source_event_id", "n"),
+        target=dst,
+        name="eo-pipe",
+    )
+    try:
+        src.send([{"n": 10}], barrier="chain")
+        rows = [r.n for r in dst.batch_df().collect()]
+        assert sorted(rows) == list(range(11)), sorted(rows)
+        assert len(rows) == 11  # the replayed batch did NOT re-publish
+    finally:
+        src.close()
+        dst.close()
+
+
 def test_stream_stream_join_with_time_bounds(spark, topic_root):
     """Two topic streams joined on key with a time-bound condition and
     watermarks — the streaming as-of building block (SURVEY.md §2-C)."""
