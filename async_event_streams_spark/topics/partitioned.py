@@ -1,0 +1,265 @@
+"""`PartitionedTopic` — the scale path for the topic layer.
+
+The reference's `EventStreams` is a single FIFO: one queue per
+subscriber, publishes are totally ordered (src/event_streams.rs:14,
+src/lib.rs:41-42). That is exactly right for a control-plane channel
+and exactly wrong at 100 TB: a single sequential log caps publish
+throughput at one writer and forces every subscriber through one
+stream of micro-batches.
+
+`PartitionedTopic` keeps the reference's *observable* guarantee where
+it matters — FIFO **per key** — and drops the accidental one (total
+order across unrelated keys), the same trade Kafka makes with
+partitioned topics. Mechanics:
+
+- N independent sub-channels (`Topic` instances), each its own
+  segment log with its own event-id sequence — like Kafka partition
+  offsets;
+- a row routes by `crc32(str(key)) % N`, so all events for one key
+  land in one sub-channel and are delivered in publish order;
+- publishes to different partitions append concurrently (per-partition
+  locks; `post` fans out on a thread pool);
+- `subscribe()` is a streaming UNION of the sub-channel sources with a
+  `partition` discriminator column — one streaming query consumes all
+  partitions, and Spark schedules the N source reads in parallel;
+- `send`/`barrier`/`clear`/`count`/`close` fan out to every partition,
+  so the reference's completion-barrier semantics (micro-batch
+  granularity, SURVEY.md §8-H1) hold across the whole topic.
+
+Duck-types the `Topic` surface `pipe()` uses (`name`, `dir`,
+`subscribe`, `attach_query`, `registry`, `post`, `last_txn`), so a
+PartitionedTopic can be either end of a pipe unchanged — including the
+transactional exactly-once re-publish: a replayed batch writes its txn
+header to *every* partition (header-only segments where no rows
+routed), so `last_txn` sees it no matter which partition is scanned.
+
+At cluster scale the intended deployment is one partition per
+executor-ish (N ≈ parallelism of the event flow); bulk data still
+belongs in parquet via `post_df`, which shards by the same key hash so
+Spark-side routing agrees with driver-side routing.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .topic import DEFAULT_REGISTRY, Topic, TopicRegistry
+
+
+def _route(key, num_partitions: int) -> int:
+    """Stable key → partition. crc32 over the utf-8 of str(key): Python
+    zlib.crc32 and Spark's F.crc32 agree on string bytes, so driver-side
+    and executor-side routing match (see post_df)."""
+    return zlib.crc32(str(key).encode("utf-8")) % num_partitions
+
+
+class PartitionedTopic:
+    """A typed event topic sharded into N per-key-FIFO sub-channels."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        payload_schema: StructType | str,
+        root_dir: str,
+        key_col: str,
+        num_partitions: int = 4,
+        registry: TopicRegistry | None = None,
+    ) -> None:
+        if num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        if isinstance(payload_schema, str):
+            payload_schema = StructType.fromDDL(payload_schema)
+        if key_col not in {f.name for f in payload_schema.fields}:
+            raise ValueError(f"key_col {key_col!r} not in payload schema")
+        self.spark = spark
+        self.name = name
+        self.key_col = key_col
+        self.num_partitions = num_partitions
+        self.payload_schema = payload_schema
+        self.dir = os.path.join(root_dir, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self.registry = registry or DEFAULT_REGISTRY
+        self.partitions = [
+            Topic(spark, f"{name}#p{i}", payload_schema, self.dir, self.registry)
+            for i in range(num_partitions)
+        ]
+        self.schema = self.partitions[0].schema
+        # The parent participates in the pipe DAG under its own name so
+        # the chain barrier can walk through it (registry duck-typing:
+        # it only needs name/live_queries/_await_caught_up).
+        self.registry.add_topic(self)
+        self._pool = ThreadPoolExecutor(
+            max_workers=num_partitions, thread_name_prefix=f"{name}-post"
+        )
+
+    # -- routing ------------------------------------------------------------
+
+    def partition_for(self, key) -> int:
+        return _route(key, self.num_partitions)
+
+    def _shard(self, rows: list[dict]) -> list[list[dict]]:
+        shards: list[list[dict]] = [[] for _ in range(self.num_partitions)]
+        for row in rows:
+            if self.key_col not in row:
+                raise ValueError(f"row missing key column {self.key_col!r}: {row}")
+            shards[self.partition_for(row[self.key_col])].append(row)
+        return shards
+
+    # -- publish ------------------------------------------------------------
+
+    def post(
+        self,
+        rows: list[dict],
+        event_type: str = "event",
+        source_event_ids: list[int | None] | None = None,
+        txn: str | None = None,
+    ) -> dict[int, tuple[int, int]]:
+        """Fire-and-forget publish: shard by key, append each shard to
+        its partition's segment log CONCURRENTLY. Returns
+        {partition: (first_id, last_id)} for partitions that got rows.
+
+        With `txn`, every partition records the header — including
+        header-only segments for partitions with no rows this batch —
+        so exactly-once replay detection works regardless of routing."""
+        if not rows and txn is None:
+            raise ValueError("post requires at least one row")
+        if source_event_ids is not None:
+            rows = [
+                dict(row, source_event_id=sid)
+                for row, sid in zip(rows, source_event_ids)
+            ]
+        shards = self._shard(rows)
+        futures = {}
+        for i, shard in enumerate(shards):
+            if shard or txn is not None:
+                futures[i] = self._pool.submit(
+                    self.partitions[i].post, shard, event_type, None, txn
+                )
+        done = {i: f.result() for i, f in futures.items()}  # await ALL,
+        # including header-only writes — a caller may check last_txn()
+        # (or crash-retry) the moment post() returns
+        return {i: r for i, r in done.items() if shards[i]}
+
+    def post_df(self, df: DataFrame, event_type: str = "event") -> dict[int, tuple[int, int]]:
+        """Bulk publish: executors write each partition's payload as
+        parquet (full cluster parallelism), sharded by the SAME crc32
+        routing as `post` — `pmod(crc32(cast(key as string)), N)` on the
+        JVM equals `zlib.crc32(str(key))%N` on the driver for utf-8
+        strings. One small bulk marker per partition goes through that
+        partition's segment log."""
+        part = F.pmod(
+            F.crc32(F.col(self.key_col).cast("string")), F.lit(self.num_partitions)
+        ).cast("int")
+        routed = df.withColumn("__part__", part).cache()
+        try:
+            present = sorted(
+                r["__part__"] for r in routed.select("__part__").distinct().collect()
+            )
+            out = {}
+            for i in present:
+                out[i] = self.partitions[i].post_df(
+                    routed.filter(F.col("__part__") == i).drop("__part__"),
+                    event_type,
+                )
+            return out
+        finally:
+            routed.unpersist()
+
+    def send(
+        self,
+        rows: list[dict],
+        event_type: str = "event",
+        source_event_ids: list[int | None] | None = None,
+        barrier: str = "local",
+    ) -> dict[int, tuple[int, int]]:
+        """Publish + completion barrier across ALL partitions (and the
+        downstream cascade with barrier="chain")."""
+        ids = self.post(rows, event_type, source_event_ids)
+        self.barrier(chain=(barrier == "chain"))
+        return ids
+
+    def last_txn(self, prefix: str) -> int:
+        """Highest replayed-batch id any partition recorded (-1 if
+        none). Max is safe because `post(txn=...)` writes the header to
+        every partition atomically-per-partition in one driver call."""
+        return max(p.last_txn(prefix) for p in self.partitions)
+
+    # -- subscribe -----------------------------------------------------------
+
+    def subscribe(
+        self,
+        subscribe_from: str = "latest",
+        max_segments_per_batch: int = 1000,
+    ) -> DataFrame:
+        """One streaming DataFrame over all partitions: per-partition
+        sources unioned, each branch tagged with its `partition` index.
+        Per-key order = (partition, event_id) order; Spark reads the N
+        sources in parallel within each micro-batch."""
+        streams = [
+            p.subscribe(subscribe_from, max_segments_per_batch).withColumn(
+                "partition", F.lit(i)
+            )
+            for i, p in enumerate(self.partitions)
+        ]
+        out = streams[0]
+        for s in streams[1:]:
+            out = out.unionByName(s)
+        return out
+
+    def batch_df(self) -> DataFrame:
+        """All retained events across partitions, tagged by partition."""
+        out = None
+        for i, p in enumerate(self.partitions):
+            cur = p.batch_df().withColumn("partition", F.lit(i))
+            out = cur if out is None else out.unionByName(cur)
+        return out
+
+    def attach_query(self, query) -> None:
+        # One streaming query consumes the union of every partition's
+        # source; attach it everywhere so each partition's barrier (and
+        # the chain walk) awaits it.
+        for p in self.partitions:
+            p.attach_query(query)
+
+    def live_queries(self) -> list:
+        seen, out = set(), []
+        for p in self.partitions:
+            for q in p.live_queries():
+                if id(q) not in seen:
+                    seen.add(id(q))
+                    out.append(q)
+        return out
+
+    def _await_caught_up(self, query) -> None:
+        Topic._await_caught_up(query)
+
+    # -- barrier / lifecycle --------------------------------------------------
+
+    def barrier(self, chain: bool = False) -> None:
+        for q in self.live_queries():
+            Topic._await_caught_up(q)
+        if chain:
+            for t in self.registry.downstream_of(self.name):
+                for q in t.live_queries():
+                    t._await_caught_up(q)
+
+    def count(self) -> int:
+        """Live subscriber queries across the whole topic."""
+        return len(self.live_queries())
+
+    def clear(self) -> None:
+        for p in self.partitions:
+            p.clear()
+
+    def close(self, drain: bool = True) -> None:
+        for p in self.partitions:
+            p.close(drain=drain)
+        self._pool.shutdown(wait=False)

@@ -175,24 +175,26 @@ class Topic:
             Topic._datasource_registered.add(key)
 
     def _recover_next_id(self) -> int:
-        """Restart recovery: next event id = last id in last segment + 1."""
-        segs = list_segments(self.dir)
-        if not segs:
-            return 0
+        """Restart recovery: next event id = last event id on disk + 1.
+        Scans segments newest-first because a segment may hold only a
+        txn header (a replayed batch whose rows all routed elsewhere)."""
         import json
 
-        last = 0
-        with open(segment_path(self.dir, segs[-1])) as f:
-            for line in f:
-                if line.strip():
-                    obj = json.loads(line)
-                    if obj.get("__txn__"):
-                        continue
-                    if obj.get("__bulk__"):
-                        last = obj["base_id"] + obj["n"] - 1
-                    else:
-                        last = obj["event_id"]
-        return last + 1
+        for seg in reversed(list_segments(self.dir)):
+            last = None
+            with open(segment_path(self.dir, seg)) as f:
+                for line in f:
+                    if line.strip():
+                        obj = json.loads(line)
+                        if obj.get("__txn__"):
+                            continue
+                        if obj.get("__bulk__"):
+                            last = obj["base_id"] + obj["n"] - 1
+                        else:
+                            last = obj["event_id"]
+            if last is not None:
+                return last + 1
+        return 0
 
     def last_txn(self, prefix: str) -> int:
         """Highest batch id recorded in a `{prefix}:{batch_id}` txn
@@ -232,7 +234,7 @@ class Topic:
         atomically-renamed segment, so a retried publish with an
         already-recorded txn can be detected via `last_txn()` — the
         exactly-once mechanism pipes use across crash replays."""
-        if not rows:
+        if not rows and txn is None:
             raise ValueError("post requires at least one row")
         with self._lock:
             first = self._next_id

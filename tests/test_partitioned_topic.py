@@ -1,0 +1,155 @@
+"""PartitionedTopic conformance: the Kafka-style scale path keeps the
+reference's per-key guarantees (FIFO per key, barrier, lineage) while
+sharding the log N ways. The reference's single FIFO is the
+num_partitions=1 special case; these tests pin what the sharded form
+must still honor (SURVEY.md §8-H5 — bounded, parallelizable transport).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.topics import (
+    PartitionedTopic,
+    Topic,
+    TopicRegistry,
+    pipe,
+)
+
+
+@pytest.fixture()
+def topic_root(tmp_path):
+    return str(tmp_path / "topics")
+
+
+def test_per_key_fifo_and_routing(spark, topic_root):
+    """All events for one key land in one partition, in publish order;
+    keys spread across partitions."""
+    t = PartitionedTopic(
+        spark, "pt_fifo", "k string, seq long", topic_root, key_col="k",
+        num_partitions=4, registry=TopicRegistry(),
+    )
+    keys = [f"key-{i}" for i in range(16)]
+    t.post([{"k": k, "seq": s} for s in range(5) for k in keys])
+    rows = t.batch_df().select("partition", "event_id", "k", "seq").collect()
+
+    by_key: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.partition, r.event_id)):
+        by_key.setdefault(r.k, []).append(r)
+    assert len(rows) == 80
+    used = set()
+    for k, evs in by_key.items():
+        parts = {r.partition for r in evs}
+        assert len(parts) == 1, f"key {k} split across partitions {parts}"
+        assert parts == {t.partition_for(k)}
+        assert [r.seq for r in evs] == [0, 1, 2, 3, 4], f"key {k} out of order"
+        used |= parts
+    assert len(used) > 1, "all keys routed to one partition"
+
+
+def test_concurrent_producers_keep_per_key_order(spark, topic_root):
+    """Producers on different threads: per-key sequences stay monotonic
+    because a key's events all serialize through one partition lock."""
+    t = PartitionedTopic(
+        spark, "pt_conc", "k string, seq long", topic_root, key_col="k",
+        num_partitions=4, registry=TopicRegistry(),
+    )
+
+    def produce(worker: int) -> None:
+        for s in range(10):
+            t.post([{"k": f"w{worker}", "seq": s}])
+
+    threads = [threading.Thread(target=produce, args=(w,)) for w in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    rows = t.batch_df().select("partition", "event_id", "k", "seq").collect()
+    assert len(rows) == 80
+    by_key: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.partition, r.event_id)):
+        by_key.setdefault(r.k, []).append(r.seq)
+    for k, seqs in by_key.items():
+        assert seqs == list(range(10)), f"{k}: {seqs}"
+
+
+def test_send_barrier_and_pipe_to_plain_topic(spark, topic_root):
+    """A pipe consumes the unioned partition stream; send() returns only
+    after the subscriber processed every partition's events, and lineage
+    (source_event_id) survives the fan-in."""
+    reg = TopicRegistry()
+    src = PartitionedTopic(
+        spark, "pt_src", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=reg,
+    )
+    dst = Topic(spark, "pt_dst", "k string, n long, partition int", topic_root, reg)
+    h = pipe(
+        src,
+        fn=lambda df: df.select("source_event_id", "k", "n", "partition"),
+        target=dst,
+        name="pt-pipe",
+    )
+    try:
+        src.send([{"k": f"k{i}", "n": i} for i in range(12)], barrier="chain")
+        got = dst.batch_df().select("k", "n", "partition", "source_event_id").collect()
+        assert sorted(r.n for r in got) == list(range(12))
+        for r in got:
+            assert r.partition == src.partition_for(r.k)
+            assert r.source_event_id is not None
+    finally:
+        h.stop()
+        src.close()
+        dst.close()
+
+
+def test_post_df_routing_matches_post(spark, topic_root):
+    """Executor-side crc32 routing (post_df) agrees with driver-side
+    zlib routing (post) — same key, same partition, either path."""
+    t = PartitionedTopic(
+        spark, "pt_bulk", "k string, n long", topic_root, key_col="k",
+        num_partitions=4, registry=TopicRegistry(),
+    )
+    df = spark.range(40).select(
+        F.concat(F.lit("key-"), (F.col("id") % 10).cast("string")).alias("k"),
+        F.col("id").alias("n"),
+    )
+    t.post_df(df)
+    rows = t.batch_df().select("partition", "k").collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r.partition == t.partition_for(r.k)
+
+
+def test_replay_header_visible_on_every_partition(spark, topic_root):
+    """Transactional post writes the txn header to all partitions (even
+    ones with no rows that batch), so last_txn() replay detection can't
+    miss a committed batch."""
+    t = PartitionedTopic(
+        spark, "pt_txn", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=TopicRegistry(),
+    )
+    one_key = "only"  # routes to exactly one partition
+    t.post([{"k": one_key, "n": 1}], txn="p:7")
+    for p in t.partitions:
+        assert p.last_txn("p") == 7
+    assert t.last_txn("p") == 7
+    # header-only partitions still recover ids correctly after restart
+    lucky = t.partition_for(one_key)
+    for i, p in enumerate(t.partitions):
+        assert p._recover_next_id() == (1 if i == lucky else 0)
+
+
+def test_single_partition_degenerates_to_plain_topic(spark, topic_root):
+    """num_partitions=1 is the reference's totally-ordered FIFO."""
+    t = PartitionedTopic(
+        spark, "pt_one", "k string, n long", topic_root, key_col="k",
+        num_partitions=1, registry=TopicRegistry(),
+    )
+    t.post([{"k": f"k{i}", "n": i} for i in range(6)])
+    rows = sorted(t.batch_df().collect(), key=lambda r: r.event_id)
+    assert [r.n for r in rows] == list(range(6))
+    assert {r.partition for r in rows} == {0}
