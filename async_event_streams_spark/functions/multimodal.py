@@ -119,3 +119,109 @@ def extract_features(assets: DataFrame, fake_decode: bool = False) -> DataFrame:
             )
 
     return assets.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def resize_payload(
+    payload: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """STUB: real resize (PIL/OpenCV) unavailable here. fake=True
+    produces a deterministic stand-in of the RIGHT SHAPE — output size
+    scales with the target dimensions (3 bytes/pixel, content seeded by
+    the source digest) so partition-size/memory behavior downstream is
+    realistic."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "pass fake=True for the deterministic structural resize"
+        )
+    seed = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
+    n = width * height * 3
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, fake_codec: bool = False
+) -> DataFrame:
+    """Asset → asset transform (image resize): mapInPandas, output
+    re-content-addressed (resized bytes get their own sha256 asset_id,
+    so the resized corpus dedups/joins independently of the originals).
+    Arrow-batched; memory per task bounded by the Arrow batch size, not
+    the partition — safe when payloads are MBs each."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_payload(p, width, height, fake=fake_codec) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": [hashlib.sha256(b).hexdigest() for b in out],
+                    "modality": pdf["modality"],
+                    "payload": out,
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return assets.mapInPandas(resize_batches, schema=ASSET_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),  # source video
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+_FAKE_FRAME_BYTES = 256  # the stub codec's fixed 'frame' stride
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    fake_codec: bool = False,
+) -> DataFrame:
+    """Video → frames (1→N row fan-out): every `every_n`-th frame, at
+    most `max_frames` per video, one output row per sampled frame.
+
+    STUB codec: a real build would seek/decode via PyAV/ffmpeg; here the
+    payload is treated as a concatenation of fixed-stride frames. The
+    fan-out mechanics are the real deliverable — mapInPandas yielding
+    MORE rows than it consumes, per-frame rows independently
+    repartitionable downstream, memory bounded per Arrow batch (frames
+    of one video never need to co-reside)."""
+    if not fake_codec:
+        raise NotImplementedError(
+            "video codecs not available in this environment; "
+            "pass fake_codec=True for the fixed-stride structural sampler"
+        )
+    if every_n < 1 or max_frames < 1:
+        raise ValueError("every_n and max_frames must be >= 1")
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = payload or b""
+                n_frames = len(payload) // _FAKE_FRAME_BYTES
+                taken = 0
+                for fi in range(0, n_frames, every_n):
+                    if taken >= max_frames:
+                        break
+                    ids.append(aid)
+                    idxs.append(fi)
+                    payloads.append(
+                        payload[fi * _FAKE_FRAME_BYTES : (fi + 1) * _FAKE_FRAME_BYTES]
+                    )
+                    taken += 1
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_index": pd.array(idxs, dtype="int32"),
+                    "frame_payload": payloads,
+                    "n_bytes": pd.array([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(frame_batches, schema=FRAME_SCHEMA)

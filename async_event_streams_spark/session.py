@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter join pruning: on a fact⋈filtered-dim
+        # shuffle join, the dim side's keys seed a bloom filter applied
+        # at the fact scan — at 100 TB this skips most row groups before
+        # the shuffle. No-op at test SF (application-side threshold);
+        # tests/test_plans.py proves injection with thresholds lowered.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config(
             "spark.sql.shuffle.partitions",

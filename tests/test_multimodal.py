@@ -8,8 +8,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from async_event_streams_spark.functions.multimodal import (
+    _FAKE_FRAME_BYTES,
     decode_image,
     extract_features,
+    resize_images,
+    resize_payload,
+    sample_frames,
     to_assets,
 )
 
@@ -47,3 +51,45 @@ def test_extract_features_runs_distributed(spark, assets):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError, match="not available"):
         decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError, match="not available"):
+        resize_payload(b"\x89PNG...", 8, 8)
+
+
+def test_resize_rewrites_payload_and_identity(spark, assets):
+    resized = resize_images(assets.repartition(4), 8, 6, fake_codec=True).collect()
+    assert len(resized) == 50
+    assert all(r.n_bytes == 8 * 6 * 3 == len(r.payload) for r in resized)
+    # re-content-addressed: new bytes, new id; deterministic across runs
+    originals = {r.asset_id for r in assets.collect()}
+    assert not ({r.asset_id for r in resized} & originals)
+    again = {r.asset_id for r in resize_images(assets, 8, 6, fake_codec=True).collect()}
+    assert {r.asset_id for r in resized} == again
+
+
+def test_sample_frames_fans_out_rows(spark):
+    """1→N fan-out: a 100-frame 'video' sampled every 10 frames caps at
+    max_frames rows, each carrying exactly its frame's bytes."""
+    raw = spark.createDataFrame(
+        [(i, bytes(range(256)) * (20 * (i + 1))) for i in range(5)],
+        "id long, blob binary",
+    )  # video i has 20*(i+1) fake frames
+    vids = to_assets(raw, "blob", "video")
+    frames = sample_frames(vids.repartition(3), every_n=10, max_frames=4, fake_codec=True)
+    rows = frames.collect()
+    by_vid: dict[str, list] = {}
+    for r in rows:
+        by_vid.setdefault(r.asset_id, []).append(r)
+    n_frames = {20, 40, 60, 80, 100}
+    assert len(by_vid) == 5
+    for evs in by_vid.values():
+        assert [r.frame_index for r in sorted(evs, key=lambda r: r.frame_index)] == [
+            0, 10, 20, 30,
+        ][: len(evs)]
+        assert all(r.n_bytes == _FAKE_FRAME_BYTES == len(r.frame_payload) for r in evs)
+    # total rows = min(ceil(n/10), 4) per video
+    assert len(rows) == sum(min(-(-n // 10), 4) for n in n_frames)
+
+
+def test_sample_frames_codec_is_explicitly_stubbed(spark, assets):
+    with pytest.raises(NotImplementedError, match="not available"):
+        sample_frames(assets)

@@ -96,3 +96,41 @@ def test_single_shuffle_aggregations(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 2, f"{name}: {n_exchange} Exchanges"
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """At 100 TB a fact⋈filtered-dim shuffle join should seed a bloom
+    filter from the dim keys and apply it at the fact scan (row-group
+    skipping before the shuffle). The session enables the optimization;
+    its size thresholds keep it dormant at test SF, so lower them here
+    and prove the rewrite actually fires on our join shape."""
+    from async_event_streams_spark.tables import table
+
+    confs = {
+        # force the shuffle join (bloom filters don't apply to broadcast)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        lineitem = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders")
+        joined = lineitem.join(
+            orders.filter("o_orderpriority = '1-URGENT'"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        ).select("l_orderkey", "l_quantity", "o_orderpriority")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        # the injected filter shows up as might_contain(<bloom subquery>)
+        # applied on the fact side before its Exchange
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
