@@ -60,6 +60,7 @@ def main() -> None:
     wall = round(time.perf_counter() - t_suite, 3)
 
     topic_eps = _topic_throughput(spark)
+    ptopic_eps = _partitioned_topic_throughput(spark)
 
     print(
         json.dumps(
@@ -72,6 +73,7 @@ def main() -> None:
                 "passes": 2,
                 "wall_sec_both_passes": wall,
                 "topic_events_per_sec": topic_eps,
+                "partitioned_topic_events_per_sec": ptopic_eps,
             }
         )
     )
@@ -101,6 +103,53 @@ def _topic_throughput(spark, n_batches: int = 20, batch_size: int = 500) -> floa
         dt = time.perf_counter() - t0
         assert sum(seen) == n_batches * batch_size
         return round(n_batches * batch_size / dt, 1)
+    finally:
+        t.close()
+
+
+def _partitioned_topic_throughput(
+    spark, n_batches: int = 20, batch_size: int = 500, partitions: int = 4
+) -> float:
+    """Publish→subscribe→drain through the N-way sharded topic with N
+    CONCURRENT producers (one per partition's key range) — the workload
+    sharding exists for: a single FIFO serializes all producers on one
+    lock, the partitioned log appends in parallel. A single driver
+    thread posting sequentially would only measure sharding overhead."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from async_event_streams_spark.topics import PartitionedTopic, TopicRegistry, pipe
+
+    root = tempfile.mkdtemp(prefix="bench-ptopic-")
+    t = PartitionedTopic(
+        spark, "benchp", "k string, n long, v double", root,
+        key_col="k", num_partitions=partitions, registry=TopicRegistry(),
+    )
+    seen = []
+    pipe(t, sink_fn=lambda df, b: seen.append(df.count()), name="benchp-sub")
+
+    def produce(worker: int) -> None:
+        for b in range(n_batches):
+            t.post(
+                [
+                    {
+                        "k": f"w{worker}-{i % 64}",
+                        "n": b * batch_size + i,
+                        "v": float(i),
+                    }
+                    for i in range(batch_size)
+                ]
+            )
+
+    try:
+        total = partitions * n_batches * batch_size
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=partitions) as pool:
+            list(pool.map(produce, range(partitions)))
+        t.barrier()
+        dt = time.perf_counter() - t0
+        assert sum(seen) == total
+        return round(total / dt, 1)
     finally:
         t.close()
 
