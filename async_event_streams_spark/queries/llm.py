@@ -453,6 +453,113 @@ def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity search: IVF ANN (inverted-file cells, the other scale path)
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16  # coarse cells; at real scale K ~ sqrt(N), trained centroids
+_IVF_PROBES = 4  # cells searched per query
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_IVF_K}
+), ascore AS (
+  SELECT v.vec_id, v.e, centroid_id,
+    list_dot_product(e, ce) /
+    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) AS cs
+  FROM v CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, e, centroid_id AS cell FROM (
+    SELECT vec_id, e, centroid_id, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY ROUND(cs, 9) DESC, centroid_id) AS rn
+    FROM ascore) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, e AS qe, centroid_id AS cell FROM (
+    SELECT vec_id, e, centroid_id, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY ROUND(cs, 9) DESC, centroid_id) AS rn
+    FROM ascore WHERE vec_id < 10) WHERE rn <= {_IVF_PROBES}
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+    list_dot_product(qe, c.e) /
+    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))) AS score
+  FROM probes p JOIN assigned c ON p.cell = c.cell AND c.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(score, 9) DESC, neighbor_id)
+    AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("x_ann_ivf", oracle=_ivf_oracle())
+def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an inverted file: every vector is assigned
+    to its nearest of K coarse centroids (one broadcast pass — K rows
+    against N, no shuffle of the big side), a query probes its
+    `_IVF_PROBES` nearest cells, and candidate scoring is an equi-join
+    on cell id. This is the IVF shape at scale: assignment and search
+    are both broadcast/equi-join plans, the candidate set shrinks by
+    ~K/probes, and a hot cell is just a skewed join key AQE splits.
+    Centroids here are taken deterministically (vec_id < K) so the
+    DuckDB oracle can replay the exact cells; a production build would
+    k-means them — the plan shape is identical. Cells are disjoint, so
+    probed candidates never duplicate. Rounding/tie discipline matches
+    x_cosine_topk (9 dp, neighbor_id ties)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").alias("e"))
+    cent = v.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    ascore = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "e", "centroid_id", cosine(F.col("e"), F.col("ce")).alias("cs")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cs"), 9).desc(), F.col("centroid_id")
+    )
+    assigned = materialize(
+        ascore.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", F.col("centroid_id").alias("cell"))
+    )
+    probes = (
+        ascore.filter(F.col("vec_id") < 10)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("centroid_id").alias("cell"),
+        )
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (assigned.cell == probes.cell) & (assigned.vec_id != probes.query_id),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("e")).alias("score"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w_rank).alias("rnk"),
+            F.round("score", 6).alias("score"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup: embedding-cosine near-duplicates (LSH-bucketed)
 # ---------------------------------------------------------------------------
 
