@@ -914,3 +914,34 @@ def x_multimodal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(nbytes / 1024).alias("chunk"),
         F.lit("text").alias("modality"),
     )
+
+
+@query(
+    "x_frame_sample",
+    oracle="""
+WITH d AS (
+  SELECT sha256(text) AS asset_id,
+         octet_length(encode(text)) // 256 AS n_frames
+  FROM documents
+)
+SELECT asset_id, CAST(i AS INTEGER) AS frame_index,
+       CAST(256 AS BIGINT) AS n_bytes
+FROM d CROSS JOIN (VALUES (0), (10), (20), (30)) t(i)
+WHERE i < n_frames
+""",
+)
+def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling as a first-class query: documents' text
+    bytes stand in for video payloads (codec stubbed, fixed 256-byte
+    frame stride), sampled every 10th frame capped at 4 — the 1→N
+    mapInPandas fan-out from functions/multimodal.py. The oracle
+    replays the arithmetic (which indices exist per payload length), so
+    the differential pins the fan-out multiset exactly; the byte-slicing
+    itself is unit-tested (payload content can't cross the SQL oracle
+    boundary)."""
+    from ..functions.multimodal import sample_frames, to_assets
+
+    docs = table(spark, sf_dir, "documents")
+    assets = to_assets(docs, "text", "video")
+    frames = sample_frames(assets, every_n=10, max_frames=4, fake_codec=True)
+    return frames.select("asset_id", "frame_index", "n_bytes")
