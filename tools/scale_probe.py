@@ -53,6 +53,9 @@ PROBE_QUERIES = [
     "c_window_range_frame",
     "x_dedup_verified",
     "c_grouped_map_zscore",
+    "x_ann_ivf",
+    "x_ann_lsh",
+    "x_frame_sample",
 ]
 
 KEY_STRIDE = 100_000_000
