@@ -70,6 +70,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "n_queries": len(timings),
+                "sec_per_query": round(total / len(timings), 3),
                 "passes": 2,
                 "wall_sec_both_passes": wall,
                 "topic_events_per_sec": topic_eps,
