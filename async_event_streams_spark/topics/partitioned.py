@@ -251,6 +251,41 @@ class PartitionedTopic:
                 for q in t.live_queries():
                     t._await_caught_up(q)
 
+    def pipe_per_partition(
+        self,
+        fn=None,
+        target=None,
+        sink_fn=None,
+        name: str | None = None,
+        **pipe_kwargs,
+    ) -> list:
+        """Parallel drain (the Kafka consumer-group shape): one pipe PER
+        PARTITION, each its own streaming query with its own checkpoint
+        and exactly-once txn line — N consumers progress independently,
+        so a slow partition never stalls the others (the unioned
+        `subscribe()` advances all partitions in lock-step instead).
+        Per-key order still holds end-to-end: a key's events flow
+        through exactly one partition's pipe, in order. Returns the N
+        PipeHandles; `barrier(chain=True)` on this topic awaits them all."""
+        from .pipe import pipe
+
+        base = name or f"drain-{self.name}"
+        handles = [
+            pipe(
+                p,
+                fn=fn,
+                target=target,
+                sink_fn=sink_fn,
+                name=f"{base}-p{i}",
+                **pipe_kwargs,
+            )
+            for i, p in enumerate(self.partitions)
+        ]
+        if target is not None:
+            # the chain barrier walks from the PARENT's name too
+            self.registry.add_edge(self.name, target.name)
+        return handles
+
     def count(self) -> int:
         """Live subscriber queries across the whole topic."""
         return len(self.live_queries())

@@ -143,6 +143,40 @@ def test_replay_header_visible_on_every_partition(spark, topic_root):
         assert p._recover_next_id() == (1 if i == lucky else 0)
 
 
+def test_pipe_per_partition_parallel_drain(spark, topic_root):
+    """Consumer-group shape: N independent pipes (one per partition)
+    drain into one destination. Every event arrives once, lineage
+    intact, and a key's events stay in publish order at the destination
+    (they ride one partition's pipe; destination ids assign serially)."""
+    reg = TopicRegistry()
+    src = PartitionedTopic(
+        spark, "cg_src", "k string, seq long", topic_root, key_col="k",
+        num_partitions=3, registry=reg,
+    )
+    dst = Topic(spark, "cg_dst", "k string, seq long", topic_root, reg)
+    handles = src.pipe_per_partition(
+        fn=lambda df: df.select("source_event_id", "k", "seq"), target=dst,
+    )
+    try:
+        assert len(handles) == 3 and src.count() == 3
+        for s in range(4):
+            src.post([{"k": f"k{i}", "seq": s} for i in range(9)])
+        src.barrier(chain=True)
+        rows = sorted(dst.batch_df().collect(), key=lambda r: r.event_id)
+        assert len(rows) == 36
+        by_key: dict[str, list] = {}
+        for r in rows:
+            assert r.source_event_id is not None
+            by_key.setdefault(r.k, []).append(r.seq)
+        for k, seqs in by_key.items():
+            assert seqs == [0, 1, 2, 3], f"{k}: {seqs}"
+    finally:
+        for h in handles:
+            h.stop()
+        src.close()
+        dst.close()
+
+
 def test_single_partition_degenerates_to_plain_topic(spark, topic_root):
     """num_partitions=1 is the reference's totally-ordered FIFO."""
     t = PartitionedTopic(
