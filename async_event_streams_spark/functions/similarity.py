@@ -56,3 +56,36 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         bit = F.when(dot(vec, plane_col) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long")
     return bucket
+
+
+def train_ivf_centroids(
+    df, vec_col: str, k: int, seed: int = 42, max_iter: int = 10
+) -> list[list[float]]:
+    """Train IVF coarse centroids with distributed k-means (MLlib —
+    itself a Spark DataFrame job, so training scales with the corpus).
+    Returns plain float lists, ready to embed as plan literals in
+    `ivf_cell`. The deterministic-centroid variant (queries/llm.py
+    x_ann_ivf, vec_id<K picks) exists so a SQL oracle can replay the
+    cells; this is the production path — trained cells follow the data
+    distribution, so probing the nearest few recovers more true
+    neighbors per candidate examined."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(v)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (argmax cosine, first index on ties) as
+    one JVM-side expression over literal centroids — no join, no Python.
+    Built as array-of-scores + array_position(array_max): expression
+    size is LINEAR in K (a chained `when` argmax doubles per step —
+    2^K nodes — and overflows plan conversion around K=16)."""
+    scores = F.array(
+        *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")

@@ -173,6 +173,14 @@ class PartitionedTopic:
         finally:
             routed.unpersist()
 
+    def send_df(
+        self, df: DataFrame, event_type: str = "event", barrier: str = "local"
+    ) -> dict[int, tuple[int, int]]:
+        """Bulk publish + completion barrier (post_df ∘ barrier)."""
+        ids = self.post_df(df, event_type)
+        self.barrier(chain=(barrier == "chain"))
+        return ids
+
     def send(
         self,
         rows: list[dict],

@@ -46,6 +46,76 @@ def test_lsh_lift_over_random_bucketing(spark, sf_dir):
     assert lift >= 3.0, f"recall {recall:.3f} over {examined:.4f} examined = lift {lift:.1f}"
 
 
+def test_trained_ivf_centroids(spark, sf_dir):
+    """The production IVF path: k-means-trained centroids (MLlib,
+    distributed) embedded as plan literals via ivf_cell. Two properties
+    gate it: (a) recall beats random candidate selection (~25% of the
+    corpus probed → random gives ~0.25; measured ~0.5), and (b) cells
+    stay balanced — the point of *training* the quantizer is that no
+    cell collects a disproportionate share, which at scale is the
+    difference between a bounded per-cell scan and a hot-key stall.
+    (The deterministic x_ann_ivf variant scores higher recall here only
+    because its query vectors are their own centroids — a degenerate
+    favorable case; it exists for SQL-oracle replayability.)"""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from async_event_streams_spark.functions.similarity import (
+        cosine,
+        ivf_cell,
+        train_ivf_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, "embedding", 16)
+    assigned = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        ivf_cell(F.col("embedding"), cents).alias("cell"),
+    )
+    sizes = [r["count"] for r in assigned.groupBy("cell").count().collect()]
+    n = sum(sizes)
+    assert max(sizes) <= 3 * (n / 16), f"hot cell: {max(sizes)} of {n}"
+
+    q = {r.vec_id: list(r.embedding) for r in emb.filter("vec_id < 10").collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    probes = []
+    for qid, qe in q.items():
+        ranked = sorted(((cos(qe, c), i) for i, c in enumerate(cents)), reverse=True)
+        probes += [(qid, i) for _, i in ranked[:4]]
+    pdf = spark.createDataFrame(probes, "query_id long, cell int")
+    qdf = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in q.items()],
+        "query_id long, qe array<double>",
+    )
+    scored = (
+        assigned.join(F.broadcast(pdf.join(qdf, "query_id")), "cell")
+        .filter("vec_id <> query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("s", 9).desc(), "neighbor_id"
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter("rn <= 5")
+    approx: dict[int, set[int]] = {}
+    for r in top.collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact = _topk_sets(QUERIES["x_cosine_topk"](spark, sf_dir))
+    recall = _recall(exact, approx)
+    assert recall >= 0.4, f"trained-IVF recall {recall:.3f}"
+
+
 def test_ivf_recall(spark, sf_dir):
     """IVF probes 4/16 cells (~25% of the corpus) and must recover well
     over half the true top-5 — i.e., nearest-cell probing concentrates

@@ -131,3 +131,34 @@ def test_lsh_bucket_matches_python(spark, vecs):
             if acc >= 0:
                 b |= 1 << p
         assert got[i] == b, (i, v)
+
+
+# -- partition routing ------------------------------------------------------
+
+keys = st.lists(
+    st.one_of(
+        st.text(min_size=0, max_size=24),
+        st.integers(min_value=-(2**62), max_value=2**62),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(keys=keys, n=st.integers(min_value=1, max_value=16))
+@settings(**SETTINGS)
+def test_partition_routing_is_stable_and_total(keys, n):
+    """Driver-side routing (zlib.crc32 of str(key)) is deterministic,
+    in-range, and — for string keys — equals the JVM-side route
+    F.crc32(cast as string) used by post_df. Spark-side agreement is
+    covered end-to-end in test_partitioned_topic; here we pin the pure
+    function against a from-scratch reimplementation on generated keys."""
+    import zlib
+
+    from async_event_streams_spark.topics.partitioned import _route
+
+    for k in keys:
+        p = _route(k, n)
+        assert 0 <= p < n
+        assert p == _route(k, n)  # stable
+        assert p == zlib.crc32(str(k).encode("utf-8")) % n
