@@ -1100,3 +1100,88 @@ def c_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@query(
+    "c_agg_boolean",
+    oracle=(
+        "SELECT l_returnflag, "
+        "bool_and(l_quantity > 1) AS all_multi, "
+        "bool_or(l_discount > 0.09) AS any_deep_discount, "
+        "CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def c_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates (bool_and / bool_or / count_if):
+    all plain partial-aggregable functions — map-side combine, one
+    shuffle on the group key, same as any sum."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "c_window_first_last",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, "
+        "FIRST_VALUE(o_orderkey) OVER w AS first_ok, "
+        "LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok, "
+        "NTH_VALUE(o_orderkey, 2) OVER w AS second_ok "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) "
+        "QUALIFY ROW_NUMBER() OVER w <= 20"
+    ),
+)
+def c_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value navigation over a per-customer frame. The
+    last_value frame must be spelled UNBOUNDED FOLLOWING in both engines
+    (the default frame stops at CURRENT ROW, making last_value a noisy
+    self-reference); ordering key is the unique o_orderkey so the
+    differential is exact."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(w_full).alias("last_ok"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+@query(
+    "c_string_agg",
+    oracle=(
+        "SELECT n_regionkey, "
+        "string_agg(n_name, ',' ORDER BY n_name) AS nations, "
+        "CAST(COUNT(*) AS BIGINT) AS n_nations "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+)
+def c_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list carries no order
+    guarantee after a shuffle, so sort_array pins it — the portable
+    equivalent of string_agg(... ORDER BY ...)."""
+    return (
+        table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
