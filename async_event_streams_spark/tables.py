@@ -29,9 +29,22 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# Analyzed-plan cache: a DataFrame is an immutable logical plan, so the
+# (session, dir, table) triple can be built once and reused — each
+# spark.read.parquet call otherwise costs ~0.1 s of driver<->JVM
+# roundtrips (reader setup, schema fetch, file listing), which at one
+# call per query becomes the dominant fixed overhead of short queries.
+# Keyed by id(spark) so a fresh session (fresh JVM state) rebuilds.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
     # parquet reader rejects by default. Set the legacy conf here (runtime
     # SQL conf) so reads work on ANY session, including the driver's own
@@ -40,8 +53,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC so timestamp rendering and year()/date_trunc() agree with
     # the (naive-timestamp) SQL oracle regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _normalize_nanos(df)
+    df = _normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
