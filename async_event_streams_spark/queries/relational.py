@@ -1185,3 +1185,28 @@ def c_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+@query(
+    "c_agg_stats",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+        "ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qp, "
+        "ROUND(stddev_samp(l_discount), 6) AS sd_discount, "
+        "ROUND(var_pop(l_tax), 6) AS var_tax "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def c_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_pop / stddev / var_pop):
+    single-pass partial-aggregable moments — one shuffle, map-side
+    combine, same plan class as sum/avg. Rounded because the moment
+    accumulation order differs across engines (float assoc.)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.round(F.var_pop("l_tax"), 6).alias("var_tax"),
+    )
