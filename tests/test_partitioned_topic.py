@@ -177,6 +177,22 @@ def test_pipe_per_partition_parallel_drain(spark, topic_root):
         dst.close()
 
 
+def test_clear_and_earliest_replay(spark, topic_root):
+    """clear() drops pending events on every partition; a later
+    earliest-replay subscription (batch_df reads the same retained
+    range) sees only post-clear events — the reference's clear semantics
+    (src/event_streams.rs:75-77) extended shard-wise."""
+    t = PartitionedTopic(
+        spark, "pt_clear", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=TopicRegistry(),
+    )
+    t.post([{"k": f"k{i}", "n": i} for i in range(9)])
+    t.clear()
+    t.post([{"k": f"k{i}", "n": 100 + i} for i in range(9)])
+    kept = sorted(r.n for r in t.batch_df().collect())
+    assert kept == [100 + i for i in range(9)]
+
+
 def test_single_partition_degenerates_to_plain_topic(spark, topic_root):
     """num_partitions=1 is the reference's totally-ordered FIFO."""
     t = PartitionedTopic(
