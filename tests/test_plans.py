@@ -89,7 +89,15 @@ def test_whole_stage_codegen_covers_hot_paths(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["b4_classify_fizzbuzz", "c_agg_basic", "c_stream_tumbling"]
+    "name",
+    [
+        "b4_classify_fizzbuzz",
+        "c_agg_basic",
+        "c_stream_tumbling",
+        "c_agg_boolean",
+        "c_agg_stats",
+        "c_string_agg",
+    ],
 )
 def test_single_shuffle_aggregations(spark, sf_dir, name):
     """These aggregations must shuffle exactly once (grouped partials)."""
