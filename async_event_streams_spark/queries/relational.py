@@ -108,15 +108,36 @@ def c_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("c_agg_approx_distinct")  # no oracle: approximate result (HLL++ vs DuckDB's sketch)
+@query(
+    "c_agg_approx_distinct",
+    # Tolerance-encoded oracle: the sketch value itself is engine-specific
+    # (HLL++ vs DuckDB's sketch), so Spark emits the exact count plus a
+    # boolean "within 2% of exact" verdict; DuckDB emits the same exact
+    # count and the literal true. Hash-checkable despite approximation.
+    oracle=(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+        "true AS approx_ok FROM events GROUP BY event_type"
+    ),
+)
 def c_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the scale path for distinct
-    counts — no exact-distinct shuffle explosion at 100 TB. Rows-only
-    check; the companion test asserts <2% error vs exact at small SF."""
-    return (
+    counts — no exact-distinct shuffle explosion at 100 TB. The approx
+    value is checked as a <2% relative-error boolean against the exact
+    count (computed here only to anchor the oracle; production would
+    ship the sketch alone)."""
+    agg = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (rel_err < F.lit(0.02)).alias("approx_ok"),
     )
 
 
@@ -168,19 +189,27 @@ def c_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c_agg_collect",
+    # The list is emitted as a sorted comma-joined string: the driver's
+    # hash canonicalizer cannot factorize raw list cells (pandas
+    # "unhashable type: list"), and the string form is order-exact.
     oracle=(
-        "SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys, "
+        "SELECT c_nationkey, "
+        "array_to_string(list_sort(list(c_custkey)), ',') AS custkeys, "
         "COUNT(*) AS n FROM customer GROUP BY c_nationkey"
     ),
 )
 def c_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped list aggregation, sorted for determinism (collect order
-    is partition-dependent; the sort makes it comparable)."""
+    is partition-dependent; the sort makes it comparable), then joined
+    to a scalar string so the result is hashable by any canonicalizer."""
     return (
         table(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
         .agg(
-            F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+            F.array_join(
+                F.sort_array(F.collect_list("c_custkey")).cast("array<string>"),
+                ",",
+            ).alias("custkeys"),
             F.count("*").alias("n"),
         )
     )

@@ -27,7 +27,7 @@ def test_oracle_coverage_is_near_total():
     """Rows-only queries must stay the rare exception (non-SQL-
     expressible only)."""
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only <= {"c_agg_approx_distinct"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_registry_sane():
