@@ -497,6 +497,23 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def ivf_assign(ascore: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as an aggregation, not a window:
+    max_by with a (rounded-score, -centroid_id) struct key reproduces
+    the oracle's ROW_NUMBER tie-break, and partial aggregation collapses
+    the K scored rows per vector map-side — the exchange moves N slim
+    rows, not N*K (a window row_number here shuffles the full cross-join
+    output). Audited by tests/test_plans.py."""
+    argmax_key = F.struct(
+        F.round(F.col("cs"), 9).alias("s"), (-F.col("centroid_id")).alias("t")
+    )
+    return (
+        ascore.groupBy("vec_id")
+        .agg(F.max_by(F.struct("centroid_id", "e"), argmax_key).alias("m"))
+        .select("vec_id", F.col("m.e").alias("e"), F.col("m.centroid_id").alias("cell"))
+    )
+
+
 @query("x_ann_ivf", oracle=_ivf_oracle())
 def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via an inverted file: every vector is assigned
@@ -519,13 +536,9 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascore = v.crossJoin(F.broadcast(cent)).select(
         "vec_id", "e", "centroid_id", cosine(F.col("e"), F.col("ce")).alias("cs")
     )
+    assigned = materialize(ivf_assign(ascore))
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("cs"), 9).desc(), F.col("centroid_id")
-    )
-    assigned = materialize(
-        ascore.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", F.col("centroid_id").alias("cell"))
     )
     probes = (
         ascore.filter(F.col("vec_id") < 10)
