@@ -10,6 +10,8 @@ nothing ever collects to the driver.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,6 +22,9 @@ from .util import materialize
 QUALITY_MIN_TOKENS = 10
 QUALITY_MAX_PUNCT_RATIO = 0.2
 NEAR_DUP_JACCARD = 0.8
+LSH_BUCKET_CAP = 64
+
+logger = logging.getLogger(__name__)
 
 
 def quality_filter(docs: DataFrame) -> DataFrame:
@@ -46,10 +51,20 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
-def dedup_near(docs: DataFrame, jaccard_threshold: float = NEAR_DUP_JACCARD) -> DataFrame:
+def dedup_near(
+    docs: DataFrame,
+    jaccard_threshold: float = NEAR_DUP_JACCARD,
+    lsh_bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
     """Remove near-duplicates: minhash/LSH candidates → exact Jaccard
     verify → drop the higher doc_id of each verified pair. Everything is
-    equi-joins over materialized sketches — O(n + candidates)."""
+    equi-joins over materialized sketches — O(n + candidates).
+
+    Band buckets larger than ``lsh_bucket_cap`` are dropped before the
+    self-join (a degenerate band key squares the candidate set — the
+    round-1 100x dup-heavy probe grew 44.8x without this). Oversized
+    buckets hold exact/boilerplate duplicates that ``dedup_exact``
+    already owns; the drop count is logged."""
     sk = materialize(
         docs.select(
             "doc_id",
@@ -72,6 +87,23 @@ def dedup_near(docs: DataFrame, jaccard_threshold: float = NEAR_DUP_JACCARD) -> 
             )
         ).alias("band"),
     ).select("doc_id", "sh", "band.bi", "band.bk")
+    # Bucket-size guard: find degenerate band keys (slim partial-agg
+    # count, column-pruned to the keys) and anti-join them away with a
+    # broadcast — the big side never shuffles for the guard.
+    oversized = materialize(
+        bands.groupBy("bi", "bk")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > lsh_bucket_cap)
+        .select("bi", "bk")
+    )
+    n_over = oversized.count()
+    if n_over:
+        logger.info(
+            "dedup_near: dropping %d oversized LSH buckets (cap=%d)",
+            n_over,
+            lsh_bucket_cap,
+        )
+    bands = bands.join(F.broadcast(oversized), ["bi", "bk"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size("a.sh") + F.size("b.sh") - inter

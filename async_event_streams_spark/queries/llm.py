@@ -78,6 +78,13 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup: MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+# Bucket-size guard: a degenerate band key (boilerplate text, dup-heavy
+# corpus) otherwise yields quadratic candidate pairs — the round-1 100x
+# probe measured 44.8x growth on the dup-heavy corpus. Buckets above the
+# cap are dropped (their members are exact/boilerplate dups the exact
+# pass owns); mirrored in the oracle so the check stays exact.
+_LSH_BUCKET_CAP = 64
+
 _MINHASH_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
@@ -86,10 +93,15 @@ sig AS (SELECT doc_id,
   {_sql_minhash(0)} AS h0, {_sql_minhash(1)} AS h1,
   {_sql_minhash(2)} AS h2, {_sql_minhash(3)} AS h3
 FROM dg),
-bands AS (
+bands_all AS (
   SELECT doc_id, 0 AS band_idx, h0 || h1 AS band_key FROM sig
   UNION ALL
   SELECT doc_id, 1 AS band_idx, h2 || h3 AS band_key FROM sig
+),
+bands AS (
+  SELECT doc_id, band_idx, band_key FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bsz
+    FROM bands_all) WHERE bsz <= {_LSH_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -105,7 +117,9 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide in a band iff both its minhashes agree — P(candidate) ≈
     1-(1-J²)², so only genuinely similar docs pair up. The candidate join
     is an EQUI-join on band_key (shuffle/broadcast hash join), never an
-    all-pairs comparison — this is the property that survives 100 TB."""
+    all-pairs comparison — this is the property that survives 100 TB.
+    Buckets above _LSH_BUCKET_CAP are dropped before the join (degenerate
+    boilerplate keys otherwise square the candidate set)."""
     docs = table(spark, sf_dir, "documents")
     dg = docs.select(
         "doc_id",
@@ -130,6 +144,10 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    bsz = F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+    bands = bands.withColumn("__bsz", bsz).filter(
+        F.col("__bsz") <= _LSH_BUCKET_CAP
+    ).drop("__bsz")
     bands = materialize(bands)  # both self-join branches reuse the sketch
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -231,7 +249,12 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived hash; the fingerprint sets bit k iff the vote sum is
     non-negative. Near-dup docs land at small Hamming distance. Explode +
     single groupBy(doc_id) — one shuffle keyed by doc id."""
-    docs = table(spark, sf_dir, "documents")
+    return simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the 16-bit fingerprint kernel shared by
+    x_dedup_simhash and the pair-generation query."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     th = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
     hashed = tok.select("doc_id", th.alias("th"))
@@ -247,6 +270,77 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash candidate pairs (banded Hamming join)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BANDS = 4  # 4 bands x 4 bits; Hamming<=3 => >=1 identical band
+_SIMHASH_HAMMING_K = 3
+
+
+def _simhash_pairs_oracle() -> str:
+    band_w = _SIMHASH_BITS // _SIMHASH_BANDS
+    return f"""
+WITH fp AS ({_simhash_oracle()}),
+bands AS (
+  SELECT doc_id, simhash, b,
+    (simhash >> (b * {band_w})) & {(1 << band_w) - 1} AS nib
+  FROM fp CROSS JOIN (SELECT unnest(range({_SIMHASH_BANDS})) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+    a.simhash AS ha, x.simhash AS hb
+  FROM bands a JOIN bands x ON a.b = x.b AND a.nib = x.nib
+    AND a.doc_id < x.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_HAMMING_K}
+"""
+
+
+@query("x_dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: band the 16-bit fingerprint into
+    4 nibbles and equi-join on (band, nibble) — by pigeonhole any pair at
+    Hamming distance <= 3 shares at least one band, so the banded join is
+    lossless for the k=3 verify. Verification is bit_count(a XOR b), all
+    JVM-side. Never an all-pairs scan: candidates are bucket-local, and a
+    production build widens to 64-bit fingerprints (same plan shape) so
+    bucket occupancy stays sub-quadratic at corpus scale."""
+    docs = table(spark, sf_dir, "documents")
+    fp = materialize(simhash_fingerprints(docs))
+    band_w = _SIMHASH_BITS // _SIMHASH_BANDS
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_w)
+                .bitwiseAND(F.lit((1 << band_w) - 1))
+                .alias("nib"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    bands = fp.select("doc_id", "simhash", F.explode(band_keys).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.nib").alias("nib")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "nib"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "nib"
+    )
+    cand = (
+        a.join(b, ["band", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= _SIMHASH_HAMMING_K
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,31 @@ def test_near_dup_removal_drops_known_pairs(spark, sf_dir):
     assert surviving_pairs == 0, f"{surviving_pairs} near-dup pairs survived"
 
 
+def test_lsh_bucket_guard_bounds_degenerate_buckets(spark):
+    """A boilerplate flood (one band key shared by 200 docs) must NOT
+    produce a quadratic candidate join: the oversized bucket is dropped,
+    while a genuine near-dup pair in a small bucket is still removed."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "padding tokens keep the shingle count realistic for this corpus"
+    )
+    rows = [(i, base, "en") for i in range(200)]
+    ta = (
+        "unique alpha beta gamma delta epsilon zeta eta theta iota "
+        "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    tb = ta + " phi"
+    rows += [(1000, ta, "en"), (1001, tb, "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dedup_near(docs)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # flood passes through untouched — its bucket was dropped, so no
+    # 200*199/2 pair explosion and nothing got anti-joined away
+    assert set(range(200)) <= ids
+    # the genuine near-dup pair still dedups (small bucket survives)
+    assert 1000 in ids and 1001 not in ids
+
+
 def test_end_to_end_runs(spark, sf_dir):
     corpus = prepare_training_corpus(spark, sf_dir)
     assert corpus.count() > 0
