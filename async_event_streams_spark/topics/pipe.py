@@ -64,6 +64,7 @@ def pipe(
     error_handler: Callable[[Exception], None] | None = None,
     subscribe_from: str = "latest",
     trigger_interval: str = "50 milliseconds",
+    bulk_threshold: int = 10_000,
 ) -> PipeHandle:
     """Wire source → fn → (target and/or sink_fn) as a streaming query.
 
@@ -71,6 +72,14 @@ def pipe(
     Rows re-emitted to `target` get fresh event ids on the target topic
     but keep `source_event_id` lineage (auto-set to the consumed
     event_id before `fn`; `fn` may override it).
+
+    Republish path is size-dependent: batches up to `bulk_threshold`
+    rows go through the driver-side segment log (control-plane FIFO);
+    larger batches are written by EXECUTORS via `target.post_df` with
+    only a marker in the log — a pipe carrying data-plane volume never
+    materializes its rows on the driver. Both paths record the same
+    `{pipe}:{batch_id}` txn header, so exactly-once across crash
+    replays is preserved regardless of which path a batch took.
     """
     if target is None and sink_fn is None:
         raise ValueError("pipe needs a target topic and/or a sink_fn")
@@ -93,21 +102,26 @@ def pipe(
                 if publish_state["last"] is None:
                     publish_state["last"] = target.last_txn(pipe_name)
                 if batch_id > publish_state["last"]:
-                    rows = [r.asDict(recursive=True) for r in out.collect()]
-                    if rows:
-                        target.post(
-                            [
-                                {
-                                    k: v
-                                    for k, v in r.items()
-                                    if k == "source_event_id"
-                                    or k == "event_type"
-                                    or k not in ENVELOPE_NAMES
-                                }
-                                for r in rows
-                            ],
-                            txn=f"{pipe_name}:{batch_id}",
-                        )
+                    txn = f"{pipe_name}:{batch_id}"
+                    keep = [
+                        c
+                        for c in out.columns
+                        if c in ("source_event_id", "event_type")
+                        or c not in ENVELOPE_NAMES
+                    ]
+                    pub = out.select(*keep)
+                    pub.persist()
+                    try:
+                        n = pub.count()
+                        if n > bulk_threshold:
+                            target.post_df(pub, txn=txn)
+                        elif n:
+                            target.post(
+                                [r.asDict(recursive=True) for r in pub.collect()],
+                                txn=txn,
+                            )
+                    finally:
+                        pub.unpersist()
                     publish_state["last"] = batch_id
             if sink_fn is not None:
                 sink_fn(out, batch_id)

@@ -260,7 +260,9 @@ class Topic:
             self._next_id = first + len(rows)
             return first, self._next_id - 1
 
-    def post_df(self, df: DataFrame, event_type: str = "event") -> tuple[int, int]:
+    def post_df(
+        self, df: DataFrame, event_type: str = "event", txn: str | None = None
+    ) -> tuple[int, int]:
         """Bulk publish a DataFrame: payload rows are written to the
         channel by EXECUTORS (parquet, full cluster parallelism); only a
         tiny marker referencing the bulk directory and the reserved
@@ -268,22 +270,32 @@ class Topic:
         how large flows enter a topic without the driver touching rows —
         the control-plane FIFO stays cheap, the data plane scales.
 
+        The parquet is written FIRST and `n` derived from the written
+        files (footer metadata): counting the plan and re-executing it
+        for the write would let a nondeterministic input (rand, unordered
+        limit, sample) write a different number of rows than the reserved
+        id range, corrupting id assignment and restart recovery.
+
         Ids are assigned from a reserved contiguous range in part-file
         order; `source_event_id` and `event_type` columns are honored
-        when present in `df`."""
+        when present in `df`. `txn` rides in the same atomically-renamed
+        segment as the marker — the pipes' exactly-once mechanism."""
         payload_names = {f.name for f in self.payload_schema.fields}
         allowed = payload_names | {"source_event_id", "event_type"}
         extra = set(df.columns) - allowed
         if extra:
             raise ValueError(f"post_df columns not in topic schema: {sorted(extra)}")
-        n = df.count()
-        if n == 0:
-            raise ValueError("post_df requires a non-empty DataFrame")
         with self._lock:
             base = self._next_id
             seg_idx = next_segment_index(self.dir)
             bulk_dir = os.path.join(self.dir, f"bulk-{seg_idx:08d}")
             df.write.mode("errorifexists").parquet(bulk_dir)
+            n = df.sparkSession.read.parquet(bulk_dir).count()
+            if n == 0:
+                import shutil
+
+                shutil.rmtree(bulk_dir, ignore_errors=True)
+                raise ValueError("post_df requires a non-empty DataFrame")
             marker = {
                 "__bulk__": True,
                 "path": bulk_dir,
@@ -292,7 +304,9 @@ class Topic:
                 "event_type": event_type,
                 "ts": datetime.now(timezone.utc),
             }
-            write_segment(self.dir, seg_idx, [marker])
+            records = [{"__txn__": txn}] if txn is not None else []
+            records.append(marker)
+            write_segment(self.dir, seg_idx, records)
             self._next_id = base + n
             return base, self._next_id - 1
 

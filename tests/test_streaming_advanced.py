@@ -93,6 +93,49 @@ def test_pipe_replay_publishes_exactly_once(spark, topic_root):
         dst.close()
 
 
+def test_pipe_bulk_republish_skips_driver(spark, topic_root):
+    """A batch above bulk_threshold must republish via post_df — the
+    target segment holds only a txn header + bulk marker (executors
+    wrote the payload parquet), and lineage/event ids stay intact."""
+    import glob
+    import json
+    import os
+
+    reg = TopicRegistry()
+    src = Topic(spark, "bulk_src", "n long", topic_root, reg)
+    dst = Topic(spark, "bulk_dst", "n long", topic_root, reg)
+    h = pipe(
+        src,
+        fn=lambda df: df.select("source_event_id", "n"),
+        target=dst,
+        name="bulk-pipe",
+        bulk_threshold=5,
+    )
+    try:
+        src.send([{"n": i} for i in range(20)], barrier="chain")
+        rows = dst.batch_df().collect()
+        assert sorted(r.n for r in rows) == list(range(20))
+        # lineage survived the bulk path
+        assert all(r.source_event_id is not None for r in rows)
+        # the dst log contains a bulk marker with the pipe's txn header,
+        # and no inline event rows for those 20 events
+        segs = sorted(glob.glob(os.path.join(dst.dir, "segment-*.jsonl")))
+        recs = [
+            json.loads(line)
+            for s in segs
+            for line in open(s)
+            if line.strip()
+        ]
+        assert any(r.get("__txn__", "").startswith("bulk-pipe:") for r in recs)
+        bulk = [r for r in recs if r.get("__bulk__")]
+        assert len(bulk) == 1 and bulk[0]["n"] == 20
+        assert not any("event_id" in r for r in recs)
+    finally:
+        h.stop()
+        src.close()
+        dst.close()
+
+
 def test_stream_stream_join_with_time_bounds(spark, topic_root):
     """Two topic streams joined on key with a time-bound condition and
     watermarks — the streaming as-of building block (SURVEY.md §2-C)."""
