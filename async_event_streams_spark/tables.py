@@ -34,8 +34,19 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 # spark.read.parquet call otherwise costs ~0.1 s of driver<->JVM
 # roundtrips (reader setup, schema fetch, file listing), which at one
 # call per query becomes the dominant fixed overhead of short queries.
-# Keyed by id(spark) so a fresh session (fresh JVM state) rebuilds.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by id(spark), with the session object PINNED in the value: a
+# pinned session can't be garbage-collected, so CPython can never hand
+# its id to a new session (no stale hit); the identity check makes that
+# explicit. Entries of stopped sessions are evicted on cache misses so
+# the cache doesn't grow without bound across sessions.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _session_stopped(sess: SparkSession) -> bool:
+    try:
+        return sess.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True  # dead gateway == stopped
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,8 +54,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     key = (id(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    stale = [
+        k
+        for k, (sess, _) in _TABLE_CACHE.items()
+        if sess is not spark and _session_stopped(sess)
+    ]
+    for k in stale:
+        _TABLE_CACHE.pop(k, None)
     # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
     # parquet reader rejects by default. Set the legacy conf here (runtime
     # SQL conf) so reads work on ANY session, including the driver's own
@@ -54,7 +72,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the (naive-timestamp) SQL oracle regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = _normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    _TABLE_CACHE[key] = df
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 

@@ -48,15 +48,27 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+)
 
 from .topic import DEFAULT_REGISTRY, Topic, TopicRegistry
 
 
 def _route(key, num_partitions: int) -> int:
-    """Stable key → partition. crc32 over the utf-8 of str(key): Python
-    zlib.crc32 and Spark's F.crc32 agree on string bytes, so driver-side
-    and executor-side routing match (see post_df)."""
+    """Stable key → partition. crc32 over the utf-8 of the key rendered
+    with SPARK's cast-to-string semantics (bool → "true"/"false", not
+    Python's "True"), so driver-side post() and executor-side post_df()
+    always agree. Key-column types where the two renderings can differ
+    (float/decimal/timestamp) are rejected at construction."""
+    if isinstance(key, bool):
+        key = "true" if key else "false"
     return zlib.crc32(str(key).encode("utf-8")) % num_partitions
 
 
@@ -79,6 +91,22 @@ class PartitionedTopic:
             payload_schema = StructType.fromDDL(payload_schema)
         if key_col not in {f.name for f in payload_schema.fields}:
             raise ValueError(f"key_col {key_col!r} not in payload schema")
+        key_type = next(
+            f.dataType for f in payload_schema.fields if f.name == key_col
+        )
+        # Routing hashes the key's STRING rendering on both the driver
+        # (Python str) and executors (Spark cast-as-string); the two
+        # disagree for float/decimal/timestamp formatting, which would
+        # silently break per-key FIFO when post() and post_df() mix.
+        if not isinstance(
+            key_type,
+            (StringType, LongType, IntegerType, ShortType, ByteType, BooleanType),
+        ):
+            raise ValueError(
+                f"key_col {key_col!r} has type {key_type.simpleString()}; "
+                "partition keys must be string/integral/boolean (pre-cast "
+                "the key to string for other types)"
+            )
         self.spark = spark
         self.name = name
         self.key_col = key_col

@@ -110,18 +110,37 @@ class SentEvent:
             progress = q.lastProgress
             if progress is None:
                 return False
-            try:
-                import ast
-
-                end = progress["sources"][0]["endOffset"]
-                if isinstance(end, str):
-                    # rendered as a Python-literal string ("{'segment': 1}")
-                    end = ast.literal_eval(end)
-                if not isinstance(end, dict) or end.get("segment", 0) < published:
-                    return False
-            except (KeyError, IndexError, TypeError, ValueError, SyntaxError):
+            end = _parse_end_offset(progress)
+            if end is None or end.get("segment", 0) < published:
                 return False
         return True
+
+
+def _parse_end_offset(progress: dict) -> dict | None:
+    """Extract sources[0].endOffset from a StreamingQueryProgress dict as
+    a dict, or None if absent/unparseable. The engine may surface the
+    offset as a nested dict, a JSON string, or (older renderings) a
+    Python-literal string — try strictest first rather than relying on
+    one Spark version's formatting."""
+    try:
+        end = progress["sources"][0]["endOffset"]
+    except (KeyError, IndexError, TypeError):
+        return None
+    if isinstance(end, dict):
+        return end
+    if isinstance(end, str):
+        import ast
+        import json
+
+        for parse in (json.loads, ast.literal_eval):
+            try:
+                parsed = parse(end)
+            except (ValueError, SyntaxError):
+                continue
+            if isinstance(parsed, dict):
+                return parsed
+        return None
+    return None
 
 
 class Topic:

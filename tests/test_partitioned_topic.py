@@ -124,6 +124,39 @@ def test_post_df_routing_matches_post(spark, topic_root):
         assert r.partition == t.partition_for(r.k)
 
 
+def test_bool_key_routes_identically_both_paths(spark, topic_root):
+    """post() (Python str) and post_df() (Spark cast-as-string) must
+    agree on boolean keys: Python renders True, Spark renders true —
+    the router normalizes to Spark's form."""
+    t = PartitionedTopic(
+        spark, "pt_bool", "flag boolean, n long", topic_root, key_col="flag",
+        num_partitions=4, registry=TopicRegistry(),
+    )
+    t.post([{"flag": True, "n": 0}, {"flag": False, "n": 1}])
+    df = spark.createDataFrame(
+        [(True, 2), (False, 3)], "flag boolean, n long"
+    )
+    t.post_df(df)
+    rows = t.batch_df().select("partition", "flag").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.flag, set()).add(r.partition)
+    assert all(len(parts) == 1 for parts in by_key.values()), by_key
+
+
+def test_float_key_col_rejected_at_construction(spark, topic_root):
+    """Float/decimal/timestamp keys render differently in Python str vs
+    Spark cast-as-string, which would silently break per-key FIFO —
+    rejected up front."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pre-cast"):
+        PartitionedTopic(
+            spark, "pt_float", "score double, n long", topic_root,
+            key_col="score", num_partitions=4, registry=TopicRegistry(),
+        )
+
+
 def test_replay_header_visible_on_every_partition(spark, topic_root):
     """Transactional post writes the txn header to all partitions (even
     ones with no rows that batch), so last_txn() replay detection can't

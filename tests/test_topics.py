@@ -277,6 +277,25 @@ def test_concurrent_producers_get_unique_ids(spark, topic_root, registry):
     assert sorted(ids) == list(range(100))  # no gaps, no duplicates
 
 
+def test_parse_end_offset_handles_all_renderings():
+    """done() must not depend on one Spark version's offset formatting:
+    dict, JSON string, Python-literal string, and garbage all parse (or
+    safely fail) without raising."""
+    from async_event_streams_spark.topics.topic import _parse_end_offset
+
+    def prog(end):
+        return {"sources": [{"endOffset": end}]}
+
+    assert _parse_end_offset(prog({"segment": 3})) == {"segment": 3}
+    assert _parse_end_offset(prog('{"segment": 3}')) == {"segment": 3}
+    assert _parse_end_offset(prog("{'segment': 3}")) == {"segment": 3}
+    assert _parse_end_offset(prog("not an offset")) is None
+    assert _parse_end_offset(prog(None)) is None
+    assert _parse_end_offset(prog("[1, 2]")) is None
+    assert _parse_end_offset({"sources": []}) is None
+    assert _parse_end_offset({}) is None
+
+
 def test_batch_df_roundtrip(spark, topic_root, registry):
     t = Topic(spark, "roundtrip", "v long, s string", topic_root, registry)
     t.post([{"v": 1, "s": "x"}, {"v": 2, "s": "y"}], event_type="tp")
