@@ -57,6 +57,16 @@ def test_trained_ivf_centroids(spark, sf_dir):
     (The deterministic x_ann_ivf variant scores higher recall here only
     because its query vectors are their own centroids — a degenerate
     favorable case; it exists for SQL-oracle replayability.)"""
+    _trained_ivf_gate(spark, sf_dir)
+
+
+def test_trained_ivf_centroids_sf01(spark):
+    """Same gate at sf0.1 (~5k vectors): training, cell balance, and
+    recall lift must hold at the bench scale, not just the unit scale."""
+    _trained_ivf_gate(spark, "/root/testdata/sf0.1")
+
+
+def _trained_ivf_gate(spark, sf_dir):
     import math
 
     from pyspark.sql.window import Window
