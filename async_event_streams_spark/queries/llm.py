@@ -215,10 +215,12 @@ def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Dedup: SimHash (16-bit, md5-derived token hashes)
+# Dedup: SimHash (32-bit, md5-derived token hashes)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32  # 4 bands x 8 bits: lossless for Hamming<=3, and 8-bit
+# band keys keep buckets discriminative (16-bit fingerprints collapse a
+# topically homogeneous corpus into quadratic buckets)
 
 
 def _simhash_oracle() -> str:
@@ -234,7 +236,7 @@ WITH tok AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
 ), hashed AS (
   SELECT doc_id,
-    CAST(('0x' || substr(md5(tok), 1, 4))::UBIGINT AS BIGINT) AS th
+    CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS th
   FROM tok
 ), bits AS (
   SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
@@ -245,7 +247,7 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
 
 @query("x_dedup_simhash", oracle=_simhash_oracle())
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 16-bit SimHash: each token votes ±1 on each bit of its
+    """Per-doc 32-bit SimHash: each token votes ±1 on each bit of its
     md5-derived hash; the fingerprint sets bit k iff the vote sum is
     non-negative. Near-dup docs land at small Hamming distance. Explode +
     single groupBy(doc_id) — one shuffle keyed by doc id."""
@@ -253,10 +255,10 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — the 16-bit fingerprint kernel shared by
+    """(doc_id, simhash) — the 32-bit fingerprint kernel shared by
     x_dedup_simhash and the pair-generation query."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    th = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+    th = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     hashed = tok.select("doc_id", th.alias("th"))
     bit_sums = [
         F.sum(
@@ -301,8 +303,8 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_HAMMING_K}
 
 @query("x_dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs: band the 16-bit fingerprint into
-    4 nibbles and equi-join on (band, nibble) — by pigeonhole any pair at
+    """SimHash near-dup candidate pairs: band the 32-bit fingerprint into
+    4 bytes and equi-join on (band, nibble) — by pigeonhole any pair at
     Hamming distance <= 3 shares at least one band, so the banded join is
     lossless for the k=3 verify. Verification is bit_count(a XOR b), all
     JVM-side. Never an all-pairs scan: candidates are bucket-local, and a
@@ -341,6 +343,81 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= _SIMHASH_HAMMING_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: connected components over the verified near-dup graph
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 15
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_VERIFIED_ORACLE}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT reach.doc_id, e.d FROM reach JOIN edges e ON e.s = reach.r
+)
+SELECT doc_id, CAST(MIN(r) AS BIGINT) AS canonical_id
+FROM reach GROUP BY doc_id
+"""
+
+
+@query("x_dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    verified near-dup pair graph, labeling every member with the
+    cluster's minimum doc_id (the canonical copy a dedup pipeline
+    keeps). Distributed min-label propagation: each round joins labels
+    across edges and keeps the per-node minimum — rounds needed = graph
+    diameter, which the verify threshold + LSH bucket cap keep tiny
+    (near-dup clusters are cliques-ish, not chains). Every round is
+    checkpointed so the plan doesn't grow with iterations, and
+    convergence is detected from the (monotonically decreasing) label
+    sum — one scalar per round, no rows ever reach the driver."""
+    pairs = x_dedup_verified(spark, sf_dir).select("doc_a", "doc_b")
+    edges = materialize(
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("canonical_id"))
+        .persist()
+    )
+    # One action per round: the label-sum convergence probe doubles as
+    # the job that materializes the persisted round output.
+    prev_sum = labels.agg(F.sum("canonical_id")).collect()[0][0]
+    for i in range(_CC_MAX_ITERS):
+        neigh = edges.join(
+            labels, edges["s"] == labels["doc_id"]
+        ).select(F.col("d").alias("doc_id"), "canonical_id")
+        nxt = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("canonical_id").alias("canonical_id"))
+            .persist()
+        )
+        cur_sum = nxt.agg(F.sum("canonical_id")).collect()[0][0]
+        converged = cur_sum == prev_sum
+        prev_sum = cur_sum
+        # Checkpoint every few rounds so the plan can't grow unboundedly
+        # on a long-diameter graph; persist covers the common tiny case.
+        if not converged and (i + 1) % 4 == 0:
+            nxt = materialize(nxt)
+        labels.unpersist()
+        labels = nxt
+        if converged:
+            break
+    return labels
 
 
 # ---------------------------------------------------------------------------
