@@ -878,6 +878,65 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Text analysis: TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, rnk, tfidf FROM ranked WHERE rnk <= {_TFIDF_TOPK}
+"""
+
+
+@query("x_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def x_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf — the keyword
+    extraction a corpus-curation pipeline runs for topic balance checks.
+    Two partial-aggregated shuffles (term frequency by (doc, term), doc
+    frequency by term), a hash join back on term (Catalyst picks
+    broadcast while the vocabulary is small, shuffle-hash beyond), a
+    scalar doc count joined as a broadcast literal, and one per-doc
+    window for the top-k. Scores are ROUNDed before ranking so the
+    cross-engine comparison can't flip on a ulp; ties break on term."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "rnk", "tfidf")
+    )
+
+
 _STOPWORDS = ["the", "a", "and", "of", "to", "in"]
 _PUNCT_RE = "[.,!?;:]"
 
