@@ -286,10 +286,14 @@ def _simhash_pairs_oracle() -> str:
     band_w = _SIMHASH_BITS // _SIMHASH_BANDS
     return f"""
 WITH fp AS ({_simhash_oracle()}),
-bands AS (
+bands_all AS (
   SELECT doc_id, simhash, b,
     (simhash >> (b * {band_w})) & {(1 << band_w) - 1} AS nib
   FROM fp CROSS JOIN (SELECT unnest(range({_SIMHASH_BANDS})) AS b)
+), bands AS (
+  SELECT doc_id, simhash, b, nib FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY b, nib) AS bsz FROM bands_all)
+  WHERE bsz <= {_LSH_BUCKET_CAP}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
     a.simhash AS ha, x.simhash AS hb
@@ -307,9 +311,11 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bytes and equi-join on (band, nibble) — by pigeonhole any pair at
     Hamming distance <= 3 shares at least one band, so the banded join is
     lossless for the k=3 verify. Verification is bit_count(a XOR b), all
-    JVM-side. Never an all-pairs scan: candidates are bucket-local, and a
-    production build widens to 64-bit fingerprints (same plan shape) so
-    bucket occupancy stays sub-quadratic at corpus scale."""
+    JVM-side. Never an all-pairs scan: candidates are bucket-local,
+    buckets above _LSH_BUCKET_CAP are dropped (identical-fingerprint
+    floods go quadratic otherwise), and a production build widens to
+    64-bit fingerprints (same plan shape) so bucket occupancy stays
+    sub-quadratic at corpus scale."""
     docs = table(spark, sf_dir, "documents")
     fp = materialize(simhash_fingerprints(docs))
     band_w = _SIMHASH_BITS // _SIMHASH_BANDS
@@ -327,6 +333,10 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = fp.select("doc_id", "simhash", F.explode(band_keys).alias("bk")).select(
         "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.nib").alias("nib")
     )
+    bsz = F.count("*").over(Window.partitionBy("band", "nib"))
+    bands = bands.withColumn("__bsz", bsz).filter(
+        F.col("__bsz") <= _LSH_BUCKET_CAP
+    ).drop("__bsz")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "nib"
     )
@@ -387,10 +397,12 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
         )
     )
+    # Initial label = min(self, neighbors): folds the first propagation
+    # round into initialization — clique-ish near-dup clusters converge
+    # in the very next (confirming) round.
     labels = (
-        edges.select(F.col("s").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("canonical_id"))
+        edges.groupBy(F.col("s").alias("doc_id"))
+        .agg(F.min(F.least(F.col("s"), F.col("d"))).alias("canonical_id"))
         .persist()
     )
     # One action per round: the label-sum convergence probe doubles as
@@ -766,8 +778,12 @@ def _embdup_oracle() -> str:
     return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), b AS (
+), b_all AS (
   SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v
+), b AS (
+  SELECT vec_id, e, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b_all)
+  WHERE bsz <= {_LSH_BUCKET_CAP}
 ), pairs AS (
   SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
     list_dot_product(a.e, x.e) /
@@ -785,14 +801,20 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections → 1024 buckets) turns the quadratic all-pairs scan into
     a bucket-local self-equi-join; candidates above the cosine threshold
     survive. Threshold filters on the ROUNDED score so the cross-engine
-    comparison can't flip on a 1e-12 boundary."""
+    comparison can't flip on a 1e-12 boundary. Buckets above
+    _LSH_BUCKET_CAP are dropped (identical-vector floods go quadratic
+    otherwise — exact dedup owns those)."""
     emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
+    )
+    bsz = F.count("*").over(Window.partitionBy("bucket"))
     b = materialize(
-        emb.select(
-            "vec_id",
-            F.col("embedding").alias("e"),
-            lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
-        )
+        bucketed.withColumn("__bsz", bsz)
+        .filter(F.col("__bsz") <= _LSH_BUCKET_CAP)
+        .drop("__bsz")
     )
     a = b.alias("a")
     x = b.select(

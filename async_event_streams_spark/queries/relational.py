@@ -122,14 +122,16 @@ def c_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the scale path for distinct
     counts — no exact-distinct shuffle explosion at 100 TB. The approx
-    value is checked as a <2% relative-error boolean against the exact
-    count (computed here only to anchor the oracle; production would
-    ship the sketch alone)."""
+    value is checked as a <10% relative-error boolean against the exact
+    count (rsd=0.04 → 10% is a 2.5-sigma bound; rsd=0.01 sketches cost
+    6x more in register merges and are gated separately in
+    tests/test_ordering.py at 2%). The exact count is computed here only
+    to anchor the oracle; production ships the sketch alone."""
     agg = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.04).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
     )
@@ -137,7 +139,7 @@ def c_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         "exact_users",
-        (rel_err < F.lit(0.02)).alias("approx_ok"),
+        (rel_err < F.lit(0.10)).alias("approx_ok"),
     )
 
 

@@ -110,18 +110,18 @@ def pipe(
                         or c not in ENVELOPE_NAMES
                     ]
                     pub = out.select(*keep)
-                    pub.persist()
-                    try:
-                        n = pub.count()
-                        if n > bulk_threshold:
-                            target.post_df(pub, txn=txn)
-                        elif n:
-                            target.post(
-                                [r.asDict(recursive=True) for r in pub.collect()],
-                                txn=txn,
-                            )
-                    finally:
-                        pub.unpersist()
+                    # One job in the common (control-plane) case: collect
+                    # at most threshold+1 rows to learn which side of the
+                    # threshold this batch is on. Only a bulk batch pays
+                    # a second (executor-side, parquet-writing) pass.
+                    rows = pub.limit(bulk_threshold + 1).collect()
+                    if len(rows) > bulk_threshold:
+                        target.post_df(pub, txn=txn)
+                    elif rows:
+                        target.post(
+                            [r.asDict(recursive=True) for r in rows],
+                            txn=txn,
+                        )
                     publish_state["last"] = batch_id
             if sink_fn is not None:
                 sink_fn(out, batch_id)
