@@ -27,7 +27,7 @@ from ..functions.text import (
     tokens,
 )
 from ..tables import table
-from ..util import materialize
+from ..util import cap_buckets, materialize
 from . import query
 
 # DuckDB-side twins of functions/text.py (kept adjacent so any change to
@@ -144,11 +144,10 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
-    bsz = F.count("*").over(Window.partitionBy("band_idx", "band_key"))
-    bands = bands.withColumn("__bsz", bsz).filter(
-        F.col("__bsz") <= _LSH_BUCKET_CAP
-    ).drop("__bsz")
-    bands = materialize(bands)  # both self-join branches reuse the sketch
+    # Pin the sketch FIRST: the cap's count pass and both self-join
+    # branches all read the materialized signatures instead of
+    # recomputing shingle digests per consumer.
+    bands = cap_buckets(materialize(bands), ["band_idx", "band_key"], _LSH_BUCKET_CAP)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -333,10 +332,7 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = fp.select("doc_id", "simhash", F.explode(band_keys).alias("bk")).select(
         "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.nib").alias("nib")
     )
-    bsz = F.count("*").over(Window.partitionBy("band", "nib"))
-    bands = bands.withColumn("__bsz", bsz).filter(
-        F.col("__bsz") <= _LSH_BUCKET_CAP
-    ).drop("__bsz")
+    bands = cap_buckets(bands, ["band", "nib"], _LSH_BUCKET_CAP)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "nib"
     )
@@ -810,12 +806,7 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("e"),
         lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
     )
-    bsz = F.count("*").over(Window.partitionBy("bucket"))
-    b = materialize(
-        bucketed.withColumn("__bsz", bsz)
-        .filter(F.col("__bsz") <= _LSH_BUCKET_CAP)
-        .drop("__bsz")
-    )
+    b = cap_buckets(materialize(bucketed), ["bucket"], _LSH_BUCKET_CAP)
     a = b.alias("a")
     x = b.select(
         F.col("vec_id").alias("vec_b"),
