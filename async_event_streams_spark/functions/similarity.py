@@ -79,13 +79,23 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
-def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def ivf_cell(
+    vec: Column, centroids: list[list[float]], round_dp: int | None = None
+) -> Column:
     """Nearest-centroid cell id (argmax cosine, first index on ties) as
-    one JVM-side expression over literal centroids — no join, no Python.
-    Built as array-of-scores + array_position(array_max): expression
-    size is LINEAR in K (a chained `when` argmax doubles per step —
-    2^K nodes — and overflows plan conversion around K=16)."""
+    one JVM-side expression over literal centroids — no join, no Python,
+    and crucially NO exchange: assignment happens in the scan stage, so
+    the N-row side never shuffles (a groupBy/max_by or window argmax
+    moves every vector through an exchange for a value each row can
+    compute locally). Built as array-of-scores + array_position(
+    array_max): expression size is LINEAR in K (a chained `when` argmax
+    doubles per step — 2^K nodes — and overflows plan conversion around
+    K=16). `round_dp` rounds each score before the argmax so a SQL
+    oracle's `ORDER BY ROUND(cs, dp) DESC, centroid_id` tie-break is
+    reproduced exactly (first index on rounded ties == lowest id)."""
     scores = F.array(
         *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
     )
+    if round_dp is not None:
+        scores = F.transform(scores, lambda s: F.round(s, round_dp))
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")

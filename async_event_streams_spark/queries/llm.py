@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.similarity import cosine, dot, lsh_bucket, lsh_planes
+from ..functions.similarity import cosine, dot, ivf_cell, lsh_bucket, lsh_planes
 from ..functions.text import (
     minhash_component,
     shingle_digests,
@@ -676,20 +676,17 @@ FROM ranked WHERE rnk <= 5
 """
 
 
-def ivf_assign(ascore: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment as an aggregation, not a window:
-    max_by with a (rounded-score, -centroid_id) struct key reproduces
-    the oracle's ROW_NUMBER tie-break, and partial aggregation collapses
-    the K scored rows per vector map-side — the exchange moves N slim
-    rows, not N*K (a window row_number here shuffles the full cross-join
-    output). Audited by tests/test_plans.py."""
-    argmax_key = F.struct(
-        F.round(F.col("cs"), 9).alias("s"), (-F.col("centroid_id")).alias("t")
-    )
-    return (
-        ascore.groupBy("vec_id")
-        .agg(F.max_by(F.struct("centroid_id", "e"), argmax_key).alias("m"))
-        .select("vec_id", F.col("m.e").alias("e"), F.col("m.centroid_id").alias("cell"))
+def ivf_assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment computed IN THE SCAN: `ivf_cell`
+    embeds the K centroids as plan literals and evaluates the rounded
+    argmax per row, so assignment adds zero exchanges — the earlier
+    max_by formulation still shuffled all N vectors (each with its
+    embedding payload) to finalize groups that were already map-local.
+    round_dp=9 reproduces the oracle's ROW_NUMBER tie-break
+    (ROUND(cs,9) DESC, centroid_id ASC). Audited exchange-free by
+    tests/test_plans.py."""
+    return v.select(
+        "vec_id", "e", ivf_cell(F.col("e"), centroids, round_dp=9).alias("cell")
     )
 
 
@@ -709,18 +706,24 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_cosine_topk (9 dp, neighbor_id ties)."""
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").alias("e"))
+    # K tiny rows to the driver (pushed-down vec_id < K scan) become
+    # plan literals; at scale this is the same shape as shipping trained
+    # k-means centroids into the plan (train_ivf_centroids).
+    cents = [
+        list(r.e)
+        for r in v.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
+    ]
+    assigned = materialize(ivf_assign(v, cents))
     cent = v.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
     )
-    ascore = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "e", "centroid_id", cosine(F.col("e"), F.col("ce")).alias("cs")
-    )
-    assigned = materialize(ivf_assign(ascore))
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("cs"), 9).desc(), F.col("centroid_id")
     )
     probes = (
-        ascore.filter(F.col("vec_id") < 10)
+        v.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "centroid_id", cosine("e", "ce").alias("cs"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= _IVF_PROBES)
         .select(

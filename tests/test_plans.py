@@ -77,35 +77,33 @@ def test_agg_uses_partial_aggregation(spark, sf_dir):
     assert "Exchange" in plan
 
 
-def test_ivf_assignment_is_partial_aggregation_not_window(spark, sf_dir):
-    """IVF cell assignment must collapse the N*K scored rows map-side
-    (partial max_by) so the exchange carries N slim rows — a window
-    row_number here would shuffle the full N*K cross-join output.
+def test_ivf_assignment_has_no_exchange(spark, sf_dir):
+    """IVF cell assignment must be computed in the scan stage (ivf_cell
+    argmax over literal centroids): zero exchanges, zero joins — every
+    vector's cell is a local expression. Both the earlier forms fail
+    this bar: a window row_number shuffles the N*K cross-join output,
+    and even max_by partial aggregation shuffles all N vectors (with
+    embedding payloads) to finalize map-local groups.
     (Audited on the pre-materialize sub-plan: localCheckpoint truncates
     the lineage in the full query's explain.)"""
     from pyspark.sql import functions as F
 
-    from async_event_streams_spark.functions.similarity import cosine
     from async_event_streams_spark.queries.llm import _IVF_K, ivf_assign
     from async_event_streams_spark.tables import table
 
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").alias("e"))
-    cent = v.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
-    )
-    ascore = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "e", "centroid_id", cosine(F.col("e"), F.col("ce")).alias("cs")
-    )
-    df = ivf_assign(ascore)
+    cents = [
+        list(r.e)
+        for r in v.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
+    ]
+    df = ivf_assign(v, cents)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    # partial + final aggregate levels around one exchange (SortAggregate:
-    # the struct value holds the embedding array, which isn't hashable)
-    assert "partial_max_by" in plan, plan
-    assert plan.count("Aggregate (") >= 2, plan
+    assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_whole_stage_codegen_covers_hot_paths(spark, sf_dir):
