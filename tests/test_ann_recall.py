@@ -82,7 +82,7 @@ def _trained_ivf_gate(spark, sf_dir):
     assigned = emb.select(
         "vec_id",
         F.col("embedding").alias("e"),
-        ivf_cell(F.col("embedding"), cents).alias("cell"),
+        ivf_cell("embedding", cents).alias("cell"),
     )
     sizes = [r["count"] for r in assigned.groupBy("cell").count().collect()]
     n = sum(sizes)
