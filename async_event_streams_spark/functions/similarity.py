@@ -87,14 +87,20 @@ def _sql_double(w: float) -> str:
     return f"{float(w)!r}D"
 
 
-def _sql_dot_lit(vec_sql: str, lits: list[float]) -> str:
+def _sql_dot_lit(vec_sql: str, lits: list[float], assume_double: bool = False) -> str:
     """Unrolled dot product of an array column against Python-literal
     weights as SQL text: left-to-right double accumulation, bit-identical
-    to the HOF `dot` and DuckDB's list_dot_product on DOUBLE[]."""
-    return "(" + " + ".join(
-        f"CAST({vec_sql}[{i}] AS DOUBLE) * {_sql_double(w)}"
-        for i, w in enumerate(lits)
-    ) + ")"
+    to the HOF `dot` and DuckDB's list_dot_product on DOUBLE[].
+    `assume_double` skips the per-element CAST when the caller already
+    cast the array to array<double> (one cast node instead of dim*K)."""
+    if assume_double:
+        terms = (f"{vec_sql}[{i}] * {_sql_double(w)}" for i, w in enumerate(lits))
+    else:
+        terms = (
+            f"CAST({vec_sql}[{i}] AS DOUBLE) * {_sql_double(w)}"
+            for i, w in enumerate(lits)
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def ivf_cell(
@@ -126,7 +132,10 @@ def ivf_cell(
 
 
 def ivf_scores_sql(
-    vec_sql: str, centroids: list[list[float]], round_dp: int | None = None
+    vec_sql: str,
+    centroids: list[list[float]],
+    round_dp: int | None = None,
+    assume_double: bool = False,
 ) -> str:
     """SQL text for the per-centroid score array underlying `ivf_cell`.
     Exposed separately so callers can bind it to a column in its own
@@ -142,6 +151,6 @@ def ivf_scores_sql(
         # norm is a positive per-row constant factor), half the
         # expression — the 64-term self-dot isn't repeated per centroid.
         cnorm = _sql_double(math.sqrt(sum(x * x for x in c)))
-        s = f"({_sql_dot_lit(vec_sql, c)} / {cnorm})"
+        s = f"({_sql_dot_lit(vec_sql, c, assume_double)} / {cnorm})"
         scores.append(f"ROUND({s}, {round_dp})" if round_dp is not None else s)
     return f"array({', '.join(scores)})"

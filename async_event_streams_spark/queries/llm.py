@@ -697,7 +697,12 @@ def ivf_assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
     expression (see ivf_scores_sql). Audited exchange-free by
     tests/test_plans.py."""
     return (
-        v.withColumn("_s", F.expr(ivf_scores_sql("e", centroids, round_dp=9)))
+        v.withColumn(
+            "_s",
+            F.expr(
+                ivf_scores_sql("e", centroids, round_dp=9, assume_double=True)
+            ),
+        )
         .select(
             "vec_id",
             "e",
@@ -723,7 +728,10 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed candidates never duplicate. Rounding/tie discipline matches
     x_cosine_topk (9 dp, neighbor_id ties)."""
     emb = table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", F.col("embedding").alias("e"))
+    # One array-level cast at the scan (mirroring the oracle's
+    # CAST(embedding AS DOUBLE[]) CTE) so the unrolled assignment terms
+    # skip dim*K per-element CAST nodes.
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     # K tiny rows to the driver (pushed-down vec_id < K scan) become
     # plan literals; at scale this is the same shape as shipping trained
     # k-means centroids into the plan (train_ivf_centroids). Memoized
