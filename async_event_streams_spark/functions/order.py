@@ -64,3 +64,41 @@ def global_row_number(
         )
         .drop("__pid", "__offset")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    sum_col: str = "running_sum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append `sum_col` = inclusive running SUM(value_col) in global
+    `order_cols` order — SUM() OVER (ORDER BY ...) without the
+    single-partition window, same two-phase shape as global_row_number:
+    range-partitioned local running sums plus a broadcast prefix-sum of
+    per-partition totals (the only centralized data is n_partitions
+    rows)."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    with_pid = parts.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+
+    totals = with_pid.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__offset"),
+    )
+
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(sum_col, F.sum(value_col).over(w_local) + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )

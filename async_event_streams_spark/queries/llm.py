@@ -48,6 +48,13 @@ _SQL_SHINGLES = (
 _SQL_DIGESTS = "list_transform(shingles, s -> md5(s))"
 
 
+def _sql_shingles_k(k: int) -> str:
+    """DuckDB twin of functions/text.py shingles() for arbitrary k
+    (the module-level _SQL_SHINGLES is the k=3 instance)."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(k))
+    return f"list_transform(range(1, len(toks) - {k - 2}), i -> {parts})"
+
+
 def _sql_minhash(k: int) -> str:
     return (
         f"list_aggregate(list_transform(hs, d -> substr(d, {1 + 8 * k}, 8)), 'min')"
@@ -1239,3 +1246,336 @@ def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = to_assets(docs, "text", "video")
     frames = sample_frames(assets, every_n=10, max_frames=4, fake_codec=True)
     return frames.select("asset_id", "frame_index", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Deterministic pseudo-benchmark: every 97th doc plays the held-out eval
+# set. A training doc is contaminated iff it shares at least one 4-gram
+# with any benchmark doc (the n-gram-overlap rule used by LLM training
+# pipelines to scrub eval leakage).
+_DECON_MOD = 97
+_DECON_K = 4
+
+_DECON_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, md5(s) AS g FROM (
+    SELECT doc_id, unnest({_sql_shingles_k(_DECON_K)}) AS s
+    FROM t)
+),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {_DECON_MOD} = 0),
+train AS (SELECT doc_id, g FROM g WHERE doc_id % {_DECON_MOD} <> 0),
+hits AS (
+  SELECT DISTINCT t.doc_id FROM train t JOIN bench b ON t.g = b.g
+)
+SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+FROM documents d WHERE d.doc_id % {_DECON_MOD} <> 0
+"""
+
+
+@query("x_decontaminate", oracle=_DECON_ORACLE)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training doc that shares a
+    4-gram with the (deterministic) benchmark subset. Scale shape: the
+    benchmark gram set is SMALL relative to the corpus, so it is
+    BROADCAST to both the semi-join (which grams hit) and the final
+    flag join — the full training side never shuffles; grams stay
+    hashed (md5, 32 bytes) so the broadcast is compact."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(shingles(tokens(F.col("text")), k=_DECON_K), F.md5)
+        ).alias("g"),
+    )
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    bench = grams.filter(is_bench).select("g").distinct()
+    train = grams.filter(~is_bench)
+    hits = (
+        train.join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(~is_bench)
+        .join(
+            F.broadcast(hits.withColumn("__hit", F.lit(True))), "doc_id", "left"
+        )
+        .select(
+            "doc_id", F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+      AS dup_token_ratio,
+    {_sql_shingles_k(2)} AS grams
+  FROM t
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM base),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total FROM gc GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens, b.dup_token_ratio,
+  ROUND(CAST(top.top_c AS DOUBLE) / top.total, 6) AS top_bigram_ratio
+FROM base b JOIN top ON b.doc_id = top.doc_id
+"""
+
+
+@query("x_repetition", oracle=_REP_ORACLE)
+def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction and the
+    share of all bigrams taken by the single most frequent bigram —
+    the standard cheap filters for template/spam text. dup_token_ratio
+    is a pure per-row HOF expression; the top-bigram share uses
+    explode → two partial-aggregating groupBys keyed by doc_id (NOT a
+    per-doc nested-loop HOF, which evaluates interpreted O(n_grams²)
+    per row), then joins back on doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    base = materialize(
+        t.select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks"),
+                6,
+            ).alias("dup_token_ratio"),
+            shingles(F.col("toks"), k=2).alias("grams"),
+        )
+    )
+    gc = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+    )
+    top = gc.groupBy("doc_id").agg(
+        F.max("count").alias("top_c"), F.sum("count").alias("total")
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_ratio",
+        F.round(F.col("top_c").cast("double") / F.col("total"), 6).alias(
+            "top_bigram_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: BM25 relevance scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "data"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _eq_lit(value: str):
+    """One-arg HOF predicate testing equality with a captured literal."""
+    return lambda x: x == F.lit(value)
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score_terms = " + ".join(
+        f"""(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)
+       * (tf_{i} * ({_BM25_K1} + 1.0))
+       / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"""
+        for i in range(len(_BM25_TERMS))
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(toks) AS dl, {tf_cols}
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_cols} FROM t
+)
+SELECT doc_id, ROUND({score_terms}, 6) AS bm25
+FROM t CROSS JOIN stats
+"""
+
+
+@query("x_bm25", oracle=_bm25_oracle())
+def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring of every document against a fixed query (k1=1.2,
+    b=0.75). Corpus statistics (N, avgdl, per-term document frequency)
+    reduce to ONE row broadcast back over the docs — the scoring pass
+    itself is a pure per-row expression, so the plan is scan → tiny
+    agg → broadcast nested-loop join → project: nothing big ever
+    shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    t = materialize(
+        docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("dl"),
+            # NB: the predicate must be a ONE-arg lambda — F.filter
+            # treats a second parameter as the element index, silently
+            # overriding a captured default.
+            *[
+                F.size(
+                    F.filter(tokens(F.col("text")), _eq_lit(tm))
+                ).alias(f"tf_{i}")
+                for i, tm in enumerate(_BM25_TERMS)
+            ],
+        )
+    )
+    stats = t.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf_{i}")
+        term = idf * (tf * (_BM25_K1 + 1.0)) / (
+            tf
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = term if score is None else score + term
+    return t.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 6).alias("bm25")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: temperature-weighted language sampling
+# ---------------------------------------------------------------------------
+
+_TEMP_T = 2.0  # sampling temperature: rates ~ share^(1/T - 1), so rarer
+# languages are kept at higher rates (the multilingual rebalancing rule)
+
+_TEMP_ORACLE = f"""
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+tot AS (SELECT SUM(cnt) AS n FROM c),
+r AS (
+  SELECT lang, POW(CAST(cnt AS DOUBLE) / n, 1.0 / {_TEMP_T} - 1.0) AS raw
+  FROM c CROSS JOIN tot
+),
+rates AS (
+  SELECT lang, raw / (SELECT MAX(raw) FROM r) AS rate FROM r
+),
+u AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      AS DOUBLE) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT u.doc_id, u.lang FROM u JOIN rates ON u.lang = rates.lang
+WHERE u.u < rates.rate
+"""
+
+
+@query("x_sample_temperature", oracle=_TEMP_ORACLE)
+def x_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language rebalancing: per-language keep-rate
+    proportional to share^(1/T - 1) (T=2 upsamples rare languages),
+    normalized so the rarest keeps everything, decided per-doc by a
+    deterministic md5 coin — reproducible sampling with no RNG state.
+    The language rate table is a few rows: computed with one tiny
+    aggregate and BROADCAST back onto the corpus, so the big side is
+    scan → hash-lookup → filter with no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("n"))
+    r = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.pow(F.col("cnt").cast("double") / F.col("n"), 1.0 / _TEMP_T - 1.0).alias(
+            "raw"
+        ),
+    )
+    mx = r.agg(F.max("raw").alias("mx"))
+    rates = r.crossJoin(F.broadcast(mx)).select(
+        "lang", (F.col("raw") / F.col("mx")).alias("rate")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.withColumn("u", u)
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: sequence packing (token-budget binning)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "x_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(start // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+  CAST(start % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+""",
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous sequence packing: documents in doc_id
+    order fill fixed token budgets; each doc gets the sequence id and
+    intra-sequence offset where it starts (docs may straddle a
+    boundary — the packer that never pads more than the final
+    sequence). The global running sum is the scalable two-phase
+    prefix-sum (functions/order.py) — range-partitioned local sums
+    plus a broadcast per-partition offset table — NOT a
+    single-partition SUM() OVER (ORDER BY ...), which is the classic
+    plan that dies at 100 TB."""
+    from ..functions.order import global_running_sum
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    c = global_running_sum(t, ["doc_id"], "n_tokens", "cum")
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("long").alias("seq_id"),
+        (start % _PACK_BUDGET).cast("long").alias("seq_offset"),
+    )
