@@ -1346,7 +1346,7 @@ def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = materialize(
         t.select(
             "doc_id",
-            F.size("toks").alias("n_tokens"),
+            F.size("toks").cast("long").alias("n_tokens"),
             F.round(
                 1.0
                 - F.size(F.array_distinct("toks")).cast("double")
@@ -1578,4 +1578,216 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(start / _PACK_BUDGET).cast("long").alias("seq_id"),
         (start % _PACK_BUDGET).cast("long").alias("seq_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: unigram-LM quality score (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+vc AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM vc),
+s AS (
+  SELECT w.doc_id, -LOG2(CAST(vc.c AS DOUBLE) / tot.n) AS bits
+  FROM w JOIN vc ON w.w = vc.w CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG(bits), 6) AS bits_per_token
+FROM s GROUP BY doc_id
+"""
+
+
+@query("x_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: fit corpus unigram probabilities in one
+    pass, then score each doc by mean -log2 p(token) — the cheap
+    perplexity proxy training pipelines use to rank/filter web text
+    (docs of rare gibberish score high, templated boilerplate low).
+    Scale shape: the vocabulary table is tiny relative to the corpus
+    (Heaps' law) and is BROADCAST onto the exploded token stream; the
+    only shuffles move slim (token) and (doc_id, bits) rows — partial
+    aggregation applies to both groupBys, and the corpus text column
+    is read once."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    vc = w.groupBy("w").agg(F.count("*").alias("c"))
+    tot = vc.agg(F.sum("c").alias("n"))
+    probs = vc.crossJoin(F.broadcast(tot)).select(
+        "w", (-F.log2(F.col("c").cast("double") / F.col("n"))).alias("bits")
+    )
+    return (
+        w.join(F.broadcast(probs), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("bits"), 6).alias("bits_per_token"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Conservative patterns shared verbatim by Spark (Java regex) and DuckDB
+# (RE2) — the subset below parses and behaves identically in both.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_IPV4}', '<IP>', 'g'),
+    '{_PII_SSN}', '<SSN>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+@query("x_pii_redact", oracle=_PII_ORACLE)
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails / IPv4 addresses / SSN-
+    shaped strings (the standard pre-training compliance pass). Pure
+    per-row regexp expressions — whole-stage codegen, no shuffle at
+    all, trivially scan-parallel at 100 TB. The redacted text is
+    emitted as an md5 digest so the driver compare stays compact (the
+    full redacted column would dominate the result set)."""
+    docs = table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_SSN,
+        "<SSN>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(_PII_IPV4)).cast("long").alias("n_ip"),
+        F.regexp_count(F.col("text"), F.lit(_PII_SSN)).cast("long").alias("n_ssn"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: chunk-level corpus dedup (paragraph dedup)
+# ---------------------------------------------------------------------------
+
+_CHUNK_DEDUP_W = 16  # tokens per non-overlapping chunk ("paragraph" unit)
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+    md5(array_to_string(toks[(i * {_CHUNK_DEDUP_W} + 1):((i + 1) * {_CHUNK_DEDUP_W})], ' ')) AS h
+  FROM t, unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_DEDUP_W}.0) AS BIGINT))) AS u(i)
+),
+r AS (
+  SELECT doc_id, chunk_idx, h,
+    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM r GROUP BY doc_id
+"""
+
+
+@query("x_dedup_chunks", oracle=_CHUNK_DEDUP_ORACLE)
+def x_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity corpus dedup (the CCNet line-dedup rule,
+    with fixed 16-token chunks standing in for lines on this corpus):
+    every non-overlapping chunk is hashed; across the WHOLE corpus the
+    first (doc_id, chunk_idx) occurrence of a hash is the keeper and
+    later occurrences are duplicates. Per-doc output: chunk count and
+    how many chunks are corpus-level duplicates.
+    Scale shape: chunks travel as 32-byte md5 rows; the keeper is a
+    min_by groupBy on the hash (partial-aggregating, no per-hash
+    window sort), then a broadcast-free equi-join back on the hash —
+    both shuffles move slim rows only."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(_CHUNK_DEDUP_W)).cast("int")
+    ch = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("toks"), i * _CHUNK_DEDUP_W + 1, _CHUNK_DEDUP_W
+                        ),
+                        " ",
+                    ).cast("binary")
+                ),
+            )
+        ).alias("chunk_idx", "h"),
+    )
+    keeper = ch.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("k")
+    )
+    return (
+        ch.join(keeper, "h")
+        .select(
+            "doc_id",
+            (
+                (F.col("k.doc_id") != F.col("doc_id"))
+                | (F.col("k.chunk_idx") != F.col("chunk_idx"))
+            ).cast("int").alias("is_dup"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic global training-order shuffle
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = "shuf42:"
+
+_SHUF_ORACLE = f"""
+SELECT doc_id,
+  ROW_NUMBER() OVER (ORDER BY md5('{_SHUF_SEED}' || CAST(doc_id AS VARCHAR))) AS pos
+FROM documents
+"""
+
+
+@query("x_shuffle_order", oracle=_SHUF_ORACLE)
+def x_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: rank every doc
+    by a seeded hash of its id — reproducible across runs and engines
+    (no RNG state), which is what epoch shuffling needs for resumable
+    training. The total order is computed with the range-partitioned
+    prefix-sum (functions/order.py), NOT a single-partition
+    ROW_NUMBER() — the hash keys are uniform, so the range partitions
+    are balanced by construction."""
+    from ..functions.order import global_row_number
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("__k"),
+    )
+    return global_row_number(keyed, ["__k"], "pos").select(
+        "doc_id", F.col("pos").cast("long").alias("pos")
     )
