@@ -1241,3 +1241,173 @@ def c_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
         F.round(F.var_pop("l_tax"), 6).alias("var_tax"),
     )
+
+
+@query(
+    "c_tpch_q1",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "ROUND(AVG(l_quantity), 6) AS avg_qty, "
+        "ROUND(AVG(l_extendedprice), 6) AS avg_price, "
+        "ROUND(AVG(l_discount), 6) AS avg_disc, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def c_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary): the canonical wide-aggregate
+    scan — date filter pushed to parquet, 8 aggregates over a 6-group
+    key computed in ONE partial-aggregating pass (map-side combine
+    reduces each task to ≤6 rows before the single tiny shuffle).
+    This is the query whole-stage codegen exists for; the whole plan
+    is scan → codegen'd hash-agg → exchange → final hash-agg."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+@query(
+    "c_tpch_q6",
+    oracle=(
+        "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+)
+def c_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue): pure filter-and-sum with NO
+    grouping — every predicate (date range, discount band, quantity)
+    is pushed to the parquet scan as min/max row-group pruning, and
+    the aggregate is a single scalar partial-agg; at 100 TB this is
+    scan-bandwidth-bound by construction, exactly as it should be."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "c_tpch_q10",
+    oracle=(
+        "SELECT c_custkey, c_name, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "c_acctbal, n_name "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+        "AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+)
+def c_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned items): the quarter filter shrinks
+    orders enough to BROADCAST it against lineitem (the returnflag
+    filter is pushed to the lineitem scan), customer joins the small
+    aggregated result, nation broadcasts, and the top-20 is a
+    TakeOrderedAndProject — the only wide shuffle is the groupBy on
+    custkey."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "c_window_ntile",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(NTILE(4) OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile "
+        "FROM orders"
+    ),
+)
+def c_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: equal-height quartiles of order value within
+    each priority class. Partitioned by a low-cardinality key — at
+    100 TB per-partition skew matters more than the shuffle; the
+    total order inside each partition includes the unique orderkey
+    tie-break so both engines agree on boundary rows."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "c_unpivot",
+    oracle=(
+        "WITH a AS (SELECT c_nationkey, "
+        "CAST(COUNT(*) AS DOUBLE) AS n_customers, "
+        "ROUND(SUM(c_acctbal), 2) AS total_acctbal "
+        "FROM customer GROUP BY c_nationkey) "
+        "SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM a "
+        "UNION ALL "
+        "SELECT c_nationkey, 'total_acctbal' AS metric, total_acctbal AS value FROM a"
+    ),
+)
+def c_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): per-nation metrics melted into
+    (key, metric, value) rows via DataFrame.unpivot — a zero-shuffle
+    local expansion (each input row emits k rows in place); the only
+    exchange is the upstream aggregation."""
+    customer = table(spark, sf_dir, "customer")
+    a = customer.groupBy("c_nationkey").agg(
+        F.count("*").cast("double").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+    return a.unpivot(
+        ["c_nationkey"], ["n_customers", "total_acctbal"], "metric", "value"
+    )
