@@ -171,3 +171,63 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def op_count(plan: str, op: str) -> int:
+    """Count physical operators via their numbered detail headers —
+    the tree art repeats each name, so a raw substring count doubles."""
+    import re
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
+
+
+def test_tpch_q6_all_predicates_reach_scan(spark, sf_dir):
+    """Q6 is scan-bandwidth-bound by construction: every predicate
+    (date range, discount band, quantity cap) must appear in
+    PushedFilters so parquet row-group min/max stats can skip IO; the
+    aggregate is a scalar partial-agg (one row per task crosses the
+    single exchange)."""
+    plan = plan_of(spark, sf_dir, "c_tpch_q6")
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in pushed, f"missing {frag} in {pushed}"
+    assert "partial_sum" in plan
+    assert op_count(plan, "Exchange") == 1  # the single scalar-agg exchange
+
+
+def test_tpch_q1_single_shuffle_partial_agg(spark, sf_dir):
+    """Q1's 8 aggregates over a 6-value group key must compute in one
+    partial-aggregating pass: map-side combine reduces each task to ≤6
+    rows, so exactly one (tiny) exchange and the date filter is pushed
+    to the scan."""
+    plan = plan_of(spark, sf_dir, "c_tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan and "partial_avg" in plan
+    assert op_count(plan, "Exchange") == 1
+
+
+def test_tpch_q10_broadcasts_and_takeordered(spark, sf_dir):
+    """Q10: the quarter-filtered orders, customer, and nation sides all
+    broadcast (no shuffle join anywhere), the only wide exchange is the
+    groupBy(custkey), and the top-20 is TakeOrderedAndProject — never a
+    global sort."""
+    plan = plan_of(spark, sf_dir, "c_tpch_q10")
+    assert op_count(plan, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # 3 broadcast exchanges + 1 agg exchange
+    assert op_count(plan, "Exchange") == 1 and op_count(plan, "BroadcastExchange") == 3
+
+
+def test_unpivot_is_local_expand(spark, sf_dir):
+    """UNPIVOT must compile to a zero-shuffle Expand above the
+    aggregation — melting wide→long is a per-row local expansion, and a
+    plan that exchanges for it would shuffle k× the data at scale."""
+    plan = plan_of(spark, sf_dir, "c_unpivot")
+    assert "Expand" in plan
+    assert op_count(plan, "Exchange") == 1  # only the upstream agg shuffle
