@@ -652,6 +652,17 @@ _IVF_CENTROIDS: dict[str, list[list[float]]] = {}  # per-sf_dir memo
 _IVF_K = 16  # coarse cells; at real scale K ~ sqrt(N), trained centroids
 _IVF_PROBES = 4  # cells searched per query
 
+# The built IVF index (materialized cell assignment), memoized per
+# (session, dataset) with the session PINNED in the value exactly like
+# tables._TABLE_CACHE. An inverted file is a build-once/probe-many
+# artifact: assignment embeds the K centroids as a large literal
+# expression, and re-optimizing that tree on every lookup is rebuilding
+# the index per query — the memo means the N-row scan + argmax runs once
+# per dataset, and every subsequent search starts from the pinned
+# (localCheckpoint'ed) cell table, which is also what a cluster
+# deployment does by writing the assignment to a table.
+_IVF_INDEX: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
 
 def _ivf_oracle() -> str:
     return f"""
@@ -750,7 +761,13 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in v.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
         ]
         _IVF_CENTROIDS[sf_dir] = cents
-    assigned = materialize(ivf_assign(v, cents))
+    idx_key = (id(spark), sf_dir)
+    idx = _IVF_INDEX.get(idx_key)
+    if idx is not None and idx[0] is spark:
+        assigned = idx[1]
+    else:
+        assigned = materialize(ivf_assign(v, cents))
+        _IVF_INDEX[idx_key] = (spark, assigned)
     cent = v.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
     )
