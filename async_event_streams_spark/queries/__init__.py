@@ -67,41 +67,50 @@ _EXTERNALLY_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
-# Measured per-query seconds at sf0.1 (BENCH_r01.json); unseen (new)
+# Measured per-query seconds at sf0.1 (refreshed round 2); unseen (new)
 # queries default mid-range so they still sort into the front group.
 _R1_BENCH_SEC: dict[str, float] = {
-    "b1_source_scan": 0.165, "b2_fanout_counts": 0.187,
-    "b3_filter_mod3": 0.068, "b4_classify_fizzbuzz": 0.164,
-    "b5_route_parity": 0.168, "b6_union_merge": 0.113,
-    "b7_ordered_fanin": 0.85, "b8_groupby_max": 0.248,
-    "b10_lineage_join": 0.2, "c_agg_approx_distinct": 0.869,
-    "c_agg_basic": 0.347, "c_agg_boolean": 0.263, "c_agg_collect": 0.139,
-    "c_agg_cube": 0.256, "c_agg_distinct": 0.354,
-    "c_agg_grouping_sets": 0.199, "c_agg_median": 0.425,
-    "c_agg_rollup": 0.343, "c_agg_stats": 0.318, "c_array_explode": 0.094,
-    "c_array_ops": 0.118, "c_except": 0.259, "c_grouped_map_zscore": 0.493,
-    "c_intersect": 0.237, "c_join_anti": 0.146, "c_join_asof": 0.411,
-    "c_join_equi": 0.296, "c_join_full_outer": 0.223,
-    "c_join_left_outer": 0.202, "c_join_range": 0.259,
-    "c_join_semi": 0.178, "c_json_extract": 0.271, "c_map_ops": 0.138,
-    "c_null_handling": 0.286, "c_pandas_udf": 0.322, "c_pivot": 0.253,
-    "c_scalar_date": 0.171, "c_scalar_interval": 0.095,
-    "c_scalar_math": 0.183, "c_scalar_regex": 0.101,
-    "c_scalar_string": 0.088, "c_scan_parquet": 0.141,
-    "c_stream_dedup": 0.176, "c_stream_session": 0.517,
-    "c_stream_sliding": 0.241, "c_stream_tumbling": 0.21,
-    "c_string_agg": 0.115, "c_subquery_scalar": 0.345,
-    "c_topk_per_group": 0.327, "c_tpch_q3": 0.549, "c_tpch_q5": 0.432,
-    "c_window_first_last": 0.396, "c_window_lag": 0.224,
-    "c_window_range_frame": 0.402, "c_window_rank": 0.372,
-    "c_window_rank_variants": 0.419, "c_window_running_sum": 0.274,
-    "x_ann_ivf": 1.475, "x_ann_lsh": 0.832, "x_chunk_documents": 0.417,
-    "x_cosine_topk": 0.706, "x_dedup_embedding": 1.05,
-    "x_dedup_exact": 0.179, "x_dedup_jaccard": 0.823,
-    "x_dedup_minhash": 1.069, "x_dedup_simhash": 0.7,
-    "x_dedup_verified": 1.185, "x_fingerprint": 0.547, "x_lang_id": 0.355,
-    "x_multimodal_ids": 0.078, "x_sample_systematic": 0.117,
-    "x_text_quality": 0.227, "x_text_stats": 0.208, "x_token_count": 0.185,
+    "b10_lineage_join": 0.224, "b1_source_scan": 0.077,
+    "b2_fanout_counts": 0.193, "b3_filter_mod3": 0.068,
+    "b4_classify_fizzbuzz": 0.162, "b5_route_parity": 0.177,
+    "b6_union_merge": 0.124, "b7_ordered_fanin": 0.944,
+    "b8_groupby_max": 0.235, "c_agg_approx_distinct": 0.394,
+    "c_agg_basic": 0.297, "c_agg_boolean": 0.247, "c_agg_collect": 0.155,
+    "c_agg_cube": 0.257, "c_agg_distinct": 0.35,
+    "c_agg_grouping_sets": 0.198, "c_agg_median": 0.428,
+    "c_agg_rollup": 0.329, "c_agg_stats": 0.324, "c_array_explode": 0.126,
+    "c_array_ops": 0.126, "c_except": 0.251, "c_grouped_map_zscore": 0.516,
+    "c_intersect": 0.231, "c_join_anti": 0.153, "c_join_asof": 0.448,
+    "c_join_equi": 0.295, "c_join_full_outer": 0.343,
+    "c_join_left_outer": 0.251, "c_join_range": 0.288,
+    "c_join_semi": 0.188, "c_json_extract": 0.243, "c_map_ops": 0.139,
+    "c_null_handling": 0.44, "c_pandas_udf": 0.4, "c_pivot": 0.347,
+    "c_scalar_date": 0.288, "c_scalar_interval": 0.125,
+    "c_scalar_math": 0.222, "c_scalar_regex": 0.151,
+    "c_scalar_string": 0.211, "c_scan_parquet": 0.165,
+    "c_stream_dedup": 0.241, "c_stream_session": 0.694,
+    "c_stream_sliding": 0.322, "c_stream_tumbling": 0.279,
+    "c_string_agg": 0.152, "c_subquery_scalar": 0.479,
+    "c_topk_per_group": 0.379, "c_tpch_q1": 0.407, "c_tpch_q10": 0.46,
+    "c_tpch_q3": 0.556, "c_tpch_q5": 0.42, "c_tpch_q6": 0.167,
+    "c_unpivot": 0.138, "c_window_first_last": 0.402,
+    "c_window_lag": 0.232, "c_window_ntile": 0.469,
+    "c_window_range_frame": 0.408, "c_window_rank": 0.518,
+    "c_window_rank_variants": 0.41, "c_window_running_sum": 0.333,
+    "x_ann_ivf": 0.731, "x_ann_lsh": 0.858, "x_bm25": 0.501,
+    "x_chunk_documents": 0.417, "x_cosine_topk": 0.634,
+    "x_decontaminate": 1.075, "x_dedup_chunks": 0.674,
+    "x_dedup_clusters": 1.968, "x_dedup_embedding": 1.122,
+    "x_dedup_exact": 0.151, "x_dedup_jaccard": 0.711,
+    "x_dedup_minhash": 1.104, "x_dedup_simhash": 1.028,
+    "x_dedup_simhash_pairs": 1.317, "x_dedup_verified": 1.295,
+    "x_fingerprint": 0.51, "x_frame_sample": 0.257, "x_lang_id": 0.316,
+    "x_multimodal_ids": 0.065, "x_pack_sequences": 0.572,
+    "x_pii_redact": 0.41, "x_repetition": 0.956,
+    "x_sample_systematic": 0.122, "x_sample_temperature": 0.4,
+    "x_shuffle_order": 0.477, "x_text_quality": 0.208,
+    "x_text_stats": 0.198, "x_tfidf_topterms": 0.916,
+    "x_token_count": 0.183, "x_unigram_logprob": 0.562,
 }
 
 
