@@ -33,7 +33,7 @@ from ..functions.text import (
     tokens,
 )
 from ..tables import table
-from ..util import cap_buckets, materialize
+from ..util import artifact, cap_buckets, materialize
 from . import query
 
 # DuckDB-side twins of functions/text.py (kept adjacent so any change to
@@ -159,8 +159,17 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_key")
     # Pin the sketch FIRST: the cap's count pass and both self-join
     # branches all read the materialized signatures instead of
-    # recomputing shingle digests per consumer.
-    bands = cap_buckets(materialize(bands), ["band_idx", "band_key"], _LSH_BUCKET_CAP)
+    # recomputing shingle digests per consumer. The capped band table is
+    # a build-once artifact (like the IVF index): every consumer in the
+    # dedup family — this query, the verified pipeline, cluster
+    # assignment — probes the same materialized table.
+    bands = artifact(
+        spark,
+        f"{sf_dir}:minhash_bands",
+        lambda: cap_buckets(
+            materialize(bands), ["band_idx", "band_key"], _LSH_BUCKET_CAP
+        ),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -204,11 +213,13 @@ def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification cost is O(candidates), never O(n²)."""
     candidates = x_dedup_minhash(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
-    s = materialize(
-        docs.select(
+    s = artifact(
+        spark,
+        f"{sf_dir}:shingle_sets",
+        lambda: docs.select(
             "doc_id",
             F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
-        )
+        ),
     )
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
@@ -263,7 +274,11 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived hash; the fingerprint sets bit k iff the vote sum is
     non-negative. Near-dup docs land at small Hamming distance. Explode +
     single groupBy(doc_id) — one shuffle keyed by doc id."""
-    return simhash_fingerprints(table(spark, sf_dir, "documents"))
+    return artifact(
+        spark,
+        f"{sf_dir}:simhash_fp",
+        lambda: simhash_fingerprints(table(spark, sf_dir, "documents")),
+    )
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -328,8 +343,11 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     floods go quadratic otherwise), and a production build widens to
     64-bit fingerprints (same plan shape) so bucket occupancy stays
     sub-quadratic at corpus scale."""
-    docs = table(spark, sf_dir, "documents")
-    fp = materialize(simhash_fingerprints(docs))
+    fp = artifact(
+        spark,
+        f"{sf_dir}:simhash_fp",
+        lambda: simhash_fingerprints(table(spark, sf_dir, "documents")),
+    )
     band_w = _SIMHASH_BITS // _SIMHASH_BANDS
     band_keys = F.array(
         *[
@@ -467,11 +485,13 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (here on a deterministic pair set so the oracle is
     stable). array_intersect/union sizes, all JVM-side."""
     docs = table(spark, sf_dir, "documents")
-    s = materialize(
-        docs.select(
+    s = artifact(
+        spark,
+        f"{sf_dir}:shingle_sets",
+        lambda: docs.select(
             "doc_id",
             F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
-        )
+        ),
     )
     a = s.alias("a")
     b = s.select(
@@ -868,7 +888,11 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("e"),
         lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
     )
-    b = cap_buckets(materialize(bucketed), ["bucket"], _LSH_BUCKET_CAP)
+    b = artifact(
+        spark,
+        f"{sf_dir}:emb_lsh_buckets",
+        lambda: cap_buckets(materialize(bucketed), ["bucket"], _LSH_BUCKET_CAP),
+    )
     a = b.alias("a")
     x = b.select(
         F.col("vec_id").alias("vec_b"),

@@ -28,3 +28,35 @@ def materialize(df: DataFrame) -> DataFrame:
     in-session equivalent (materialized partitions, truncated lineage).
     """
     return df.localCheckpoint(eager=False)
+
+
+# Build-once artifact memo: signature/sketch/index tables that a
+# pipeline materializes once per dataset and then probes many times
+# (LSH band tables, shingle-set tables, simhash fingerprints, IVF
+# cells). Keyed by (session id, artifact key) with the session PINNED
+# in the value — a pinned session can't be garbage-collected, so its
+# id can't be reused (same discipline as tables._TABLE_CACHE); stale
+# entries from stopped sessions are evicted on miss. On a cluster the
+# same role is played by writing the artifact to a table once.
+_ARTIFACTS: dict[tuple[int, str], tuple[object, DataFrame]] = {}
+
+
+def artifact(spark, key: str, build) -> DataFrame:
+    """Return the memoized materialized DataFrame for `key`, building
+    it with `build()` (then pinning via `materialize`) on first use."""
+    k = (id(spark), key)
+    hit = _ARTIFACTS.get(k)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    stale = [kk for kk, (sess, _) in _ARTIFACTS.items() if sess is not spark]
+    for kk in stale:
+        sess = _ARTIFACTS[kk][0]
+        try:
+            dead = sess.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            dead = True
+        if dead:
+            _ARTIFACTS.pop(kk, None)
+    df = materialize(build())
+    _ARTIFACTS[k] = (spark, df)
+    return df
