@@ -1832,3 +1832,38 @@ def x_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(keyed, ["__k"], "pos").select(
         "doc_id", F.col("pos").cast("long").alias("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: corpus n-gram statistics
+# ---------------------------------------------------------------------------
+
+_NGRAM_TOP = 100
+
+_NGRAM_ORACLE = f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT unnest({_sql_shingles_k(2)}) AS gram FROM t)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram LIMIT {_NGRAM_TOP}
+"""
+
+
+@query("x_ngram_counts", oracle=_NGRAM_ORACLE)
+def x_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (top-{100}): the statistic behind
+    vocabulary building, boilerplate detection, and n-gram LM training.
+    Shape at scale: explode is a local fan-out, the count is ONE
+    partial-agg shuffle keyed by gram (map-side combine collapses each
+    task to its distinct grams), and the top-k is TakeOrderedAndProject
+    — no global sort ever materializes the full gram distribution."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(shingles(tokens(F.col("text")), k=2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(_NGRAM_TOP)
+    )

@@ -1411,3 +1411,118 @@ def c_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unpivot(
         ["c_nationkey"], ["n_customers", "total_acctbal"], "metric", "value"
     )
+
+
+@query(
+    "c_subquery_correlated",
+    oracle=(
+        "WITH minp AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price "
+        "FROM lineitem GROUP BY l_partkey) "
+        "SELECT p_partkey, p_brand, s_suppkey, "
+        "ROUND(l_extendedprice, 2) AS price "
+        "FROM lineitem "
+        "JOIN minp ON lineitem.l_partkey = minp.l_partkey "
+        "AND l_extendedprice = min_price "
+        "JOIN part ON p_partkey = lineitem.l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "WHERE p_size >= 40"
+    ),
+)
+def c_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part): the correlated
+    MIN subquery decorrelates into a per-key aggregate joined back to
+    the fact — the aggregate output is one row per part (small relative
+    to lineitem), so it BROADCASTS and the fact side never shuffles for
+    the min-match; part/supplier dims broadcast too. This is the
+    canonical argmin-per-group at scale: no window over the full fact,
+    no correlated re-scan per outer row."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    supplier = table(spark, sf_dir, "supplier")
+    minp = (
+        li.groupBy(F.col("l_partkey").alias("mp_partkey"))
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    return (
+        li.join(
+            F.broadcast(minp),
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@query(
+    "c_tpch_q18",
+    oracle=(
+        "WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty "
+        "FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) "
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice, "
+        "ROUND(total_qty, 2) AS total_qty "
+        "FROM big JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    ),
+)
+def c_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING aggregate
+    runs FIRST (partial-agg shuffle on orderkey collapses lineitem to
+    one row per order, then the >150 filter discards ~90%), the
+    surviving keys broadcast against orders, customer broadcasts, and
+    the top-100 is TakeOrderedAndProject. Aggregating before joining is
+    the order that survives 100 TB — joining first would shuffle the
+    full fact twice."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "c_window_percentiles",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority, "
+        "ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank, "
+        "ROUND(CUME_DIST() OVER w, 6) AS cume "
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey)"
+    ),
+)
+def c_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions: percent_rank + cume_dist of
+    order value within each priority class, one Window (one shuffle +
+    sort) computing both. The unique orderkey tie-break keeps boundary
+    rows engine-agnostic."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -231,3 +231,32 @@ def test_unpivot_is_local_expand(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "c_unpivot")
     assert "Expand" in plan
     assert op_count(plan, "Exchange") == 1  # only the upstream agg shuffle
+
+
+def test_tpch_q18_aggregates_before_joining(spark, sf_dir):
+    """Q18: lineitem collapses through ONE partial-agg shuffle before
+    any join; the surviving big-order keys and customer broadcast; the
+    top-100 is TakeOrderedAndProject (no global sort)."""
+    plan = plan_of(spark, sf_dir, "c_tpch_q18")
+    assert op_count(plan, "Exchange") == 1  # only the orderkey agg
+    assert op_count(plan, "BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+
+
+def test_q2_shape_min_table_broadcasts(spark, sf_dir):
+    """Q2 shape: the decorrelated per-part MIN table broadcasts back to
+    the fact — the fact side must not shuffle for the argmin match."""
+    plan = plan_of(spark, sf_dir, "c_subquery_correlated")
+    assert op_count(plan, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_ngram_counts_is_partial_agg_topk(spark, sf_dir):
+    """Corpus n-gram stats: one partial-agg shuffle on gram, then
+    TakeOrderedAndProject — the full gram distribution is never
+    globally sorted."""
+    plan = plan_of(spark, sf_dir, "x_ngram_counts")
+    assert op_count(plan, "Exchange") == 1
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
