@@ -102,3 +102,54 @@ def global_running_sum(
         .withColumn(sum_col, F.sum(value_col).over(w_local) + F.col("__offset"))
         .drop("__pid", "__offset")
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    rank_col: str = "rnk",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append `rank_col` = 1-based ROW_NUMBER() OVER (PARTITION BY
+    group_cols ORDER BY order_cols) — scalable for LOW-CARDINALITY
+    groups. A plain window with partitionBy(low_card_key) gives exactly
+    |groups| tasks: with 5 priority classes over 100 TB, 5 tasks sort
+    everything (measured ~linear growth in the 100x probe). Here the
+    sort is range-partitioned on (group, order) — parallelism is
+    n_partitions regardless of group cardinality — rows are numbered
+    locally per (partition, group), and each group's per-partition
+    counts are prefix-summed into broadcast offsets: the only
+    centralized data is the (n_partitions x |groups|)-row offset table.
+    Requires order_cols to total-order rows within each group (include
+    a unique tie-break)."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [*group_cols, *order_cols]
+    parts = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+    # Pin one physical partitioning (range boundaries come from
+    # sampling) so the counts branch and the data branch agree.
+    with_pid = parts.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+
+    counts = with_pid.groupBy("__pid", *group_cols).agg(F.count("*").alias("__cnt"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__offset"),
+    )
+
+    w_local = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    return (
+        with_pid.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w_local) + F.col("__offset")).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )

@@ -787,14 +787,36 @@ def c_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c_window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_rank / percent_rank / ntile over a unique ordering key (so
-    every variant is deterministic)."""
-    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
-    return table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.dense_rank().over(w).alias("drank"),
-        F.round(F.percent_rank().over(w), 9).alias("prank"),
-        F.ntile(4).over(w).alias("quartile"),
+    every variant is deterministic). Computed from the range-partitioned
+    prefix-sum rank (`grouped_rank`) rather than a plain window: the
+    5-value priority key would cap the sort at 5 tasks at scale, and
+    with a unique ORDER BY every variant is a closed form of
+    (rank, group size) — dense_rank == row_number, percent_rank ==
+    (r-1)/(n-1), ntile == the standard leading-tiles-get-the-extra-row
+    bucket arithmetic."""
+    from ..functions.order import grouped_rank
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    ranked = grouped_rank(orders, ["o_orderpriority"], ["o_orderkey"], "rnk")
+    sizes = orders.groupBy("o_orderpriority").agg(F.count("*").alias("__n"))
+    r, n = F.col("rnk"), F.col("__n")
+    q, rem = (n / 4).cast("long"), n % 4
+    big = rem * (q + 1)
+    tile = F.when(r <= big, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - big) / q)
+    )
+    pct = F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0))
+    return (
+        ranked.join(F.broadcast(sizes), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("rnk").cast("int").alias("drank"),
+            F.round(pct, 9).alias("prank"),
+            tile.cast("int").alias("quartile"),
+        )
     )
 
 
@@ -1373,16 +1395,36 @@ def c_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing: equal-height quartiles of order value within
-    each priority class. Partitioned by a low-cardinality key — at
-    100 TB per-partition skew matters more than the shuffle; the
-    total order inside each partition includes the unique orderkey
-    tie-break so both engines agree on boundary rows."""
-    orders = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+    each priority class. NOT a plain window: partitionBy on a
+    5-value key caps parallelism at 5 tasks (the 100x probe measured
+    ~linear 24x growth), so the rank comes from the range-partitioned
+    prefix-sum (`grouped_rank`, same machinery as b7's global order)
+    and NTILE's bucket arithmetic is applied to (rank, group size) —
+    first n%4 tiles take the extra row, exactly the SQL-standard
+    assignment both engines implement. The unique orderkey tie-break
+    keeps boundary rows engine-agnostic."""
+    from ..functions.order import grouped_rank
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ranked = grouped_rank(
+        orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], "rnk"
+    )
+    sizes = orders.groupBy("o_orderpriority").agg(F.count("*").alias("__n"))
+    r, n = F.col("rnk"), F.col("__n")
+    q, rem = (n / 4).cast("long"), n % 4
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    tile = F.when(r <= big, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - big) / q)
+    )
+    return (
+        ranked.join(F.broadcast(sizes), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            tile.cast("long").alias("quartile"),
+        )
     )
 
 
@@ -1515,14 +1557,30 @@ def c_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-standing window functions: percent_rank + cume_dist of
-    order value within each priority class, one Window (one shuffle +
-    sort) computing both. The unique orderkey tie-break keeps boundary
-    rows engine-agnostic."""
-    orders = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    order value within each priority class. Like c_window_ntile, the
+    5-value partition key makes a plain window a 5-task sort at scale,
+    so the rank is the range-partitioned prefix-sum (`grouped_rank`)
+    and both statistics are closed forms of (rank, group size) — the
+    ORDER BY includes the unique orderkey tie-break, so there are no
+    peer rows and percent_rank=(r-1)/(n-1), cume_dist=r/n exactly as
+    both engines evaluate them."""
+    from ..functions.order import grouped_rank
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ranked = grouped_rank(
+        orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], "rnk"
+    )
+    sizes = orders.groupBy("o_orderpriority").agg(F.count("*").alias("__n"))
+    r, n = F.col("rnk"), F.col("__n")
+    pct = F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0))
+    return (
+        ranked.join(F.broadcast(sizes), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(pct, 6).alias("pct_rank"),
+            F.round(r / n, 6).alias("cume"),
+        )
     )

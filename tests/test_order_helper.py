@@ -60,3 +60,29 @@ def test_multi_column_order_with_tiebreak(spark):
         for r in global_row_number(df, ["g", "s"]).orderBy("pos").collect()
     ]
     assert got == [(0, "z", 1), (1, "a", 2), (1, "b", 3), (2, "a", 4)]
+
+
+def test_grouped_rank_matches_plain_window(spark):
+    """grouped_rank == ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id)
+    on a skewed low-cardinality group column — the case the helper
+    exists for (a plain window would cap parallelism at |groups|)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from async_event_streams_spark.functions.order import grouped_rank
+
+    rnd = random.Random(7)
+    rows = [(i % 3, rnd.randrange(1000), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g long, v long, id long")
+    got = {
+        (r.g, r.id): r.rnk
+        for r in grouped_rank(df, ["g"], ["v", "id"], n_partitions=8).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r.g, r.id): r.rnk
+        for r in df.select("g", "id", F.row_number().over(w).alias("rnk")).collect()
+    }
+    assert got == want
