@@ -1878,3 +1878,44 @@ def x_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "gram")
         .limit(_NGRAM_TOP)
     )
+
+
+_DOMAIN_MIX_ORACLE = f"""
+WITH t AS (
+  SELECT source, lang, len({_SQL_TOKS}) AS n_toks FROM documents
+), g AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM t GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+  ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_frac
+FROM g
+"""
+
+
+@query("x_domain_mix", oracle=_DOMAIN_MIX_ORACLE)
+def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: docs and tokens per (source, lang) with
+    each cell's token share — the table a training-data recipe is
+    tuned against (and the input to temperature sampling). ONE
+    partial-agg shuffle collapses the corpus to |sources|x|langs| rows;
+    the share denominator is a broadcast scalar, not a window over the
+    corpus."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select(
+        "source", "lang", F.size(tokens(F.col("text"))).alias("n_toks")
+    ).groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    total = g.agg(F.sum("n_tokens").alias("__total"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("__total"), 6).alias(
+            "token_frac"
+        ),
+    )

@@ -1584,3 +1584,50 @@ def c_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(r / n, 6).alias("cume"),
         )
     )
+
+
+@query(
+    "c_time_rollup",
+    oracle=(
+        "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, "
+        "CASE WHEN GROUPING(event_type) = 1 THEN '__all__' ELSE event_type "
+        "END AS event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(value), 2) AS total_value "
+        "FROM events "
+        "GROUP BY GROUPING SETS ((date_trunc('month', ts), event_type), "
+        "(date_trunc('month', ts)))"
+    ),
+)
+def c_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: monthly buckets with per-type and
+    all-types rows in one pass — GROUPING SETS computes both
+    granularities from a single partial-aggregated shuffle (the Expand
+    doubles rows map-side, then combines), which at 100 TB replaces two
+    full scans with one. date_trunc stays JVM-side and the session is
+    pinned UTC so bucket edges agree with the oracle."""
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("month", F.col("ts")).alias("month"), "event_type", "value"
+    )
+    return (
+        ev.groupingSets(
+            [[F.col("month"), F.col("event_type")], [F.col("month")]],
+            F.col("month"),
+            F.col("event_type"),
+        )
+        .agg(
+            # grouping() is an agg-context expression: coalesce the
+            # rolled-up (null) event_type to a sentinel here.
+            F.when(F.grouping("event_type") == 1, F.lit("__all__"))
+            .otherwise(F.col("event_type"))
+            .alias("etype"),
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "month",
+            F.col("etype").alias("event_type"),
+            "n",
+            "total_value",
+        )
+    )
