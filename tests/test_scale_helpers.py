@@ -84,3 +84,21 @@ def test_topic_archive_roundtrip(spark, tmp_path):
     assert back.count() == 11
     assert back.filter(F.col("event_type") == "tock").count() == 1
     assert {r.n for r in back.collect()} == set(range(11))
+
+
+def test_artifact_memo_builds_once_and_is_session_scoped(spark):
+    from async_event_streams_spark.util import _ARTIFACTS, artifact
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    a = artifact(spark, "test:memo", build)
+    b = artifact(spark, "test:memo", build)
+    assert a is b and len(calls) == 1
+    assert a.count() == 5
+    # the memo pins the session object (id-reuse safety)
+    assert _ARTIFACTS[(id(spark), "test:memo")][0] is spark
+    _ARTIFACTS.pop((id(spark), "test:memo"), None)
