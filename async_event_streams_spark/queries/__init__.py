@@ -70,6 +70,7 @@ _EXTERNALLY_VERIFIED: frozenset[str] = frozenset(
 # Measured per-query seconds at sf0.1 (refreshed round 2); unseen (new)
 # queries default mid-range so they still sort into the front group.
 _R1_BENCH_SEC: dict[str, float] = {
+    "c_subquery_correlated": 0.66, "c_time_rollup": 0.35, "c_tpch_q18": 0.62, "c_window_percentiles": 1.0, "x_domain_mix": 1.1, "x_ngram_counts": 0.6,
     "b10_lineage_join": 0.224, "b1_source_scan": 0.077,
     "b2_fanout_counts": 0.193, "b3_filter_mod3": 0.068,
     "b4_classify_fizzbuzz": 0.162, "b5_route_parity": 0.177,
