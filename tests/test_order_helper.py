@@ -86,3 +86,23 @@ def test_grouped_rank_matches_plain_window(spark):
         for r in df.select("g", "id", F.row_number().over(w).alias("rnk")).collect()
     }
     assert got == want
+
+
+def test_grouped_rank_plan_has_no_single_partition_data_path(spark):
+    """The data path must stay range/hash partitioned; the only
+    SinglePartition exchange allowed is the tiny per-(pid, group)
+    offsets branch."""
+    from async_event_streams_spark.functions.order import grouped_rank
+
+    df = spark.range(0, 1000).selectExpr("id % 3 AS g", "id AS v")
+    plan = (
+        grouped_rank(df, ["g"], ["v"], n_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the range partition lives inside the pinned checkpoint's RDD
+    # lineage; the visible plan must window per (pid, group) with no
+    # SinglePartition exchange anywhere
+    assert "hashpartitioning(__pid" in plan
+    assert "SinglePartition" not in plan
