@@ -626,12 +626,16 @@ def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE splits any hot bucket). Same deterministic planes embedded in the
     SQL oracle; recall vs x_cosine_topk is asserted in tests."""
     emb = table(spark, sf_dir, "embeddings")
-    bucketed = materialize(
-        emb.select(
+    # The bucket table IS the LSH index — built once per dataset and
+    # probed by every search (artifact memo, like the IVF cell index).
+    bucketed = artifact(
+        spark,
+        f"{sf_dir}:ann_lsh_buckets",
+        lambda: emb.select(
             "vec_id",
             F.col("embedding").alias("e"),
             lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
-        )
+        ),
     )
     q = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
