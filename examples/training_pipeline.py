@@ -33,10 +33,33 @@ def main() -> None:
 
     print(f"docs={docs.count()} after_quality={q.count()} "
           f"after_dedup={d.count()} chunks={chunks.count()}")
+
+    # Mixture report: what the cleaned corpus looks like per language —
+    # the table a data recipe is tuned against.
     chunks.groupBy("lang").agg(
         F.count("*").alias("n_chunks"),
         F.sum("chunk_tokens").alias("total_tokens"),
     ).orderBy("lang").show()
+
+    # Pack chunks into fixed token-budget training sequences with the
+    # scalable two-phase prefix-sum (never a single-partition window).
+    from async_event_streams_spark.functions.order import global_running_sum
+
+    budget = 64
+    packed = global_running_sum(
+        chunks.select("doc_id", "chunk_idx", "chunk_tokens"),
+        ["doc_id", "chunk_idx"],
+        "chunk_tokens",
+        "cum",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.floor((F.col("cum") - F.col("chunk_tokens")) / budget)
+        .cast("long")
+        .alias("seq_id"),
+    )
+    n_seqs = packed.agg(F.max("seq_id")).collect()[0][0] + 1
+    print(f"packed into {n_seqs} sequences of <= {budget} tokens")
     spark.stop()
 
 
