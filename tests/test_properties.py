@@ -162,3 +162,30 @@ def test_partition_routing_is_stable_and_total(keys, n):
         assert 0 <= p < n
         assert p == _route(k, n)  # stable
         assert p == zlib.crc32(str(k).encode("utf-8")) % n
+
+
+# -- NTILE closed form ------------------------------------------------------
+
+
+def test_ntile_closed_form_matches_reference():
+    """The (rank, group size) closed form used by c_window_ntile /
+    c_window_rank_variants must reproduce SQL-standard NTILE(4) for
+    every group size: the first n%k tiles take ceil(n/k) rows, the
+    rest floor(n/k). Exhaustive over n in 1..400."""
+    import math
+
+    k = 4
+    for n in range(1, 401):
+        q, rem = n // k, n % k
+        big = rem * (q + 1)
+        # reference: expand tile sizes then assign sequentially
+        sizes = [q + 1] * rem + [q] * (k - rem)
+        ref = []
+        for tile0, size in enumerate(sizes):
+            ref.extend([tile0 + 1] * size)
+        for r in range(1, n + 1):
+            if r <= big:
+                got = math.ceil(r / (q + 1))
+            else:
+                got = rem + math.ceil((r - big) / q)
+            assert got == ref[r - 1], (n, r)
