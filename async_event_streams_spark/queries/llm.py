@@ -1486,7 +1486,11 @@ def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to ONE row broadcast back over the docs — the scoring pass
     itself is a pure per-row expression, so the plan is scan → tiny
     agg → broadcast nested-loop join → project: nothing big ever
-    shuffles."""
+    shuffles. Differential stability: the only aggregate feeding the
+    score is AVG(dl) over INTEGER token counts, whose double sum is
+    exact (< 2^53), so it is summation-order-independent as-is; the
+    per-row score arithmetic is the same double expression tree in
+    both engines."""
     docs = table(spark, sf_dir, "documents")
     t = materialize(
         docs.select(
@@ -1654,11 +1658,13 @@ w AS (SELECT doc_id, unnest(toks) AS w FROM t),
 vc AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
 tot AS (SELECT SUM(c) AS n FROM vc),
 s AS (
-  SELECT w.doc_id, -LOG2(CAST(vc.c AS DOUBLE) / tot.n) AS bits
+  SELECT w.doc_id,
+    CAST(ROUND(-LOG2(CAST(vc.c AS DOUBLE) / tot.n) * 1e9) AS BIGINT)
+      AS nanobits
   FROM w JOIN vc ON w.w = vc.w CROSS JOIN tot
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-  ROUND(AVG(bits), 6) AS bits_per_token
+  ROUND(CAST(SUM(nanobits) AS DOUBLE) / COUNT(*) / 1e9, 6) AS bits_per_token
 FROM s GROUP BY doc_id
 """
 
@@ -1673,7 +1679,11 @@ def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Heaps' law) and is BROADCAST onto the exploded token stream; the
     only shuffles move slim (token) and (doc_id, bits) rows — partial
     aggregation applies to both groupBys, and the corpus text column
-    is read once."""
+    is read once. The per-doc mean sums QUANTIZED integer nano-bits
+    (round(bits*1e9) per token) rather than raw doubles: both engines
+    quantize the same per-token double to the same integer, and the
+    integer sum is exact, so no partial-agg order can flip the rounded
+    mean (the c_tpch_q10 half-cent lesson applied to log-probs)."""
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
@@ -1681,14 +1691,20 @@ def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = w.groupBy("w").agg(F.count("*").alias("c"))
     tot = vc.agg(F.sum("c").alias("n"))
     probs = vc.crossJoin(F.broadcast(tot)).select(
-        "w", (-F.log2(F.col("c").cast("double") / F.col("n"))).alias("bits")
+        "w",
+        F.round(-F.log2(F.col("c").cast("double") / F.col("n")) * 1e9)
+        .cast("long")
+        .alias("nanobits"),
     )
+    n = F.count("*")
     return (
         w.join(F.broadcast(probs), "w")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.round(F.avg("bits"), 6).alias("bits_per_token"),
+            n.cast("long").alias("n_tokens"),
+            F.round(F.sum("nanobits").cast("double") / n / 1e9, 6).alias(
+                "bits_per_token"
+            ),
         )
     )
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
@@ -27,6 +27,30 @@ from pyspark.sql.window import Window
 from ..tables import table
 from . import query
 from .reference import FIZZBUZZ_CASE_SQL
+
+# Decimal-exact money sums for cross-engine differential stability.
+# Double summation is order-dependent: Spark's partial-agg order differs
+# from DuckDB's, and ROUND(SUM(double), 2) flips the last cent whenever a
+# group's true sum lands on a half-cent boundary (round-2's c_tpch_q10
+# red row: one customer's revenue straddled 307843.595). Casting each
+# FACTOR to decimal before multiplying makes the per-row product and the
+# sum exact, hence order- and engine-independent. The casts are lossless:
+# prices carry exactly 2 decimals and discount/tax 2, so the nearest
+# quantization boundary is >=5e-7 away while double error is ~1e-10.
+# DECIMAL(12,2) x DECIMAL(12,6) [x DECIMAL(12,6)] keeps every product and
+# sum within precision 38 in BOTH Spark and DuckDB, so neither engine
+# truncates. Final results are CAST to DOUBLE on both sides so the
+# output schema stays double.
+_DEC_PRICE = "decimal(12,2)"  # monetary / quantity columns (2 decimals)
+_DEC_FRAC = "decimal(12,6)"  # (1 - discount)-style factors
+
+
+def _dprice(name: str) -> Column:
+    return F.col(name).cast(_DEC_PRICE)
+
+
+def _dfrac(expr: Column) -> Column:
+    return expr.cast(_DEC_FRAC)
 
 # ---------------------------------------------------------------------------
 # Scans
@@ -60,11 +84,12 @@ def c_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_agg_basic",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
-        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
-        "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
-        "ROUND(AVG(l_quantity), 4) AS avg_qty, "
-        "ROUND(AVG(l_discount), 6) AS avg_disc, "
+        "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* CAST(1 - l_discount AS DECIMAL(12,6))), 2) AS DOUBLE) AS sum_disc_price, "
+        "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty, "
+        "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, "
         "COUNT(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"
@@ -72,19 +97,35 @@ def c_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: partial (map-side) + final hash aggregation is
-    automatic; only the 2-key grouped partials shuffle."""
+    automatic; only the 2-key grouped partials shuffle. Money sums run
+    in decimal (see _DEC_PRICE note) so the result cannot flip on a
+    half-cent boundary under a different partial-agg order; averages
+    divide the exact decimal sum (as double) by the count, which both
+    engines evaluate identically."""
     li = table(spark, sf_dir, "lineitem")
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(_dprice("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dprice("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.sum(
+                    _dprice("l_extendedprice") * _dfrac(1 - F.col("l_discount"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(_dprice("l_quantity")).cast("double") / n, 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast(_DEC_FRAC)).cast("double") / n, 6
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -479,7 +520,9 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "c_tpch_q3",
     oracle=(
-        "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) "
+        "SELECT l_orderkey, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* CAST(1 - l_discount AS DECIMAL(12,6))), 2) AS DOUBLE) "
         "AS revenue, o_orderdate, o_orderpriority "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
@@ -509,8 +552,13 @@ def c_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    _dprice("l_extendedprice") * _dfrac(1 - F.col("l_discount"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
@@ -521,7 +569,9 @@ def c_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "c_tpch_q5",
     oracle=(
-        "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "SELECT n_name, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* CAST(1 - l_discount AS DECIMAL(12,6))), 2) AS DOUBLE) AS revenue "
         "FROM customer "
         "JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
@@ -567,8 +617,13 @@ def c_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    _dprice("l_extendedprice") * _dfrac(1 - F.col("l_discount"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -1269,13 +1324,16 @@ def c_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_tpch_q1",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
-        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
-        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
-        "ROUND(AVG(l_quantity), 6) AS avg_qty, "
-        "ROUND(AVG(l_extendedprice), 6) AS avg_price, "
-        "ROUND(AVG(l_discount), 6) AS avg_disc, "
+        "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* CAST(1 - l_discount AS DECIMAL(12,6))), 2) AS DOUBLE) AS sum_disc_price, "
+        "CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* CAST(1 - l_discount AS DECIMAL(12,6)) AS DECIMAL(24,8)) "
+        "* CAST(1 + l_tax AS DECIMAL(12,6))), 2) AS DOUBLE) AS sum_charge, "
+        "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty, "
+        "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price, "
+        "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, "
         "CAST(COUNT(*) AS BIGINT) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"
@@ -1287,19 +1345,34 @@ def c_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     key computed in ONE partial-aggregating pass (map-side combine
     reduces each task to ≤6 rows before the single tiny shuffle).
     This is the query whole-stage codegen exists for; the whole plan
-    is scan → codegen'd hash-agg → exchange → final hash-agg."""
+    is scan → codegen'd hash-agg → exchange → final hash-agg. All money
+    sums run in decimal (see _DEC_PRICE note) so no partial-agg order
+    can flip a half-cent boundary; decimal(12,2)*(12,6)*(12,6) peaks at
+    precision 38 — exact in both engines (the oracle re-casts the
+    2-factor product to DECIMAL(24,8) — lossless, and wide enough that
+    DuckDB runs the second multiply in int128 instead of overflowing
+    its int64 fast path)."""
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _dprice("l_extendedprice") * _dfrac(1 - F.col("l_discount"))
+    n = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.sum(_dprice("l_quantity")), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(_dprice("l_extendedprice")), 2)
+        .cast("double")
+        .alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(disc_price * _dfrac(1 + F.col("l_tax"))), 2)
+        .cast("double")
+        .alias("sum_charge"),
+        F.round(F.sum(_dprice("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+        F.round(
+            F.sum(_dprice("l_extendedprice")).cast("double") / n, 6
+        ).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast(_DEC_FRAC)).cast("double") / n, 6
+        ).alias("avg_disc"),
         F.count("*").cast("long").alias("count_order"),
     )
 
@@ -1307,7 +1380,8 @@ def c_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "c_tpch_q6",
     oracle=(
-        "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+        "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* CAST(l_discount AS DECIMAL(12,6))), 2) AS DOUBLE) AS revenue "
         "FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
@@ -1330,9 +1404,15 @@ def c_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    _dprice("l_extendedprice")
+                    * F.col("l_discount").cast(_DEC_FRAC)
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -1341,7 +1421,8 @@ def c_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_tpch_q10",
     oracle=(
         "SELECT c_custkey, c_name, "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* CAST(1 - l_discount AS DECIMAL(12,6))), 2) AS DOUBLE) AS revenue, "
         "c_acctbal, n_name "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
@@ -1359,7 +1440,9 @@ def c_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is pushed to the lineitem scan), customer joins the small
     aggregated result, nation broadcasts, and the top-20 is a
     TakeOrderedAndProject — the only wide shuffle is the groupBy on
-    custkey."""
+    custkey. Revenue sums in decimal (see _DEC_PRICE note): round 2's
+    only red row was this query flipping a half-cent boundary under
+    double summation order."""
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
     orders = table(spark, sf_dir, "orders").filter(
@@ -1375,8 +1458,13 @@ def c_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    _dprice("l_extendedprice") * _dfrac(1 - F.col("l_discount"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -1505,10 +1593,12 @@ def c_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "c_tpch_q18",
     oracle=(
-        "WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty "
-        "FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) "
+        "WITH big AS (SELECT l_orderkey, "
+        "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty "
+        "FROM lineitem GROUP BY l_orderkey "
+        "HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) "
         "SELECT c_custkey, c_name, o_orderkey, o_totalprice, "
-        "ROUND(total_qty, 2) AS total_qty "
+        "CAST(ROUND(total_qty, 2) AS DOUBLE) AS total_qty "
         "FROM big JOIN orders ON o_orderkey = l_orderkey "
         "JOIN customer ON c_custkey = o_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
@@ -1527,7 +1617,7 @@ def c_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(F.sum(_dprice("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -1538,7 +1628,7 @@ def c_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             "o_totalprice",
-            F.round("total_qty", 2).alias("total_qty"),
+            F.round("total_qty", 2).cast("double").alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)

@@ -6,6 +6,11 @@ written as a batch DataFrame program using the SAME window functions the
 streaming path uses (`F.window`, `F.session_window`), so the streaming
 variants in `streaming/` reuse these transformations verbatim — batch
 here is the oracle-checkable twin of the streaming topology.
+
+Value sums run in decimal: per-row CAST(value AS DECIMAL(18,6)) is the
+same deterministic quantization of the same double in both engines, and
+the decimal sum is exact, so no partial-agg order can flip the rounded
+result (the c_tpch_q10 half-cent lesson from round 2).
 """
 
 from __future__ import annotations
@@ -25,7 +30,8 @@ from . import query
     "c_stream_tumbling",
     oracle=(
         "SELECT date_trunc('hour', ts) AS window_start, "
-        "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+        "COUNT(*) AS n_events, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) "
+        "AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1"
     ),
 )
@@ -37,7 +43,9 @@ def c_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -53,7 +61,8 @@ def c_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT time_bucket(INTERVAL '30 minutes', ts) "
         "  - k * INTERVAL '30 minutes' AS window_start, "
-        "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+        "COUNT(*) AS n_events, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) "
+        "AS DOUBLE) AS sum_value "
         "FROM events CROSS JOIN (VALUES (0), (1)) offs(k) "
         "GROUP BY 1"
     ),
@@ -67,7 +76,9 @@ def c_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -94,7 +105,8 @@ WITH marked AS (
   FROM marked
 )
 SELECT user_id, MIN(ts) AS session_start,
-  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
 FROM numbered GROUP BY user_id, session_no
 """
 
@@ -114,7 +126,9 @@ def c_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             "user_id",

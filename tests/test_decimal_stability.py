@@ -1,0 +1,64 @@
+"""Partition-permutation stability of rounded aggregates.
+
+Round 2's only red row (c_tpch_q10) was ROUND(SUM(double), 2) flipping a
+half-cent when Spark's partial-agg summation order differed from
+DuckDB's. The fix quantizes per-row values to decimal/integer BEFORE
+summing, making every money/score aggregate summation-order-independent.
+
+This test permutes the physical input layout — scan split size and
+shuffle partition count both change which rows meet in which partial
+aggregate — and asserts the canonical value hash of each hardened query
+is bit-identical across layouts. With the old double-sum code this is
+exactly the knob that exposes the q10 class of bug without needing a
+second engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from async_event_streams_spark.queries import QUERIES
+
+from .oracle_compare import value_hash
+
+# Queries whose aggregates were hardened to decimal / integer-quantized
+# sums (VERDICT r2 item 8). Every rounded aggregate in these must be
+# independent of partial-agg merge order.
+HARDENED = [
+    "c_tpch_q1",
+    "c_tpch_q3",
+    "c_tpch_q5",
+    "c_tpch_q6",
+    "c_tpch_q10",
+    "c_tpch_q18",
+    "c_agg_basic",
+    "c_stream_tumbling",
+    "c_stream_sliding",
+    "c_stream_session",
+    "x_unigram_logprob",
+    "x_bm25",
+]
+
+# (maxPartitionBytes, shuffle.partitions): one coarse layout (few splits,
+# few reducers) and one shredded layout (64 KiB splits, many reducers) —
+# maximally different partial-agg merge trees.
+LAYOUTS = [("128m", "2"), ("65536", "13")]
+
+
+@pytest.mark.parametrize("name", HARDENED)
+def test_rounded_aggregates_partition_invariant(spark, sf_dir, name):
+    hashes = []
+    old_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for max_bytes, parts in LAYOUTS:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes)
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            hashes.append(value_hash(QUERIES[name](spark, sf_dir).toPandas()))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    assert hashes[0] == hashes[1], (
+        f"{name}: result depends on input partitioning — a rounded "
+        f"aggregate is still summing raw doubles"
+    )

@@ -1,14 +1,24 @@
 #!/usr/bin/env python
-"""Regenerate the registry's `_EXTERNALLY_VERIFIED` set from the newest
-CORRECTNESS_r*.json.
+"""Regenerate the registry's `_EXTERNALLY_VERIFIED` map from the newest
+CORRECTNESS_r*.json, keyed by (name, source fingerprint).
 
-Run at round start: queries with a green (hash_match) driver row move to
-the back of the registration order so the driver's ~50-entry correctness
-window covers queries that still need an external row. Names stay
-verified once green in ANY round (the union is cumulative), so a query
-that rotates out of the window keeps its standing.
+Run at ROUND START, before editing any query: "current fingerprint" is
+then the fingerprint of the code the driver actually checked. Rules:
 
-Usage: python tools/update_verified.py [--dry-run]
+- names green (hash_match) in the NEWEST correctness file are granted
+  with their current fingerprint;
+- existing entries are kept only while their recorded fingerprint still
+  matches the current source — a rewritten query (or oracle) silently
+  loses its badge and re-enters the driver's ~50-entry check window;
+- `--bootstrap` grants greens from ALL correctness rounds (one-off
+  migration); `--drop NAME` excludes names known rewritten since their
+  green round.
+
+Also refreshes `_BENCH_SEC` entries from the newest BENCH_r*.json
+per-query seconds (measured values displace hand estimates).
+
+Usage: python tools/update_verified.py [--dry-run] [--bootstrap]
+       [--drop NAME]...
 """
 
 from __future__ import annotations
@@ -21,10 +31,15 @@ import sys
 REPO = "/root/repo"
 REGISTRY = f"{REPO}/async_event_streams_spark/queries/__init__.py"
 
+sys.path.insert(0, REPO)
 
-def green_names() -> set[str]:
+
+def green_names(newest_only: bool) -> set[str]:
+    files = sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json"))
+    if newest_only:
+        files = files[-1:]
     names: set[str] = set()
-    for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+    for path in files:
         try:
             rows = json.load(open(path))
         except Exception:
@@ -35,32 +50,97 @@ def green_names() -> set[str]:
     return names
 
 
+def bench_queries() -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r*.json (the driver
+    sometimes stores only an output tail — parse either shape)."""
+    for path in sorted(glob.glob(f"{REPO}/BENCH_r*.json"), reverse=True):
+        try:
+            doc = json.load(open(path))
+        except Exception:
+            continue
+        q = doc.get("queries") or (doc.get("parsed") or {}).get("queries")
+        if q:
+            return {k: float(v) for k, v in q.items()}
+        tail = doc.get("tail", "")
+        m = re.search(r'"queries":\s*(\{[^}]*\})', tail)
+        if m:
+            return {k: float(v) for k, v in json.loads(m.group(1)).items()}
+        # tail truncated mid-dict: salvage every "name": seconds pair
+        pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+        if pairs:
+            return {k: float(v) for k, v in pairs if not k.startswith(("sf", "n_"))}
+    return {}
+
+
 def main() -> None:
-    verified = green_names()
-    if not verified:
-        print("no green rows found; nothing to do")
-        return
-    src = open(REGISTRY).read()
+    from async_event_streams_spark.queries import (  # noqa: E402
+        _EXTERNALLY_VERIFIED,
+        QUERIES,
+        query_fingerprint,
+    )
+
+    drops = {
+        sys.argv[i + 1]
+        for i, a in enumerate(sys.argv)
+        if a == "--drop" and i + 1 < len(sys.argv)
+    }
+    fresh = green_names(newest_only="--bootstrap" not in sys.argv) - drops
+
+    current = {n: query_fingerprint(n) for n in QUERIES}
+    recorded: dict[str, str] = {}
+    # keep prior entries whose source is unchanged
+    for name, fp in _EXTERNALLY_VERIFIED.items():
+        if current.get(name) == fp:
+            recorded[name] = fp
+    # grant fresh greens at their current fingerprint
+    for name in fresh:
+        if name in current:
+            recorded[name] = current[name]
+
     body = "\n".join(
-        f'        "{n}",' for n in sorted(verified)
+        f'    "{n}": "{recorded[n]}",' for n in sorted(recorded)
     )
-    new_block = (
-        "_EXTERNALLY_VERIFIED: frozenset[str] = frozenset(\n"
-        "    {\n" + body + "\n    }\n)"
-    )
+    new_block = "_EXTERNALLY_VERIFIED: dict[str, str] = {\n" + body + "\n}"
+
+    src = open(REGISTRY).read()
+    # entries are flat "str": "str" pairs — [^{}] anchors the block end
+    # safely even when the dict is empty ({}).
     out, n_subs = re.subn(
-        r"_EXTERNALLY_VERIFIED: frozenset\[str\] = frozenset\(\s*\{.*?\}\s*\)",
-        new_block,
+        r"_EXTERNALLY_VERIFIED: dict\[str, str\] = \{[^{}]*\}",
+        lambda _m: new_block,
         src,
-        flags=re.S,
+        count=1,
     )
     if n_subs != 1:
-        sys.exit(f"expected exactly one _EXTERNALLY_VERIFIED block, found {n_subs}")
+        sys.exit(f"expected one _EXTERNALLY_VERIFIED block, found {n_subs}")
+
+    # refresh measured bench seconds (displacing estimates)
+    bench = bench_queries()
+    refreshed = 0
+    if bench:
+        def sub_bench(m: re.Match) -> str:
+            nonlocal refreshed
+            name = m.group(1)
+            if name in bench:
+                refreshed += 1
+                return f'"{name}": {bench[name]}'
+            return m.group(0)
+
+        block = re.search(
+            r"\n_BENCH_SEC: dict\[str, float\] = \{[^{}]*\}", out
+        )
+        if block:
+            new_bench = re.sub(r'"([a-z0-9_]+)": ([0-9.]+)', sub_bench, block.group(0))
+            out = out[: block.start()] + new_bench + out[block.end():]
+
+    unverified = [n for n in QUERIES if n not in recorded]
+    print(
+        f"verified {len(recorded)}/{len(current)}; unverified: {sorted(unverified)}; "
+        f"bench seconds refreshed for {refreshed} queries"
+    )
     if "--dry-run" in sys.argv:
-        print(f"would mark {len(verified)} queries verified")
         return
     open(REGISTRY, "w").write(out)
-    print(f"marked {len(verified)} queries externally verified")
 
 
 if __name__ == "__main__":
