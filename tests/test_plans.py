@@ -204,10 +204,12 @@ def test_tpch_q1_single_shuffle_partial_agg(spark, sf_dir):
     """Q1's 8 aggregates over a 6-value group key must compute in one
     partial-aggregating pass: map-side combine reduces each task to ≤6
     rows, so exactly one (tiny) exchange and the date filter is pushed
-    to the scan."""
+    to the scan. (Averages are sum(decimal)/count since the r3 decimal
+    hardening, so the plan shows partial_sum/partial_count, not
+    partial_avg — same single-pass shape.)"""
     plan = plan_of(spark, sf_dir, "c_tpch_q1")
     assert "LessThanOrEqual(l_shipdate" in plan
-    assert "partial_sum" in plan and "partial_avg" in plan
+    assert "partial_sum" in plan and "partial_count" in plan
     assert op_count(plan, "Exchange") == 1
 
 
