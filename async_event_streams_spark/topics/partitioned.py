@@ -176,30 +176,58 @@ class PartitionedTopic:
         # (or crash-retry) the moment post() returns
         return {i: r for i, r in done.items() if shards[i]}
 
-    def post_df(self, df: DataFrame, event_type: str = "event") -> dict[int, tuple[int, int]]:
-        """Bulk publish: executors write each partition's payload as
-        parquet (full cluster parallelism), sharded by the SAME crc32
-        routing as `post` — `pmod(crc32(cast(key as string)), N)` on the
-        JVM equals `zlib.crc32(str(key))%N` on the driver for utf-8
-        strings. One small bulk marker per partition goes through that
-        partition's segment log."""
+    def post_df(
+        self, df: DataFrame, event_type: str = "event", txn: str | None = None
+    ) -> dict[int, tuple[int, int]]:
+        """Bulk publish: ONE Spark job writes the payload parquet
+        partitioned by `__part__`, sharded by the SAME crc32 routing as
+        `post` — `pmod(crc32(cast(key as string)), N)` on the JVM equals
+        `zlib.crc32(str(key))%N` on the driver for utf-8 strings. Which
+        partitions got rows is then a driver-side directory listing of
+        the `__part__=i` subdirs (and row counts come from parquet
+        footers) — no per-batch `distinct().collect()`, no cache, no
+        N filtered re-scans; the job count is 1 regardless of N.
+
+        With `txn`, partitions that got no rows still record a
+        header-only segment, so `last_txn()` replay detection holds no
+        matter how a batch's keys routed (same contract as `post`)."""
+        import uuid
+
         part = F.pmod(
             F.crc32(F.col(self.key_col).cast("string")), F.lit(self.num_partitions)
         ).cast("int")
-        routed = df.withColumn("__part__", part).cache()
-        try:
-            present = sorted(
-                r["__part__"] for r in routed.select("__part__").distinct().collect()
-            )
-            out = {}
-            for i in present:
-                out[i] = self.partitions[i].post_df(
-                    routed.filter(F.col("__part__") == i).drop("__part__"),
-                    event_type,
+        stage = os.path.join(self.dir, f"bulkstage-{uuid.uuid4().hex[:12]}")
+        (
+            df.withColumn("__part__", part)
+            .write.mode("errorifexists")
+            .partitionBy("__part__")
+            .parquet(stage)
+        )
+        out: dict[int, tuple[int, int]] = {}
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith("__part__="):
+                continue
+            val = entry.split("=", 1)[1]
+            if not val.isdigit():  # null key rows land in the hive
+                # default partition — reject like post() rejects a
+                # missing key, instead of silently dropping them
+                raise ValueError(
+                    f"post_df: rows with null {self.key_col!r} key ({entry})"
                 )
-            return out
-        finally:
-            routed.unpersist()
+            i = int(val)
+            out[i] = self.partitions[i].post_parquet(
+                os.path.join(stage, entry), event_type, txn=txn
+            )
+        if not out:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ValueError("post_df requires a non-empty DataFrame")
+        if txn is not None:
+            for i, p in enumerate(self.partitions):
+                if i not in out:
+                    p.post([], txn=txn)  # header-only: replay-visible
+        return out
 
     def send_df(
         self, df: DataFrame, event_type: str = "event", barrier: str = "local"
@@ -294,29 +322,46 @@ class PartitionedTopic:
         sink_fn=None,
         name: str | None = None,
         **pipe_kwargs,
-    ) -> list:
+    ) -> "MultiPipeHandle":
         """Parallel drain (the Kafka consumer-group shape): one pipe PER
         PARTITION, each its own streaming query with its own checkpoint
         and exactly-once txn line — N consumers progress independently,
         so a slow partition never stalls the others (the unioned
         `subscribe()` advances all partitions in lock-step instead).
         Per-key order still holds end-to-end: a key's events flow
-        through exactly one partition's pipe, in order. Returns the N
-        PipeHandles; `barrier(chain=True)` on this topic awaits them all."""
-        from .pipe import pipe
+        through exactly one partition's pipe, in order. This is what
+        `pipe()` does by default when its source is a PartitionedTopic.
 
-        base = name or f"drain-{self.name}"
-        handles = [
+        Each partition's batches are tagged with that partition's index
+        before the user `fn` runs, so `fn` sees the same `partition`
+        column the unioned `subscribe()` stream carries. Returns a
+        MultiPipeHandle (a list of the N PipeHandles that also speaks
+        the single-handle interface); `barrier(chain=True)` on this
+        topic awaits them all."""
+        import uuid
+
+        from .pipe import MultiPipeHandle, pipe
+
+        base = name or f"drain-{self.name}-{uuid.uuid4().hex[:8]}"
+
+        def tagged(i: int):
+            def f(df):
+                out = df.withColumn("partition", F.lit(i))
+                return fn(out) if fn is not None else out
+
+            return f
+
+        handles = MultiPipeHandle(
             pipe(
                 p,
-                fn=fn,
+                fn=tagged(i),
                 target=target,
                 sink_fn=sink_fn,
                 name=f"{base}-p{i}",
                 **pipe_kwargs,
             )
             for i, p in enumerate(self.partitions)
-        ]
+        )
         if target is not None:
             # the chain barrier walks from the PARENT's name too
             self.registry.add_edge(self.name, target.name)

@@ -55,6 +55,32 @@ class PipeHandle:
         return self.query.exception()
 
 
+class MultiPipeHandle(list):
+    """Consumer-group handle: one `PipeHandle` per topic partition (the
+    elements), aggregated behind the single-handle interface so code
+    written against `pipe()`'s return value works unchanged whether the
+    source was a plain Topic or a PartitionedTopic."""
+
+    def await_idle(self) -> None:
+        for h in self:
+            h.await_idle()
+
+    def stop(self) -> None:
+        for h in self:
+            h.stop()
+
+    @property
+    def is_active(self) -> bool:
+        return any(h.is_active for h in self)
+
+    def exception(self):
+        for h in self:
+            exc = h.exception()
+            if exc is not None:
+                return exc
+        return None
+
+
 def pipe(
     source: Topic,
     fn: Callable[[DataFrame], DataFrame] | None = None,
@@ -83,6 +109,23 @@ def pipe(
     """
     if target is None and sink_fn is None:
         raise ValueError("pipe needs a target topic and/or a sink_fn")
+    if getattr(source, "partitions", None) is not None:
+        # PartitionedTopic: default to the consumer-group drain — one
+        # independent pipe per partition (own checkpoint, own txn line,
+        # partitions progress independently) instead of one query over
+        # the N-way source union, whose every micro-batch must poll all
+        # N sources in lock-step (measured ~2x slower at N=4 and worse
+        # as N grows).
+        return source.pipe_per_partition(
+            fn=fn,
+            target=target,
+            sink_fn=sink_fn,
+            name=name,
+            error_handler=error_handler,
+            subscribe_from=subscribe_from,
+            trigger_interval=trigger_interval,
+            bulk_threshold=bulk_threshold,
+        )
     pipe_name = name or f"pipe-{source.name}-{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(source.dir, "_checkpoints", pipe_name)
     # Exactly-once re-publish across crash replays: foreachBatch replays

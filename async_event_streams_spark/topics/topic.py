@@ -329,6 +329,42 @@ class Topic:
             self._next_id = base + n
             return base, self._next_id - 1
 
+    def post_parquet(
+        self, path: str, event_type: str = "event", txn: str | None = None
+    ) -> tuple[int, int]:
+        """Register an ALREADY-WRITTEN parquet directory as a bulk
+        publish: count rows from the parquet footers (driver-side
+        metadata reads — no Spark job, no row materialization) and
+        append only the marker through the segment log. This is how a
+        sharded bulk publish (PartitionedTopic.post_df) lands each
+        partition's slice without a per-partition Spark job."""
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )
+        n = sum(pq.read_metadata(f).num_rows for f in files)
+        if n == 0:
+            raise ValueError(f"post_parquet: no rows under {path}")
+        with self._lock:
+            base = self._next_id
+            seg_idx = next_segment_index(self.dir)
+            marker = {
+                "__bulk__": True,
+                "path": path,
+                "base_id": base,
+                "n": n,
+                "event_type": event_type,
+                "ts": datetime.now(timezone.utc),
+            }
+            records = [{"__txn__": txn}] if txn is not None else []
+            records.append(marker)
+            write_segment(self.dir, seg_idx, records)
+            self._next_id = base + n
+            return base, self._next_id - 1
+
     def send_df(
         self, df: DataFrame, event_type: str = "event", barrier: str = "local"
     ) -> tuple[int, int]:
