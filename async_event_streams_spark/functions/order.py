@@ -22,6 +22,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for `df`'s optimized logical plan, in
+    bytes — file-size-derived for parquet scans, propagated through
+    projections/filters — or None when the estimate is unavailable.
+    Costs no Spark job, which is why the adaptive helpers below can
+    consult it per call. When Catalyst cannot estimate, it reports a
+    huge default, which correctly steers `auto` to the scalable path."""
+    try:
+        # py4j renders the Scala BigInt as a Python int (or a JavaObject
+        # whose str() is the number on some versions) — int(str(...))
+        # covers both.
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
+# Inputs estimated at or under this take the plain-window fast path in
+# mode="auto": one task per group sorting ≤ this many bytes is cheaper
+# than the prefix-sum machinery's extra checkpoint + join. Above it, the
+# 100-TB question dominates and the range-partitioned path wins.
+SMALL_INPUT_BYTES = 64 << 20
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str | Column],
@@ -110,20 +135,48 @@ def grouped_rank(
     order_cols: list[str | Column],
     rank_col: str = "rnk",
     n_partitions: int | None = None,
+    mode: str = "auto",
+    approx_groups: int | None = None,
+    small_input_bytes: int = SMALL_INPUT_BYTES,
 ) -> DataFrame:
     """Append `rank_col` = 1-based ROW_NUMBER() OVER (PARTITION BY
     group_cols ORDER BY order_cols) — scalable for LOW-CARDINALITY
     groups. A plain window with partitionBy(low_card_key) gives exactly
     |groups| tasks: with 5 priority classes over 100 TB, 5 tasks sort
-    everything (measured ~linear growth in the 100x probe). Here the
-    sort is range-partitioned on (group, order) — parallelism is
-    n_partitions regardless of group cardinality — rows are numbered
-    locally per (partition, group), and each group's per-partition
-    counts are prefix-summed into broadcast offsets: the only
-    centralized data is the (n_partitions x |groups|)-row offset table.
-    Requires order_cols to total-order rows within each group (include
-    a unique tie-break)."""
+    everything (measured ~linear growth in the 100x probe). The
+    prefix-sum path range-partitions the sort on (group, order) —
+    parallelism is n_partitions regardless of group cardinality — rows
+    are numbered locally per (partition, group), and each group's
+    per-partition counts are prefix-summed into broadcast offsets: the
+    only centralized data is the (n_partitions x |groups|)-row offset
+    table. Requires order_cols to total-order rows within each group
+    (include a unique tie-break).
+
+    The machinery only pays off when a big input meets few groups, so
+    `mode="auto"` (default) picks per call, costing no extra jobs:
+
+    - plain window when the caller hints `approx_groups >=
+      2 x n_partitions` (high-cardinality keys don't cap parallelism —
+      the window is already the right plan at any scale), or when
+      Catalyst estimates the input at <= `small_input_bytes` (|groups|
+      tasks each sorting a few MB beat the extra checkpoint + join;
+      this is the sf0.1-style small-data case);
+    - range-partitioned prefix-sum otherwise (the 100-TB case — an
+      unknown estimate counts as big).
+
+    `mode="prefix"` / `mode="window"` force a shape (plan tests pin
+    both)."""
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if mode not in ("auto", "prefix", "window"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        high_card = approx_groups is not None and approx_groups >= 2 * n
+        est = plan_size_bytes(df)
+        small = est is not None and est <= small_input_bytes
+        mode = "window" if (high_card or small) else "prefix"
+    if mode == "window":
+        w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
     keys = [*group_cols, *order_cols]
     parts = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
     # Pin one physical partitioning (range boundaries come from

@@ -62,10 +62,11 @@ def test_multi_column_order_with_tiebreak(spark):
     assert got == [(0, "z", 1), (1, "a", 2), (1, "b", 3), (2, "a", 4)]
 
 
-def test_grouped_rank_matches_plain_window(spark):
+@pytest.mark.parametrize("mode", ["prefix", "window", "auto"])
+def test_grouped_rank_matches_plain_window(spark, mode):
     """grouped_rank == ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id)
-    on a skewed low-cardinality group column — the case the helper
-    exists for (a plain window would cap parallelism at |groups|)."""
+    on a skewed low-cardinality group column, in every mode — the two
+    physical shapes (and whatever auto picks) must agree exactly."""
     import random
 
     from pyspark.sql import functions as F
@@ -78,7 +79,9 @@ def test_grouped_rank_matches_plain_window(spark):
     df = spark.createDataFrame(rows, "g long, v long, id long")
     got = {
         (r.g, r.id): r.rnk
-        for r in grouped_rank(df, ["g"], ["v", "id"], n_partitions=8).collect()
+        for r in grouped_rank(
+            df, ["g"], ["v", "id"], n_partitions=8, mode=mode
+        ).collect()
     }
     w = Window.partitionBy("g").orderBy("v", "id")
     want = {
@@ -89,14 +92,14 @@ def test_grouped_rank_matches_plain_window(spark):
 
 
 def test_grouped_rank_plan_has_no_single_partition_data_path(spark):
-    """The data path must stay range/hash partitioned; the only
-    SinglePartition exchange allowed is the tiny per-(pid, group)
+    """Prefix shape: the data path must stay range/hash partitioned; the
+    only SinglePartition exchange allowed is the tiny per-(pid, group)
     offsets branch."""
     from async_event_streams_spark.functions.order import grouped_rank
 
     df = spark.range(0, 1000).selectExpr("id % 3 AS g", "id AS v")
     plan = (
-        grouped_rank(df, ["g"], ["v"], n_partitions=4)
+        grouped_rank(df, ["g"], ["v"], n_partitions=4, mode="prefix")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -106,3 +109,29 @@ def test_grouped_rank_plan_has_no_single_partition_data_path(spark):
     # SinglePartition exchange anywhere
     assert "hashpartitioning(__pid" in plan
     assert "SinglePartition" not in plan
+
+
+def test_grouped_rank_auto_picks_by_size_and_cardinality(spark):
+    """auto mode, both decision axes: a small input (Catalyst estimate
+    under the threshold) compiles to the plain window — no __pid
+    machinery; a big-or-unknown input with low-cardinality groups
+    compiles to the prefix shape; a high-cardinality hint stays on the
+    plain window regardless of size (parallelism isn't capped)."""
+    from async_event_streams_spark.functions.order import grouped_rank
+
+    df = spark.range(0, 1000).selectExpr("id % 3 AS g", "id AS v")
+
+    def plan(**kw):
+        return (
+            grouped_rank(df, ["g"], ["v"], n_partitions=4, **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    small = plan()  # range(1000): tiny estimate -> window
+    assert "__pid" not in small and "windowpartitionspecdefinition" not in small.lower()
+    big = plan(small_input_bytes=0)  # every estimate counts as big -> prefix
+    assert "hashpartitioning(__pid" in big
+    high_card = plan(small_input_bytes=0, approx_groups=10_000)
+    assert "__pid" not in high_card
