@@ -3,19 +3,27 @@ metadata, processed via Arrow-batched mapInPandas (driver mandate,
 SURVEY.md §2-C).
 
 The Spark-side machinery is real — schemas, content addressing,
-batch-shaped UDF signatures, partition-aware iteration; only the codec
-itself is stubbed (image/audio libraries are not available in this
-environment). `decode_image` raises NotImplementedError unless
-`fake=True`, which substitutes a deterministic structural decode so the
-pipeline shape (binary → features) is testable end-to-end.
+batch-shaped UDF signatures, partition-aware iteration. The image codec
+is real too WHEN Pillow is importable (an optional dependency); without
+it, `fake=True` substitutes a deterministic structural decode so the
+pipeline shape (binary → features) stays testable end-to-end, and the
+real-codec request fails fast ON THE DRIVER with an actionable message
+(never per-row on executors). Video decode remains stubbed (no
+PyAV/ffmpeg here); its fan-out mechanics are real and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
+
+try:  # optional dependency: real image codec when available
+    from PIL import Image as _PILImage
+except Exception:  # pragma: no cover - environment-dependent
+    _PILImage = None
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -80,19 +88,29 @@ def to_assets(df: DataFrame, payload_col: str, modality: str) -> DataFrame:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
-    """STUB: real image decode (PIL/OpenCV) is unavailable in this
-    container. fake=True yields a deterministic structural stand-in
-    (dimensions and a tiny 'feature' derived from the digest) so the
-    distributed plumbing is exercised with real data flow."""
-    if not fake:
+    """Decode image bytes → (width, height, feature). Real decode via
+    Pillow when importable: true dimensions plus a deterministic
+    16-float feature (4x4 grayscale thumbnail, /255). fake=True forces
+    the structural stand-in (dimensions and a tiny 'feature' derived
+    from the digest) — always available, used by the oracle-checked
+    plumbing tests. Without Pillow and without fake=True this raises
+    NotImplementedError."""
+    if fake:
+        digest = hashlib.sha256(payload or b"").digest()
+        width = 16 + digest[0] % 64
+        height = 16 + digest[1] % 64
+        feature = [b / 255.0 for b in digest[:8]]
+        return width, height, feature
+    if _PILImage is None:
         raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "pass fake=True for the deterministic structural decode"
+            "image codec needs the optional Pillow dependency "
+            "(pip install Pillow); pass fake=True for the deterministic "
+            "structural decode"
         )
-    digest = hashlib.sha256(payload or b"").digest()
-    width = 16 + digest[0] % 64
-    height = 16 + digest[1] % 64
-    feature = [b / 255.0 for b in digest[:8]]
+    with _PILImage.open(io.BytesIO(payload or b"")) as im:
+        width, height = im.size
+        thumb = im.convert("L").resize((4, 4))
+        feature = [p / 255.0 for p in thumb.getdata()]
     return width, height, feature
 
 
@@ -101,7 +119,17 @@ def extract_features(assets: DataFrame, fake_decode: bool = False) -> DataFrame:
     parallel, constant memory per batch (never materializes a partition
     of payloads at once). At scale the decode cost dominates, so
     parallelism == input partitions — repartition upstream to match
-    cluster cores."""
+    cluster cores.
+
+    Real decode requires Pillow; checked HERE, driver-side, so a missing
+    codec fails at plan construction with one clear error instead of N
+    executor task failures."""
+    if not fake_decode and _PILImage is None:
+        raise NotImplementedError(
+            "extract_features(fake_decode=False) needs the optional "
+            "Pillow dependency (pip install Pillow); pass "
+            "fake_decode=True for the structural stand-in"
+        )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,19 +152,29 @@ def extract_features(assets: DataFrame, fake_decode: bool = False) -> DataFrame:
 def resize_payload(
     payload: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
-    """STUB: real resize (PIL/OpenCV) unavailable here. fake=True
-    produces a deterministic stand-in of the RIGHT SHAPE — output size
-    scales with the target dimensions (3 bytes/pixel, content seeded by
-    the source digest) so partition-size/memory behavior downstream is
-    realistic."""
-    if not fake:
+    """Resize image bytes to (width, height). Real resize via Pillow
+    when importable (PNG-encoded output — deterministic given fixed
+    Pillow). fake=True produces a deterministic stand-in of the RIGHT
+    SHAPE — output size scales with the target dimensions (3
+    bytes/pixel, content seeded by the source digest) so partition-size/
+    memory behavior downstream is realistic. Without Pillow and without
+    fake=True raises NotImplementedError."""
+    if fake:
+        seed = hashlib.sha256(
+            (payload or b"") + f"{width}x{height}".encode()
+        ).digest()
+        n = width * height * 3
+        return (seed * (n // len(seed) + 1))[:n]
+    if _PILImage is None:
         raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "pass fake=True for the deterministic structural resize"
+            "image codec needs the optional Pillow dependency "
+            "(pip install Pillow); pass fake=True for the deterministic "
+            "structural resize"
         )
-    seed = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
-    n = width * height * 3
-    return (seed * (n // len(seed) + 1))[:n]
+    with _PILImage.open(io.BytesIO(payload or b"")) as im:
+        out = io.BytesIO()
+        im.convert("RGB").resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
 
 
 def resize_images(
@@ -146,7 +184,16 @@ def resize_images(
     re-content-addressed (resized bytes get their own sha256 asset_id,
     so the resized corpus dedups/joins independently of the originals).
     Arrow-batched; memory per task bounded by the Arrow batch size, not
-    the partition — safe when payloads are MBs each."""
+    the partition — safe when payloads are MBs each.
+
+    Real resize requires Pillow; checked driver-side (fail fast at plan
+    construction, not per-row on executors)."""
+    if not fake_codec and _PILImage is None:
+        raise NotImplementedError(
+            "resize_images(fake_codec=False) needs the optional Pillow "
+            "dependency (pip install Pillow); pass fake_codec=True for "
+            "the structural stand-in"
+        )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

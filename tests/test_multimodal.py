@@ -48,11 +48,61 @@ def test_extract_features_runs_distributed(spark, assets):
     assert all(again[r.asset_id] == r.feature for r in rows)
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError, match="not available"):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow present: real codec active")
+def test_real_decode_fails_fast_without_pillow(spark, assets):
+    """Without the optional Pillow dependency the real-codec request
+    fails at DRIVER time (plan construction) with an actionable message
+    — never as N per-row executor failures."""
+    with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(b"\x89PNG...")
-    with pytest.raises(NotImplementedError, match="not available"):
+    with pytest.raises(NotImplementedError, match="Pillow"):
         resize_payload(b"\x89PNG...", 8, 8)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        extract_features(assets)  # raises before any job runs
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        resize_images(assets, 8, 8)
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_real_codec_decodes_and_resizes(spark):
+    """Real-codec path (runs wherever Pillow is installed): a genuine
+    PNG decodes to its true dimensions with a 16-float thumbnail
+    feature, and resize produces a decodable PNG of the target size —
+    end-to-end through the same mapInPandas plumbing the stub uses."""
+    import io
+
+    from PIL import Image
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    raw = spark.createDataFrame(
+        [(0, png(20, 10, (255, 0, 0))), (1, png(7, 5, (0, 0, 255)))],
+        "id long, blob binary",
+    )
+    assets = to_assets(raw, "blob", "image")
+    feats = {
+        (r.width, r.height): r.feature
+        for r in extract_features(assets, fake_decode=False).collect()
+    }
+    assert set(feats) == {(20, 10), (7, 5)}
+    assert all(len(f) == 16 for f in feats.values())
+    resized = resize_images(assets, 8, 6, fake_codec=False).collect()
+    assert len(resized) == 2
+    for r in resized:
+        w, h, _ = decode_image(bytes(r.payload))
+        assert (w, h) == (8, 6)
 
 
 def test_resize_rewrites_payload_and_identity(spark, assets):
