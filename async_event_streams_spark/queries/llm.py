@@ -676,16 +676,15 @@ _IVF_CENTROIDS: dict[str, list[list[float]]] = {}  # per-sf_dir memo
 _IVF_K = 16  # coarse cells; at real scale K ~ sqrt(N), trained centroids
 _IVF_PROBES = 4  # cells searched per query
 
-# The built IVF index (materialized cell assignment), memoized per
-# (session, dataset) with the session PINNED in the value exactly like
-# tables._TABLE_CACHE. An inverted file is a build-once/probe-many
-# artifact: assignment embeds the K centroids as a large literal
-# expression, and re-optimizing that tree on every lookup is rebuilding
-# the index per query — the memo means the N-row scan + argmax runs once
-# per dataset, and every subsequent search starts from the pinned
-# (localCheckpoint'ed) cell table, which is also what a cluster
-# deployment does by writing the assignment to a table.
-_IVF_INDEX: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+# The built IVF index (materialized cell assignment) is a build-once/
+# probe-many artifact: assignment embeds the K centroids as a large
+# literal expression, and re-optimizing that tree on every lookup is
+# rebuilding the index per query. It goes through util.artifact — one
+# memo discipline (session pinning, stale-session eviction, LRU bound)
+# instead of a hand-rolled dict (round-2 advice) — so the N-row scan +
+# argmax runs once per dataset and every subsequent search starts from
+# the pinned cell table, which is also what a cluster deployment does
+# by writing the assignment to a table.
 
 
 def _ivf_oracle() -> str:
@@ -785,13 +784,7 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in v.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
         ]
         _IVF_CENTROIDS[sf_dir] = cents
-    idx_key = (id(spark), sf_dir)
-    idx = _IVF_INDEX.get(idx_key)
-    if idx is not None and idx[0] is spark:
-        assigned = idx[1]
-    else:
-        assigned = materialize(ivf_assign(v, cents))
-        _IVF_INDEX[idx_key] = (spark, assigned)
+    assigned = artifact(spark, f"{sf_dir}:ivf_cells", lambda: ivf_assign(v, cents))
     cent = v.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
     )

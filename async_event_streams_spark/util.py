@@ -36,9 +36,22 @@ def materialize(df: DataFrame) -> DataFrame:
 # cells). Keyed by (session id, artifact key) with the session PINNED
 # in the value — a pinned session can't be garbage-collected, so its
 # id can't be reused (same discipline as tables._TABLE_CACHE); stale
-# entries from stopped sessions are evicted on miss. On a cluster the
-# same role is played by writing the artifact to a table once.
+# entries from stopped sessions are evicted on miss, and live-session
+# entries are LRU-bounded (dropping our reference lets the JVM
+# ContextCleaner reclaim the checkpoint blocks). On a cluster the same
+# role is played by writing the artifact to a table once.
 _ARTIFACTS: dict[tuple[int, str], tuple[object, DataFrame]] = {}
+
+# Per-session LRU bound on live memo entries. Each entry pins a
+# localCheckpoint's blocks; an unbounded memo in a long-lived session
+# accumulates one per sketch/band/TF artifact forever (round-2 advice).
+MAX_ARTIFACTS_PER_SESSION = 32
+
+# (key, "build"|"hit") event log since the last drain — lets harnesses
+# (bench.py) attribute which timed queries rode a memoized artifact
+# instead of paying its build, so per-query numbers aren't silently
+# warm-cache.
+_ARTIFACT_EVENTS: list[tuple[str, str]] = []
 
 
 def artifact(spark, key: str, build) -> DataFrame:
@@ -47,6 +60,8 @@ def artifact(spark, key: str, build) -> DataFrame:
     k = (id(spark), key)
     hit = _ARTIFACTS.get(k)
     if hit is not None and hit[0] is spark:
+        _ARTIFACTS[k] = _ARTIFACTS.pop(k)  # LRU touch (reinsert at end)
+        _ARTIFACT_EVENTS.append((key, "hit"))
         return hit[1]
     stale = [kk for kk, (sess, _) in _ARTIFACTS.items() if sess is not spark]
     for kk in stale:
@@ -59,4 +74,31 @@ def artifact(spark, key: str, build) -> DataFrame:
             _ARTIFACTS.pop(kk, None)
     df = materialize(build())
     _ARTIFACTS[k] = (spark, df)
+    _ARTIFACT_EVENTS.append((key, "build"))
+    live = [kk for kk, (sess, _) in _ARTIFACTS.items() if sess is spark]
+    for kk in live[: max(0, len(live) - MAX_ARTIFACTS_PER_SESSION)]:
+        _ARTIFACTS.pop(kk, None)  # oldest first (dict keeps LRU order)
     return df
+
+
+def clear_artifacts(spark=None) -> int:
+    """Drop memoized artifacts — all of them, or only one session's.
+    Returns the number of entries released. The checkpoint blocks are
+    reclaimed by Spark's ContextCleaner once the DataFrames are
+    garbage-collected."""
+    if spark is None:
+        n = len(_ARTIFACTS)
+        _ARTIFACTS.clear()
+        return n
+    mine = [kk for kk, (sess, _) in _ARTIFACTS.items() if sess is spark]
+    for kk in mine:
+        _ARTIFACTS.pop(kk, None)
+    return len(mine)
+
+
+def drain_artifact_events() -> list[tuple[str, str]]:
+    """Return and clear the (key, "build"|"hit") events recorded since
+    the last drain."""
+    ev = list(_ARTIFACT_EVENTS)
+    _ARTIFACT_EVENTS.clear()
+    return ev

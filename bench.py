@@ -44,11 +44,18 @@ def main() -> None:
 
     # Two passes, min per query: single-pass local timings are ±20%
     # noisy (JIT/GC/page-cache); the min reflects the plan's steady
-    # state, which is what matters for cluster extrapolation.
+    # state, which is what matters for cluster extrapolation. Artifact
+    # memo traffic is recorded per query so readers can tell which
+    # timings paid a build-once artifact and which rode a warm memo
+    # (those per-query numbers are not standalone costs).
+    from async_event_streams_spark.util import drain_artifact_events
+
     timings: dict[str, float] = {}
+    artifact_uses: dict[str, dict[str, list[str]]] = {}
     t_suite = time.perf_counter()
     for _pass in range(2):
         for name in sorted(QUERIES):
+            drain_artifact_events()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
@@ -56,6 +63,11 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+            events = [f"{what}:{key}" for key, what in drain_artifact_events()]
+            if events:
+                artifact_uses.setdefault(name, {})[
+                    "cold" if _pass == 0 else "warm"
+                ] = events
     total = round(sum(timings.values()), 3)
     wall = round(time.perf_counter() - t_suite, 3)
 
@@ -83,6 +95,7 @@ def main() -> None:
                 "topic_events_per_sec_first": topic_runs[0],
                 "partitioned_topic_events_per_sec": max(ptopic_runs),
                 "partitioned_topic_events_per_sec_first": ptopic_runs[0],
+                "artifact_uses": artifact_uses,
             }
         )
     )
