@@ -12,3 +12,4 @@ from .windows import (  # noqa: F401
     run_stream_to_memory,
 )
 from .stateful import running_max_by_key, sessionize  # noqa: F401
+from .dedup import exact_dedup_pipe  # noqa: F401

@@ -1,0 +1,92 @@
+"""Streaming exact dedup: the mandate's `x_dedup_exact` semantics wired
+through the reference's pipe composition (/root/reference/src/pipes.rs:99-125)
+— a topic of documents in, a topic of FIRST-SEEN documents out, with the
+seen-set carried as an incremental on-disk artifact table.
+
+Batch twin: `queries/llm.py::x_dedup_exact` (sha2-keyed exact dedup).
+The accumulated streaming output over any prefix of the input equals the
+batch dedup of that prefix, keeping the earliest occurrence — asserted
+by `tests/test_streaming_advanced.py::test_streaming_dedup_pipe_equals_batch`.
+
+Scale shape: per batch, one column-pruned anti-join of the new batch
+against the seen-hash table. The state is parquet, one directory per
+micro-batch — at cluster scale the same layout is a partitioned table
+(compact periodically); nothing is driver-resident and the batch side
+of the join is the small one. Replay safety: batch N's state dir is
+written with overwrite and the anti-join reads only batches < N, so a
+crash-replayed batch reproduces exactly its original novel set — which
+the pipe's txn header then refuses to double-publish.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
+
+
+def _prior_state_dirs(state_dir: str, batch_id: int) -> list[str]:
+    try:
+        names = os.listdir(state_dir)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        m = _BATCH_DIR_RE.match(n)
+        if m and int(m.group(1)) < batch_id:
+            out.append(os.path.join(state_dir, n))
+    return sorted(out)
+
+
+def exact_dedup_pipe(
+    source,
+    target,
+    state_dir: str,
+    text_col: str = "text",
+    name: str = "dedup",
+):
+    """Wire `source` → exact-dedup → `target`: each micro-batch keeps
+    only documents whose sha2(text) was never seen — not in any earlier
+    batch (anti-join against the state table) nor earlier in the same
+    batch (first occurrence by event_id) — and appends the survivors'
+    hashes to the state. Returns the PipeHandle."""
+    from ..topics.pipe import pipe
+    from ..util import materialize
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def dedup_batch(df, batch_id: int):
+        spark = df.sparkSession
+        hashed = df.withColumn(
+            "__h", F.sha2(F.col(text_col).cast("binary"), 256)
+        )
+        # first occurrence within the batch (event_id is the topic's
+        # arrival order); hash cardinality ~ row count, so the window
+        # partitioning is fine at scale
+        w = Window.partitionBy("__h").orderBy("event_id")
+        first = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        prior = _prior_state_dirs(state_dir, batch_id)
+        if prior:
+            seen = spark.read.parquet(*prior)
+            novel = first.join(seen, "__h", "left_anti")
+        else:
+            novel = first
+        # Pin before the two consumers (state write + downstream
+        # publish) so both see the same materialized rows.
+        novel = materialize(novel)
+        (
+            novel.select("__h")
+            .write.mode("overwrite")  # replay-safe: batch N owns its dir
+            .parquet(os.path.join(state_dir, f"batch={batch_id}"))
+        )
+        return novel.drop("__h")
+
+    return pipe(source, fn=dedup_batch, target=target, name=name)

@@ -338,16 +338,27 @@ class PartitionedTopic:
         MultiPipeHandle (a list of the N PipeHandles that also speaks
         the single-handle interface); `barrier(chain=True)` on this
         topic awaits them all."""
+        import inspect
         import uuid
 
         from .pipe import MultiPipeHandle, pipe
 
         base = name or f"drain-{self.name}-{uuid.uuid4().hex[:8]}"
+        wants_batch_id = False
+        if fn is not None:
+            try:
+                wants_batch_id = len(inspect.signature(fn).parameters) >= 2
+            except (TypeError, ValueError):
+                wants_batch_id = False
 
         def tagged(i: int):
-            def f(df):
+            # two-parameter wrapper so pipe() forwards batch_id; the
+            # user fn's own arity decides whether it sees it
+            def f(df, batch_id):
                 out = df.withColumn("partition", F.lit(i))
-                return fn(out) if fn is not None else out
+                if fn is None:
+                    return out
+                return fn(out, batch_id) if wants_batch_id else fn(out)
 
             return f
 

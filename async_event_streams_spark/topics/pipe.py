@@ -94,10 +94,13 @@ def pipe(
 ) -> PipeHandle:
     """Wire source → fn → (target and/or sink_fn) as a streaming query.
 
-    `fn` maps a micro-batch DataFrame to a DataFrame (None = identity).
-    Rows re-emitted to `target` get fresh event ids on the target topic
-    but keep `source_event_id` lineage (auto-set to the consumed
-    event_id before `fn`; `fn` may override it).
+    `fn` maps a micro-batch DataFrame to a DataFrame (None = identity);
+    a two-parameter `fn(df, batch_id)` also receives the micro-batch id
+    (foreachBatch's second argument — what stateful transforms key
+    their replay-safe state versions on). Rows re-emitted to `target`
+    get fresh event ids on the target topic but keep `source_event_id`
+    lineage (auto-set to the consumed event_id before `fn`; `fn` may
+    override it).
 
     Republish path is size-dependent: batches up to `bulk_threshold`
     rows go through the driver-side segment log (control-plane FIFO);
@@ -128,6 +131,14 @@ def pipe(
         )
     pipe_name = name or f"pipe-{source.name}-{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(source.dir, "_checkpoints", pipe_name)
+    fn_wants_batch_id = False
+    if fn is not None:
+        import inspect
+
+        try:
+            fn_wants_batch_id = len(inspect.signature(fn).parameters) >= 2
+        except (TypeError, ValueError):  # builtins/partials: assume 1-arg
+            fn_wants_batch_id = False
     # Exactly-once re-publish across crash replays: foreachBatch replays
     # the last uncommitted batch after a restart; the txn header recorded
     # inside the target's (atomically renamed) segment tells us which
@@ -140,7 +151,7 @@ def pipe(
             # whatever this pipe re-emits (pipes.rs:116).
             out = df.withColumn("source_event_id", F.col("event_id"))
             if fn is not None:
-                out = fn(out)
+                out = fn(out, batch_id) if fn_wants_batch_id else fn(out)
             if target is not None:
                 if publish_state["last"] is None:
                     publish_state["last"] = target.last_txn(pipe_name)

@@ -42,32 +42,37 @@ def main() -> None:
     for warm in ("b4_classify_fizzbuzz", "c_pandas_udf"):
         QUERIES[warm](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # Two passes, min per query: single-pass local timings are ±20%
-    # noisy (JIT/GC/page-cache); the min reflects the plan's steady
-    # state, which is what matters for cluster extrapolation. Artifact
-    # memo traffic is recorded per query so readers can tell which
-    # timings paid a build-once artifact and which rode a warm memo
-    # (those per-query numbers are not standalone costs).
+    # Three passes; min AND median per query: single-pass local timings
+    # are ±20% noisy (JIT/GC/page-cache). The min reflects the plan's
+    # steady state (what extrapolates to a cluster); the median shows
+    # whether a cross-round drift is noise (median ≈ min) or a real
+    # regression (median and min both moved). Artifact memo traffic is
+    # recorded per query so readers can tell which timings paid a
+    # build-once artifact and which rode a warm memo (those per-query
+    # numbers are not standalone costs).
     from async_event_streams_spark.util import drain_artifact_events
 
-    timings: dict[str, float] = {}
+    N_PASSES = 3
+    runs: dict[str, list[float]] = {}
     artifact_uses: dict[str, dict[str, list[str]]] = {}
     t_suite = time.perf_counter()
-    for _pass in range(2):
+    for _pass in range(N_PASSES):
         for name in sorted(QUERIES):
             drain_artifact_events()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
-            dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            runs.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
             events = [f"{what}:{key}" for key, what in drain_artifact_events()]
             if events:
                 artifact_uses.setdefault(name, {})[
                     "cold" if _pass == 0 else "warm"
                 ] = events
+    timings = {n: min(ts) for n, ts in runs.items()}
+    medians = {n: sorted(ts)[len(ts) // 2] for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     wall = round(time.perf_counter() - t_suite, 3)
 
@@ -89,8 +94,9 @@ def main() -> None:
                 "sf": _sf_from_dir(sf_dir),
                 "n_queries": len(timings),
                 "sec_per_query": round(total / len(timings), 3),
-                "passes": 2,
-                "wall_sec_both_passes": wall,
+                "passes": N_PASSES,
+                "queries_median": medians,
+                "wall_sec_all_passes": wall,
                 "topic_events_per_sec": max(topic_runs),
                 "topic_events_per_sec_first": topic_runs[0],
                 "partitioned_topic_events_per_sec": max(ptopic_runs),
