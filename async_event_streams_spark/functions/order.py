@@ -52,14 +52,31 @@ def global_row_number(
     order_cols: list[str | Column],
     pos_col: str = "pos",
     n_partitions: int | None = None,
+    mode: str = "auto",
+    small_input_bytes: int = SMALL_INPUT_BYTES,
 ) -> DataFrame:
     """Append `pos_col` = 1-based global rank by `order_cols`.
 
     Equivalent to ROW_NUMBER() OVER (ORDER BY order_cols) but scalable:
     rows never leave their range partition; only partition row-counts
     are centralized (one tiny aggregate + broadcast join).
-    """
+
+    mode="auto" (default) takes the plain single-partition window when
+    Catalyst estimates the input at <= `small_input_bytes` — one task
+    sorting a few MB beats the checkpoint + broadcast join — and the
+    range-partitioned prefix-sum otherwise (unknown estimate counts as
+    big). mode="prefix"/"window" force a shape."""
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if mode not in ("auto", "prefix", "window"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        est = plan_size_bytes(df)
+        mode = "window" if est is not None and est <= small_input_bytes else "prefix"
+    if mode == "window":
+        return df.withColumn(
+            pos_col,
+            F.row_number().over(Window.orderBy(*order_cols)).cast("int"),
+        )
     parts = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     # Pin ONE physical partitioning: range boundaries come from sampling,
     # so the counts branch and the main branch would otherwise each
@@ -97,14 +114,27 @@ def global_running_sum(
     value_col: str,
     sum_col: str = "running_sum",
     n_partitions: int | None = None,
+    mode: str = "auto",
+    small_input_bytes: int = SMALL_INPUT_BYTES,
 ) -> DataFrame:
     """Append `sum_col` = inclusive running SUM(value_col) in global
     `order_cols` order — SUM() OVER (ORDER BY ...) without the
     single-partition window, same two-phase shape as global_row_number:
     range-partitioned local running sums plus a broadcast prefix-sum of
     per-partition totals (the only centralized data is n_partitions
-    rows)."""
+    rows). Same mode="auto" small-input fast path as
+    global_row_number."""
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if mode not in ("auto", "prefix", "window"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        est = plan_size_bytes(df)
+        mode = "window" if est is not None and est <= small_input_bytes else "prefix"
+    if mode == "window":
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return df.withColumn(sum_col, F.sum(value_col).over(w))
     parts = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     with_pid = parts.withColumn(
         "__pid", F.spark_partition_id()

@@ -35,12 +35,12 @@ def test_matches_window_row_number(spark, n_parts):
 
 
 def test_data_path_never_single_partitions(spark):
-    """The point of the helper: the data path is hash/range partitioned;
-    the only SinglePartition exchange is the (n_partitions)-row offsets
-    aggregate, never the data."""
+    """The point of the prefix shape: the data path is hash/range
+    partitioned; the only SinglePartition exchange is the
+    (n_partitions)-row offsets aggregate, never the data."""
     df = spark.range(0, 1000).select(F.col("id").alias("k"))
     plan = (
-        global_row_number(df, ["k"], n_partitions=4)
+        global_row_number(df, ["k"], n_partitions=4, mode="prefix")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -49,6 +49,37 @@ def test_data_path_never_single_partitions(spark):
     # one SinglePartition exchange exists (the tiny offsets branch)
     assert "hashpartitioning(__pid" in plan
     assert plan.count("SinglePartition") <= 1
+
+
+def test_global_helpers_auto_pick_by_size(spark):
+    """auto: a tiny input compiles to the plain single-partition window
+    (no __pid machinery); forcing the estimate to count as big engages
+    the prefix shape. Values must agree between the two shapes."""
+    from async_event_streams_spark.functions.order import global_running_sum
+
+    df = spark.range(0, 200).selectExpr("id AS k", "id % 7 AS v")
+    small = (
+        global_row_number(df, ["k"], n_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__pid" not in small
+    big = (
+        global_row_number(df, ["k"], n_partitions=4, small_input_bytes=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(__pid" in big
+    for mode in ("window", "prefix"):
+        got = {
+            r.k: r.rs
+            for r in global_running_sum(
+                df, ["k"], "v", "rs", n_partitions=4, mode=mode
+            ).collect()
+        }
+        expect, acc = {}, 0
+        for k in range(200):
+            acc += k % 7
+            expect[k] = acc
+        assert got == expect, mode
 
 
 def test_multi_column_order_with_tiebreak(spark):
