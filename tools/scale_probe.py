@@ -56,6 +56,13 @@ PROBE_QUERIES = [
     "x_ann_ivf",
     "x_ann_lsh",
     "x_frame_sample",
+    # the adaptive order helpers: at 100x the input estimate crosses
+    # SMALL_INPUT_BYTES, so these must take the prefix shape and stay
+    # sub-linear (the plain window they use at sf0.1 would go ~linear)
+    "c_window_ntile",
+    "c_window_rank_variants",
+    "x_shuffle_order",
+    "x_pack_sequences",
 ]
 
 KEY_STRIDE = 100_000_000
