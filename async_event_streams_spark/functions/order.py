@@ -44,7 +44,13 @@ def plan_size_bytes(df: DataFrame) -> int | None:
 # mode="auto": one task per group sorting ≤ this many bytes is cheaper
 # than the prefix-sum machinery's extra checkpoint + join. Above it, the
 # 100-TB question dominates and the range-partitioned path wins.
-SMALL_INPUT_BYTES = 64 << 20
+# Calibration note: Catalyst's estimate derives from (compressed)
+# parquet bytes × projection ratio and understates deserialized row
+# size ~5-10×, so 32 MiB estimated ≈ a few hundred MB / ~5M rows in a
+# sort task — measured at the crossover where the two shapes cost the
+# same (100× probe: 10M-row sort, window 4.3 s vs prefix 5.6 s); past
+# it the single task only gets worse while prefix stays flat.
+SMALL_INPUT_BYTES = 32 << 20
 
 
 def global_row_number(
