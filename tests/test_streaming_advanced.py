@@ -254,3 +254,53 @@ def test_streaming_dedup_pipe_equals_batch(spark, topic_root):
         h.stop()
         docs.close()
         uniq.close()
+
+
+def test_streaming_neardedup_pipe_equals_batch(spark, topic_root):
+    """Streaming minhash/LSH near-dedup with incremental sketch state
+    must equal the batch pipelines.dedup_near over everything published
+    so far (same band construction, same Jaccard verify, same
+    drop-the-later-copy semantics) after every barrier — including
+    exact dups, near dups (one-token edits), and cross-wave shadowing
+    by documents that were themselves dropped."""
+    from async_event_streams_spark.pipelines import dedup_near
+    from async_event_streams_spark.streaming import minhash_dedup_pipe
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    other = "completely different words about spark streaming engines here now"
+    texts = {
+        0: base,
+        1: base + " extra",  # near-dup of 0
+        2: other,
+        3: base,  # exact dup of 0 (0 already shadowed 1 -> both drop)
+        4: other + " indeed",  # near-dup of 2
+        5: "unrelated third topic sentence with its own tokens entirely fresh",
+    }
+    waves = [[0, 1, 2], [3, 4], [5]]
+
+    reg = TopicRegistry()
+    docs = Topic(spark, "nd_docs", "doc_id long, text string", topic_root, reg)
+    uniq = Topic(spark, "nd_uniq", "doc_id long, text string", topic_root, reg)
+    h = minhash_dedup_pipe(
+        docs, uniq, state_dir=f"{topic_root}/nd-state", name="nd-pipe"
+    )
+    try:
+        published: list[int] = []
+        for wave in waves:
+            docs.send(
+                [{"doc_id": i, "text": texts[i]} for i in wave], barrier="chain"
+            )
+            published += wave
+            bdf = spark.createDataFrame(
+                [(i, texts[i]) for i in published], "doc_id long, text string"
+            )
+            want = sorted(r.doc_id for r in dedup_near(bdf, 0.8).collect())
+            got = sorted(
+                r.doc_id for r in uniq.batch_df().select("doc_id").collect()
+            )
+            assert got == want, (got, want)
+        assert got == [0, 2, 5]  # the expected survivor set, explicitly
+    finally:
+        h.stop()
+        docs.close()
+        uniq.close()
