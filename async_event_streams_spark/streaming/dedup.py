@@ -21,25 +21,11 @@ the pipe's txn header then refuses to double-publish.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
-
-
-def _prior_state_dirs(state_dir: str, batch_id: int) -> list[str]:
-    try:
-        names = os.listdir(state_dir)
-    except FileNotFoundError:
-        return []
-    out = []
-    for n in names:
-        m = _BATCH_DIR_RE.match(n)
-        if m and int(m.group(1)) < batch_id:
-            out.append(os.path.join(state_dir, n))
-    return sorted(out)
+from .state import state_dirs as _state_dirs
 
 
 def exact_dedup_pipe(
@@ -73,7 +59,7 @@ def exact_dedup_pipe(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        prior = _prior_state_dirs(state_dir, batch_id)
+        prior = _state_dirs(state_dir, batch_id)
         if prior:
             seen = spark.read.parquet(*prior)
             novel = first.join(seen, "__h", "left_anti")

@@ -31,25 +31,11 @@ oversized buckets are boilerplate that exact-dedup upstream owns).
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import functions as F
 
 from ..functions.text import minhash_component, shingle_digests, shingles, tokens
-
-_BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
-
-
-def _prior_state_dirs(state_dir: str, batch_id: int) -> list[str]:
-    try:
-        names = os.listdir(state_dir)
-    except FileNotFoundError:
-        return []
-    return sorted(
-        os.path.join(state_dir, n)
-        for n in names
-        if (m := _BATCH_DIR_RE.match(n)) and int(m.group(1)) < batch_id
-    )
+from .state import state_dirs as _state_dirs
 
 
 def _band_rows(df, text_col: str, ord_col: str):
@@ -118,7 +104,7 @@ def minhash_dedup_pipe(
                 "event_id",
             )
         )
-        prior = _prior_state_dirs(state_dir, batch_id)
+        prior = _state_dirs(state_dir, batch_id)
         state = (
             spark.read.parquet(*prior).select("ord", "sh", "bi", "bk")
             if prior

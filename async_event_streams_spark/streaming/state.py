@@ -1,0 +1,60 @@
+"""Batch-versioned parquet state for stateful pipes (exact/near dedup).
+
+Layout: `{state_dir}/batch={N}/` parquet written by micro-batch N with
+overwrite (replay-safe: a replayed batch reproduces its own dir), and
+readers probe only batches strictly below their own id.
+
+`compact_state` folds the per-batch directories into one so a
+long-running pipe's state doesn't accumulate thousands of directories
+(listing + tiny-file reads dominate otherwise). The compacted output
+keeps the MINIMUM batch index so every future probe (idx < batch_id)
+still sees it.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+_BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
+
+
+def state_dirs(state_dir: str, below_batch: int | None = None) -> list[str]:
+    """Batch state directories, optionally only those with index <
+    `below_batch`, sorted by index."""
+    try:
+        names = os.listdir(state_dir)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        m = _BATCH_DIR_RE.match(n)
+        if m and (below_batch is None or int(m.group(1)) < below_batch):
+            out.append((int(m.group(1)), os.path.join(state_dir, n)))
+    return [p for _, p in sorted(out)]
+
+
+def compact_state(spark, state_dir: str, upto_batch: int) -> int:
+    """Merge every `batch=N` directory with N < `upto_batch` into one
+    directory keyed by the smallest merged index. Returns the number of
+    directories merged (0/1 = nothing to do).
+
+    Run this BETWEEN micro-batches (e.g. with the pipe stopped, or from
+    the pipe's own batch fn before processing) and only up to the last
+    COMMITTED batch: a replayed batch must never find its own rows
+    pre-merged into earlier state, or it would classify its entire
+    input as already-seen. Not crash-atomic on a plain filesystem (the
+    swap is write-new → drop-old → rename); at cluster scale back the
+    state with a transactional table instead."""
+    dirs = state_dirs(state_dir, upto_batch)
+    if len(dirs) <= 1:
+        return 0
+    lo = int(_BATCH_DIR_RE.match(os.path.basename(dirs[0])).group(1))
+    tmp = os.path.join(state_dir, f".compact-{lo}.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+    for d in dirs:
+        shutil.rmtree(d)
+    os.rename(tmp, os.path.join(state_dir, f"batch={lo}"))
+    return len(dirs)

@@ -304,3 +304,46 @@ def test_streaming_neardedup_pipe_equals_batch(spark, topic_root):
         h.stop()
         docs.close()
         uniq.close()
+
+
+def test_compact_state_preserves_dedup_across_restart(spark, topic_root):
+    """compact_state folds the per-batch state dirs into one (keyed by
+    the minimum index, so future probes idx < batch_id still see it).
+    Dedup semantics must be identical across stop -> compact -> restart:
+    texts seen before compaction still dedup after it."""
+    from async_event_streams_spark.streaming import (
+        compact_state,
+        exact_dedup_pipe,
+        state_dirs,
+    )
+
+    reg = TopicRegistry()
+    docs = Topic(spark, "cs_docs", "doc_id long, text string", topic_root, reg)
+    uniq = Topic(spark, "cs_uniq", "doc_id long, text string", topic_root, reg)
+    sdir = f"{topic_root}/cs-state"
+    h = exact_dedup_pipe(docs, uniq, state_dir=sdir, name="cs-pipe")
+    try:
+        docs.send([{"doc_id": 0, "text": "aa"}, {"doc_id": 1, "text": "bb"}])
+        docs.send([{"doc_id": 2, "text": "cc"}])
+        docs.barrier(chain=True)
+        n_dirs = len(state_dirs(sdir))
+        assert n_dirs >= 2
+        h.stop()
+        merged = compact_state(spark, sdir, upto_batch=10_000)
+        assert merged == n_dirs and len(state_dirs(sdir)) == 1
+
+        h = exact_dedup_pipe(docs, uniq, state_dir=sdir, name="cs-pipe")
+        docs.send(
+            [
+                {"doc_id": 3, "text": "aa"},  # dup of pre-compaction doc
+                {"doc_id": 4, "text": "cc"},  # dup of pre-compaction doc
+                {"doc_id": 5, "text": "dd"},  # novel
+            ],
+            barrier="chain",
+        )
+        got = sorted(r.doc_id for r in uniq.batch_df().select("doc_id").collect())
+        assert got == [0, 1, 2, 5], got
+    finally:
+        h.stop()
+        docs.close()
+        uniq.close()
