@@ -51,8 +51,17 @@ def green_names(newest_only: bool) -> set[str]:
 
 
 def bench_queries() -> dict[str, float]:
-    """Per-query seconds from the newest BENCH_r*.json (the driver
-    sometimes stores only an output tail — parse either shape)."""
+    """Per-query seconds, preferring the repo's BENCH_DETAIL.json
+    (written whole by bench.py since r3) over the driver's BENCH_r*.json
+    records (which sometimes store only an output tail — parse either
+    shape as the fallback)."""
+    try:
+        doc = json.load(open(f"{REPO}/BENCH_DETAIL.json"))
+        q = doc.get("queries")
+        if q:
+            return {k: float(v) for k, v in q.items()}
+    except Exception:
+        pass
     for path in sorted(glob.glob(f"{REPO}/BENCH_r*.json"), reverse=True):
         try:
             doc = json.load(open(path))
