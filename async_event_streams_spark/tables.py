@@ -95,3 +95,23 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def create_views(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    """SQL front door: register every dataset table as a temp view (same
+    normalized DataFrames as `table()`, same analyzed-plan cache), so
+    `spark.sql("SELECT ... FROM lineitem ...")` works directly — the
+    whole engine surface is reachable from plain SQL, not only the
+    DataFrame API. Returns the registered view names."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return TABLE_NAMES
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run a SQL query against the dataset views (registering them
+    idempotently first). Catalyst treats the view bodies as inline
+    subplans, so pushdown/pruning behave exactly as in the DataFrame
+    path."""
+    create_views(spark, sf_dir)
+    return spark.sql(query)
