@@ -18,10 +18,16 @@ partitioned topics. Mechanics:
 - a row routes by `crc32(str(key)) % N`, so all events for one key
   land in one sub-channel and are delivered in publish order;
 - publishes to different partitions append concurrently (per-partition
-  locks; `post` fans out on a thread pool);
-- `subscribe()` is a streaming UNION of the sub-channel sources with a
-  `partition` discriminator column — one streaming query consumes all
-  partitions, and Spark schedules the N source reads in parallel;
+  locks; `post` fans out on a thread pool; `post_df` routes
+  executor-side with ONE partitionBy job);
+- the default consume path is the CONSUMER-GROUP drain: `pipe()` on a
+  partitioned topic builds one independent pipe per partition (own
+  checkpoint, own txn line — partitions progress independently;
+  measured ~4× the lock-step union at N=4);
+- `subscribe()` remains available as a streaming UNION of the
+  sub-channel sources with a `partition` discriminator column — one
+  query consuming all partitions in lock-step, useful when a single
+  totally-consuming query is wanted;
 - `send`/`barrier`/`clear`/`count`/`close` fan out to every partition,
   so the reference's completion-barrier semantics (micro-batch
   granularity, SURVEY.md §8-H1) hold across the whole topic.
