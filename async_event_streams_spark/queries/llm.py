@@ -946,6 +946,69 @@ def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_length_percentiles",
+    oracle=f"""
+WITH t AS (
+  SELECT source, len({_SQL_TOKS}) AS n_tokens FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+  ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+  ROUND(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens
+FROM t GROUP BY source
+""",
+)
+def x_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (p50/p90/p99 of
+    whitespace token counts) — the corpus report that drives sequence
+    budgeting and source weighting in a training pipeline. Exact
+    percentiles interpolate over INTEGER token counts, so the
+    (a + (b-a)*frac) arithmetic is bit-identical across engines (the
+    c_agg_median discipline). At 100 TB the exact per-group percentile
+    needs a per-group sort; approx_percentile is the scale path this is
+    the reference answer for. One partial-agg shuffle on the handful of
+    source keys."""
+    docs = table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    t = docs.select("source", n.alias("n_tokens"))
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.99)), 4).alias("p99_tokens"),
+    )
+
+
+@query(
+    "x_dup_rate",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+  ROUND(1.0 - COUNT(DISTINCT md5(text)) / COUNT(*), 6) AS dup_rate
+FROM documents
+""",
+)
+def x_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication report: exact-duplicate rate by content hash
+    — the one-row health metric a curation pipeline tracks per
+    ingestion batch. count + count(distinct md5) is two partial-agg
+    passes fused by Spark into a single expand-based aggregation; the
+    rate divides two exact integers (engine-identical)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        F.round(
+            1.0
+            - F.countDistinct(F.md5(F.col("text").cast("binary")))
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@query(
     "x_text_stats",
     oracle=f"""
 WITH t AS (
