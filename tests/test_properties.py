@@ -189,3 +189,35 @@ def test_ntile_closed_form_matches_reference():
             else:
                 got = rem + math.ceil((r - big) / q)
             assert got == ref[r - 1], (n, r)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # group (low-card)
+            st.integers(min_value=0, max_value=50),  # order value (ties!)
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(**SETTINGS)
+def test_grouped_rank_modes_agree(spark, rows):
+    """Property: grouped_rank's two physical shapes (plain window vs
+    range-partitioned prefix-sum) produce identical ranks for ANY
+    grouping/ordering distribution — including heavy ties (broken by
+    the unique id) and single-row/single-group edges. This is the
+    invariant the auto mode relies on to switch shapes by size."""
+    from async_event_streams_spark.functions.order import grouped_rank
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, v long, id long")
+    out = {}
+    for mode in ("window", "prefix"):
+        out[mode] = {
+            (r.g, r.id): r.rnk
+            for r in grouped_rank(
+                df, ["g"], ["v", "id"], n_partitions=5, mode=mode
+            ).collect()
+        }
+    assert out["window"] == out["prefix"]
