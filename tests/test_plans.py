@@ -262,3 +262,23 @@ def test_ngram_counts_is_partial_agg_topk(spark, sf_dir):
     assert op_count(plan, "Exchange") == 1
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_length_percentiles_single_exchange_pruned_scan(spark, sf_dir):
+    """Per-source percentiles: the scan reads only (text, source), the
+    percentile buffers aggregate partially map-side (ObjectHashAggregate)
+    and exactly one exchange moves the handful of source-keyed buffers."""
+    plan = plan_of(spark, sf_dir, "x_length_percentiles")
+    assert "ReadSchema: struct<text:string,source:string>" in plan
+    assert "ObjectHashAggregate" in plan and "partial_" in plan
+    assert op_count(plan, "Exchange") == 1
+
+
+def test_dup_rate_two_phase_distinct(spark, sf_dir):
+    """Corpus dup-rate: count(distinct md5) compiles to the two-phase
+    distinct aggregation - first exchange keyed by the hash (distributed
+    dedup), second a scalar final - never a single-task distinct."""
+    plan = plan_of(spark, sf_dir, "x_dup_rate")
+    assert op_count(plan, "Exchange") == 2
+    assert "partial_" in plan
+    assert "ReadSchema: struct<text:string>" in plan
