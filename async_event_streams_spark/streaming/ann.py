@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.similarity import dot
-from .state import state_dirs
+from .state import reject_partitioned_source, state_dirs
 
 
 def ivf_index_pipe(
@@ -45,6 +45,7 @@ def ivf_index_pipe(
     from ..topics.pipe import pipe
     from ..util import materialize
 
+    reject_partitioned_source(source, "ivf_index_pipe")
     os.makedirs(state_dir, exist_ok=True)
 
     def index_batch(df, batch_id: int):

@@ -25,6 +25,7 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .state import reject_partitioned_source
 from .state import state_dirs as _state_dirs
 
 
@@ -43,6 +44,7 @@ def exact_dedup_pipe(
     from ..topics.pipe import pipe
     from ..util import materialize
 
+    reject_partitioned_source(source, "exact_dedup_pipe")
     os.makedirs(state_dir, exist_ok=True)
 
     def dedup_batch(df, batch_id: int):

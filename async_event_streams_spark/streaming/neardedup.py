@@ -35,6 +35,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..functions.text import minhash_component, shingle_digests, shingles, tokens
+from .state import reject_partitioned_source
 from .state import state_dirs as _state_dirs
 
 
@@ -90,6 +91,7 @@ def minhash_dedup_pipe(
     from ..topics.pipe import pipe
     from ..util import cap_buckets, materialize
 
+    reject_partitioned_source(source, "minhash_dedup_pipe")
     os.makedirs(state_dir, exist_ok=True)
 
     def dedup_batch(df, batch_id: int):

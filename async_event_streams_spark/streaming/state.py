@@ -20,6 +20,24 @@ import shutil
 _BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
 
 
+def reject_partitioned_source(source, op_name: str) -> None:
+    """Stateful pipes keep ONE batch-versioned state table, but a
+    PartitionedTopic source drains as N independent pipes whose batch
+    ids all start at 0 — they would clobber each other's `batch=N`
+    dirs, and cross-partition duplicates would race the shared state.
+    Fail fast with the two sound alternatives instead."""
+    if getattr(source, "partitions", None) is not None:
+        raise ValueError(
+            f"{op_name} needs a single-FIFO source: a PartitionedTopic "
+            "drains as one pipe per partition, which would share (and "
+            "clobber) one state table. Either drain the partitioned "
+            "topic into a plain Topic first, or — when the partition "
+            "key equals the dedup key, so duplicates can never span "
+            f"partitions — run one {op_name} per sub-topic "
+            "(source.partitions[i]) with its own state_dir."
+        )
+
+
 def state_dirs(state_dir: str, below_batch: int | None = None) -> list[str]:
     """Batch state directories, optionally only those with index <
     `below_batch`, sorted by index."""

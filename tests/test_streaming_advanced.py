@@ -347,3 +347,32 @@ def test_compact_state_preserves_dedup_across_restart(spark, topic_root):
         h.stop()
         docs.close()
         uniq.close()
+
+
+def test_stateful_pipes_reject_partitioned_source(spark, topic_root):
+    """A PartitionedTopic source would drain as N pipes clobbering one
+    state table — the stateful pipes must fail fast with guidance
+    instead of corrupting state silently."""
+    from async_event_streams_spark.streaming import (
+        exact_dedup_pipe,
+        ivf_index_pipe,
+        minhash_dedup_pipe,
+    )
+    from async_event_streams_spark.topics import PartitionedTopic
+
+    reg = TopicRegistry()
+    src = PartitionedTopic(
+        spark, "guard_src", "k string, text string", topic_root,
+        key_col="k", num_partitions=2, registry=reg,
+    )
+    dst = Topic(spark, "guard_dst", "k string, text string", topic_root, reg)
+    try:
+        with pytest.raises(ValueError, match="single-FIFO"):
+            exact_dedup_pipe(src, dst, state_dir=f"{topic_root}/g1")
+        with pytest.raises(ValueError, match="single-FIFO"):
+            minhash_dedup_pipe(src, dst, state_dir=f"{topic_root}/g2")
+        with pytest.raises(ValueError, match="single-FIFO"):
+            ivf_index_pipe(src, f"{topic_root}/g3", [[1.0]])
+    finally:
+        src.close()
+        dst.close()
