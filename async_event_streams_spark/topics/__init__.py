@@ -20,6 +20,6 @@ subscribe semantics.
 """
 
 from .topic import SentEvent, Topic, TopicRegistry  # noqa: F401
-from .partitioned import PartitionedTopic  # noqa: F401
+from .partitioned import PartitionedSentEvent, PartitionedTopic  # noqa: F401
 from .pipe import pipe, sink  # noqa: F401
 from .datasource import TopicDataSource  # noqa: F401

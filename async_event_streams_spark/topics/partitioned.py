@@ -78,6 +78,28 @@ def _route(key, num_partitions: int) -> int:
     return zlib.crc32(str(key).encode("utf-8")) % num_partitions
 
 
+class PartitionedSentEvent:
+    """Deferred completion barrier for one sharded publish: `wait()`
+    blocks until every partition's live subscribers caught up; `done()`
+    polls without blocking (true iff every partition's `SentEvent`
+    would be — zero-subscriber partitions resolve immediately, matching
+    the reference)."""
+
+    def __init__(self, topic: "PartitionedTopic", ids: dict[int, tuple[int, int]]):
+        self.topic = topic
+        self.ids = ids
+
+    def wait(self, chain: bool = False) -> None:
+        self.topic.barrier(chain=chain)
+
+    def done(self) -> bool:
+        from .topic import SentEvent
+
+        return all(
+            SentEvent(p, (0, 0)).done() for p in self.topic.partitions
+        )
+
+
 class PartitionedTopic:
     """A typed event topic sharded into N per-key-FIFO sub-channels."""
 
@@ -255,6 +277,18 @@ class PartitionedTopic:
         ids = self.post(rows, event_type, source_event_ids)
         self.barrier(chain=(barrier == "chain"))
         return ids
+
+    def send_async(
+        self,
+        rows: list[dict],
+        event_type: str = "event",
+        source_event_ids: list[int | None] | None = None,
+    ) -> "PartitionedSentEvent":
+        """Publish now, await later (the reference's `SentEvent` future,
+        SURVEY.md §2-A10, shard-wise): the handle resolves once every
+        live subscriber of every partition has caught up."""
+        ids = self.post(rows, event_type, source_event_ids)
+        return PartitionedSentEvent(self, ids)
 
     def last_txn(self, prefix: str) -> int:
         """Highest replayed-batch id any partition recorded (-1 if

@@ -272,3 +272,31 @@ def test_consumer_group_drain_restart_exactly_once(spark, topic_root):
         h.stop()
         src.close()
         dst.close()
+
+
+def test_send_async_partitioned_sent_event(spark, topic_root):
+    """send_async on a sharded topic: the returned handle's done() turns
+    true only after every partition's subscribers drained, and wait()
+    blocks for the same condition (A10 shard-wise). Zero subscribers ->
+    immediately done, like the reference."""
+    import time as _time
+
+    t = PartitionedTopic(
+        spark, "pt_async", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=TopicRegistry(),
+    )
+    try:
+        ev = t.send_async([{"k": f"k{i}", "n": i} for i in range(9)])
+        assert ev.done()  # no subscribers: resolves immediately
+
+        seen = []
+        pipe(t, sink_fn=lambda df, b: seen.append(df.count()), name="pt-async-sub")
+        ev = t.send_async([{"k": f"k{i}", "n": 100 + i} for i in range(9)])
+        ev.wait()
+        assert ev.done()
+        deadline = _time.time() + 10
+        while sum(seen) < 9 and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert sum(seen) == 9
+    finally:
+        t.close()
