@@ -37,6 +37,10 @@ HARDENED = [
     "c_stream_session",
     "x_unigram_logprob",
     "x_bm25",
+    # r3 corpus queries: percentile interpolation over exact ints and
+    # an int/int ratio — must also be layout-independent
+    "x_length_percentiles",
+    "x_dup_rate",
 ]
 
 # (maxPartitionBytes, shuffle.partitions): one coarse layout (few splits,
