@@ -63,6 +63,8 @@ PROBE_QUERIES = [
     "c_window_rank_variants",
     "x_shuffle_order",
     "x_pack_sequences",
+    "x_length_percentiles",
+    "x_dup_rate",
 ]
 
 KEY_STRIDE = 100_000_000
