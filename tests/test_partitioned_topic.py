@@ -300,3 +300,29 @@ def test_send_async_partitioned_sent_event(spark, topic_root):
         assert sum(seen) == 9
     finally:
         t.close()
+
+
+def test_post_df_txn_headers_cover_empty_partitions(spark, topic_root):
+    """Bulk publish with a txn: partitions whose key range got no rows
+    this batch still record a header-only segment, so last_txn() replay
+    detection holds regardless of routing (same contract as post());
+    the single partitionBy write job routes the rest executor-side."""
+    t = PartitionedTopic(
+        spark, "pt_bulktxn", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=TopicRegistry(),
+    )
+    # keys 'a','b' route to partitions 0 and 2; partition 1 gets nothing
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], "k string, n long"
+    )
+    ids = t.post_df(df, txn="bulk:5")
+    assert set(ids) == {0, 2}
+    for p in t.partitions:
+        assert p.last_txn("bulk") == 5  # header visible everywhere
+    assert t.last_txn("bulk") == 5
+    rows = t.batch_df().select("partition", "k", "n").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.partition == t.partition_for(r.k)
+    # a pipe replaying batch 5 would now skip the publish
+    assert t.last_txn("bulk") >= 5
