@@ -12,7 +12,7 @@ from .windows import (  # noqa: F401
     run_stream_to_memory,
 )
 from .stateful import running_max_by_key, sessionize  # noqa: F401
-from .dedup import exact_dedup_pipe  # noqa: F401
+from .dedup import exact_dedup_pipe, partitioned_exact_dedup_pipes  # noqa: F401
 from .neardedup import minhash_dedup_pipe  # noqa: F401
 from .state import compact_state, state_dirs  # noqa: F401
 from .ann import ivf_index_pipe, search_ivf_index  # noqa: F401

@@ -78,3 +78,42 @@ def exact_dedup_pipe(
         return novel.drop("__h")
 
     return pipe(source, fn=dedup_batch, target=target, name=name)
+
+
+def partitioned_exact_dedup_pipes(
+    source,
+    target,
+    state_root: str,
+    text_col: str = "text",
+    name: str = "dedup",
+):
+    """Scale-out exact dedup for a CONTENT-KEYED PartitionedTopic: when
+    the routing key is the dedup content (or deterministically derived
+    from it — e.g. the text itself or its hash), every copy of a text
+    lands in ONE partition, so one dedup pipe per sub-topic with its
+    own state directory is globally correct — N fully independent
+    dedup streams, no shared state, no cross-partition coordination.
+    This is the sound per-partition shape the single-state pipes'
+    partitioned-source guard points at.
+
+    The key==content contract is the caller's: with an unrelated
+    routing key, copies of one text can land in different partitions
+    and dedup only per partition. Returns a MultiPipeHandle."""
+    parts = getattr(source, "partitions", None)
+    if parts is None:
+        raise ValueError(
+            "partitioned_exact_dedup_pipes needs a PartitionedTopic; "
+            "use exact_dedup_pipe for a plain Topic"
+        )
+    from ..topics.pipe import MultiPipeHandle
+
+    return MultiPipeHandle(
+        exact_dedup_pipe(
+            p,
+            target,
+            state_dir=os.path.join(state_root, f"p{i}"),
+            text_col=text_col,
+            name=f"{name}-p{i}",
+        )
+        for i, p in enumerate(parts)
+    )

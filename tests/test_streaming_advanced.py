@@ -376,3 +376,47 @@ def test_stateful_pipes_reject_partitioned_source(spark, topic_root):
     finally:
         src.close()
         dst.close()
+
+
+def test_partitioned_exact_dedup_pipes_content_keyed(spark, topic_root):
+    """The sound scale-out dedup shape: a content-keyed PartitionedTopic
+    (key == text) routes every copy of a text to one partition, so N
+    per-partition dedup pipes with independent state give GLOBAL
+    keep-first semantics — across waves and across partitions."""
+    from async_event_streams_spark.streaming import partitioned_exact_dedup_pipes
+    from async_event_streams_spark.topics import PartitionedTopic
+
+    reg = TopicRegistry()
+    src = PartitionedTopic(
+        spark, "pk_docs", "text string, doc_id long", topic_root,
+        key_col="text", num_partitions=3, registry=reg,
+    )
+    dst = Topic(spark, "pk_uniq", "text string, doc_id long", topic_root, reg)
+    h = partitioned_exact_dedup_pipes(
+        src, dst, state_root=f"{topic_root}/pk-state"
+    )
+    try:
+        assert len(h) == 3
+        waves = [
+            [(0, "aa"), (1, "bb"), (2, "aa")],
+            [(3, "cc"), (4, "bb"), (5, "dd")],
+            [(6, "aa"), (7, "dd"), (8, "ee")],
+        ]
+        published: list[tuple[int, str]] = []
+        for wave in waves:
+            src.send(
+                [{"doc_id": i, "text": t} for i, t in wave], barrier="chain"
+            )
+            published.extend(wave)
+            expect = {}
+            for i, t in published:
+                expect.setdefault(t, i)
+            got = {
+                r.text: r.doc_id
+                for r in dst.batch_df().select("doc_id", "text").collect()
+            }
+            assert got == expect, (got, expect)
+    finally:
+        h.stop()
+        src.close()
+        dst.close()
