@@ -63,8 +63,16 @@ def exact_dedup_pipe(
         )
         prior = _state_dirs(state_dir, batch_id)
         if prior:
-            seen = spark.read.parquet(*prior)
-            novel = first.join(seen, "__h", "left_anti")
+            # Null-safe join: sha2(null) is null, and a plain equi-join
+            # never matches null keys — a null-text document would be
+            # re-published every micro-batch, diverging from the batch
+            # twin (whose groupBy collapses nulls to one group).
+            # eqNullSafe keeps null==null while staying an equi-join
+            # (Catalyst hash-joins EqualNullSafe keys).
+            seen = spark.read.parquet(*prior).withColumnRenamed("__h", "__h_seen")
+            novel = first.join(
+                seen, F.col("__h").eqNullSafe(F.col("__h_seen")), "left_anti"
+            )
         else:
             novel = first
         # Pin before the two consumers (state write + downstream
@@ -107,7 +115,7 @@ def partitioned_exact_dedup_pipes(
         )
     from ..topics.pipe import MultiPipeHandle
 
-    return MultiPipeHandle(
+    handles = MultiPipeHandle(
         exact_dedup_pipe(
             p,
             target,
@@ -117,3 +125,9 @@ def partitioned_exact_dedup_pipes(
         )
         for i, p in enumerate(parts)
     )
+    if target is not None:
+        # The per-partition pipes register sub-topic → target edges;
+        # the chain barrier walks from the PARENT's name, so it needs
+        # the parent → target edge too (same as pipe_per_partition).
+        source.registry.add_edge(source.name, target.name)
+    return handles

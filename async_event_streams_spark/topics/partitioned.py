@@ -67,6 +67,21 @@ from pyspark.sql.types import (
 from .topic import DEFAULT_REGISTRY, Topic, TopicRegistry
 
 
+def _txn_parts(txn: str | None) -> tuple[str | None, int]:
+    """Split a `{prefix}:{batch_id}` txn id (the pipe convention,
+    topics/pipe.py). Non-conforming ids return (None, -1): per-partition
+    replay skip then degrades to publish-everywhere, which is safe (the
+    worst case is a duplicate publish only for callers who invented a
+    non-standard txn format AND crashed mid-publish)."""
+    if txn is None or ":" not in txn:
+        return None, -1
+    prefix, batch = txn.split(":", 1)
+    try:
+        return prefix, int(batch)
+    except ValueError:
+        return None, -1
+
+
 def _route(key, num_partitions: int) -> int:
     """Stable key → partition. crc32 over the utf-8 of the key rendered
     with SPARK's cast-to-string semantics (bool → "true"/"false", not
@@ -155,6 +170,35 @@ class PartitionedTopic:
         self._pool = ThreadPoolExecutor(
             max_workers=num_partitions, thread_name_prefix=f"{name}-post"
         )
+        # Per-prefix, per-partition committed-batch watermarks. Disk is
+        # consulted once per prefix (on first use), then commits are
+        # tracked in memory — the hot publish path never re-scans the
+        # segment logs per batch.
+        self._txn_seen: dict[str, dict[int, int]] = {}
+
+    # -- transactional replay bookkeeping ------------------------------------
+
+    def _replayed_partitions(self, txn: str | None) -> set[int]:
+        """Partitions that already committed this txn. A multi-partition
+        publish registers partitions one at a time; a crash mid-way
+        leaves the batch committed on some partitions and not others.
+        The replay must COMPLETE the stragglers, not re-publish the
+        committed ones — this set is what the replay skips."""
+        prefix, batch = _txn_parts(txn)
+        if prefix is None:
+            return set()
+        seen = self._txn_seen.get(prefix)
+        if seen is None:
+            seen = {i: p.last_txn(prefix) for i, p in enumerate(self.partitions)}
+            self._txn_seen[prefix] = seen
+        return {i for i, b in seen.items() if b >= batch}
+
+    def _mark_txn_committed(self, txn: str | None, i: int) -> None:
+        prefix, batch = _txn_parts(txn)
+        if prefix is not None:
+            seen = self._txn_seen.setdefault(prefix, {})
+            if seen.get(i, -1) < batch:
+                seen[i] = batch
 
     # -- routing ------------------------------------------------------------
 
@@ -184,7 +228,11 @@ class PartitionedTopic:
 
         With `txn`, every partition records the header — including
         header-only segments for partitions with no rows this batch —
-        so exactly-once replay detection works regardless of routing."""
+        so exactly-once replay detection works regardless of routing.
+        A replayed txn publishes ONLY to partitions that have not yet
+        committed it (a crash mid-publish leaves some committed, some
+        not; the replay completes the stragglers without duplicating
+        the committed ones)."""
         if not rows and txn is None:
             raise ValueError("post requires at least one row")
         if source_event_ids is not None:
@@ -193,8 +241,11 @@ class PartitionedTopic:
                 for row, sid in zip(rows, source_event_ids)
             ]
         shards = self._shard(rows)
+        skip = self._replayed_partitions(txn)
         futures = {}
         for i, shard in enumerate(shards):
+            if i in skip:
+                continue
             if shard or txn is not None:
                 futures[i] = self._pool.submit(
                     self.partitions[i].post, shard, event_type, None, txn
@@ -202,6 +253,8 @@ class PartitionedTopic:
         done = {i: f.result() for i, f in futures.items()}  # await ALL,
         # including header-only writes — a caller may check last_txn()
         # (or crash-retry) the moment post() returns
+        for i in done:
+            self._mark_txn_committed(txn, i)
         return {i: r for i, r in done.items() if shards[i]}
 
     def post_df(
@@ -218,11 +271,22 @@ class PartitionedTopic:
 
         With `txn`, partitions that got no rows still record a
         header-only segment, so `last_txn()` replay detection holds no
-        matter how a batch's keys routed (same contract as `post`)."""
+        matter how a batch's keys routed (same contract as `post`).
+        Replays complete partial publishes per partition, like `post`.
+
+        Null keys route by the string "None" — the same bucket a
+        driver-side `post()` gives them (`str(None)`), so either path
+        keeps all null-key rows in one partition's FIFO."""
+        import shutil
         import uuid
 
         part = F.pmod(
-            F.crc32(F.col(self.key_col).cast("string")), F.lit(self.num_partitions)
+            F.crc32(
+                # null-safe: match post()'s str(None) rendering so both
+                # paths agree on where null keys live
+                F.coalesce(F.col(self.key_col).cast("string"), F.lit("None"))
+            ),
+            F.lit(self.num_partitions),
         ).cast("int")
         stage = os.path.join(self.dir, f"bulkstage-{uuid.uuid4().hex[:12]}")
         (
@@ -231,30 +295,44 @@ class PartitionedTopic:
             .partitionBy("__part__")
             .parquet(stage)
         )
+        entries = sorted(
+            e for e in os.listdir(stage) if e.startswith("__part__=")
+        )
+        # Validate the WHOLE listing before registering anything: a bad
+        # partition dir (can't happen with the null-safe router above,
+        # but guards future key-expression edits) must not leave a
+        # non-atomic partial publish behind.
+        bad = [e for e in entries if not e.split("=", 1)[1].isdigit()]
+        if bad:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ValueError(
+                f"post_df: unroutable {self.key_col!r} partition dirs {bad}"
+            )
+        if not entries:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ValueError("post_df requires a non-empty DataFrame")
+        skip = self._replayed_partitions(txn)
         out: dict[int, tuple[int, int]] = {}
-        for entry in sorted(os.listdir(stage)):
-            if not entry.startswith("__part__="):
+        for entry in entries:
+            i = int(entry.split("=", 1)[1])
+            if i in skip:  # committed by the pre-crash attempt; this
+                # replay's copy of the rows is redundant
+                shutil.rmtree(os.path.join(stage, entry), ignore_errors=True)
                 continue
-            val = entry.split("=", 1)[1]
-            if not val.isdigit():  # null key rows land in the hive
-                # default partition — reject like post() rejects a
-                # missing key, instead of silently dropping them
-                raise ValueError(
-                    f"post_df: rows with null {self.key_col!r} key ({entry})"
-                )
-            i = int(val)
             out[i] = self.partitions[i].post_parquet(
                 os.path.join(stage, entry), event_type, txn=txn
             )
-        if not out:
-            import shutil
-
-            shutil.rmtree(stage, ignore_errors=True)
-            raise ValueError("post_df requires a non-empty DataFrame")
+            self._mark_txn_committed(txn, i)
         if txn is not None:
+            got_rows = {int(e.split("=", 1)[1]) for e in entries}
             for i, p in enumerate(self.partitions):
-                if i not in out:
+                if i not in got_rows and i not in skip:
                     p.post([], txn=txn)  # header-only: replay-visible
+                    self._mark_txn_committed(txn, i)
+        if not out and skip:
+            # full replay of an already-committed batch: nothing newly
+            # registered, nothing references the stage — drop it
+            shutil.rmtree(stage, ignore_errors=True)
         return out
 
     def send_df(
@@ -291,10 +369,15 @@ class PartitionedTopic:
         return PartitionedSentEvent(self, ids)
 
     def last_txn(self, prefix: str) -> int:
-        """Highest replayed-batch id any partition recorded (-1 if
-        none). Max is safe because `post(txn=...)` writes the header to
-        every partition atomically-per-partition in one driver call."""
-        return max(p.last_txn(prefix) for p in self.partitions)
+        """Highest batch id committed on EVERY partition (-1 if any has
+        none). MIN across partitions, deliberately: a multi-partition
+        publish registers partitions one at a time, so a crash mid-way
+        leaves the batch on some partitions only — MAX would make the
+        replaying pipe skip the whole batch and silently lose the
+        unregistered partitions' rows. With MIN the pipe re-runs the
+        publish, and the per-partition skip in post()/post_df() turns
+        the replay into exactly the completion of the stragglers."""
+        return min(p.last_txn(prefix) for p in self.partitions)
 
     # -- subscribe -----------------------------------------------------------
 
@@ -383,7 +466,19 @@ class PartitionedTopic:
 
         from .pipe import MultiPipeHandle, pipe
 
-        base = name or f"drain-{self.name}-{uuid.uuid4().hex[:8]}"
+        if name is not None:
+            base = name
+        else:
+            # Stable default so a default-named drain RESUMES its
+            # checkpoints and txn lines across restarts — exactly-once
+            # without requiring callers to invent a name. Only when a
+            # same-named drain is currently LIVE (second concurrent
+            # drain on one topic) does a uuid suffix step in to avoid
+            # the checkpoint-in-use collision.
+            base = f"drain-{self.name}"
+            active = {q.name for q in self.spark.streams.active if q.name}
+            if any(f"{base}-p{i}" in active for i in range(self.num_partitions)):
+                base = f"drain-{self.name}-{uuid.uuid4().hex[:8]}"
         wants_batch_id = False
         if fn is not None:
             try:

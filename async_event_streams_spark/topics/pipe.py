@@ -163,19 +163,24 @@ def pipe(
                         if c in ("source_event_id", "event_type")
                         or c not in ENVELOPE_NAMES
                     ]
-                    pub = out.select(*keep)
-                    # One job in the common (control-plane) case: collect
-                    # at most threshold+1 rows to learn which side of the
-                    # threshold this batch is on. Only a bulk batch pays
-                    # a second (executor-side, parquet-writing) pass.
-                    rows = pub.limit(bulk_threshold + 1).collect()
-                    if len(rows) > bulk_threshold:
-                        target.post_df(pub, txn=txn)
-                    elif rows:
-                        target.post(
-                            [r.asDict(recursive=True) for r in rows],
-                            txn=txn,
-                        )
+                    # Pin the transformed batch BEFORE the limit-probe:
+                    # partitions the probe computes land in the cache, so
+                    # a bulk batch's executor-side write re-reads them
+                    # instead of re-running `fn` end-to-end — the
+                    # transform executes ~once per batch on both paths.
+                    # Small batches still cost one job (the probe).
+                    pub = out.select(*keep).persist()
+                    try:
+                        rows = pub.limit(bulk_threshold + 1).collect()
+                        if len(rows) > bulk_threshold:
+                            target.post_df(pub, txn=txn)
+                        elif rows:
+                            target.post(
+                                [r.asDict(recursive=True) for r in rows],
+                                txn=txn,
+                            )
+                    finally:
+                        pub.unpersist()
                     publish_state["last"] = batch_id
             if sink_fn is not None:
                 sink_fn(out, batch_id)

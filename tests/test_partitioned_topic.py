@@ -326,3 +326,113 @@ def test_post_df_txn_headers_cover_empty_partitions(spark, topic_root):
         assert r.partition == t.partition_for(r.k)
     # a pipe replaying batch 5 would now skip the publish
     assert t.last_txn("bulk") >= 5
+
+
+def test_post_df_txn_partial_replay_completes(spark, topic_root):
+    """ADVICE r4 (medium): a crash between post_df's per-partition
+    registrations leaves the txn committed on some partitions only.
+    last_txn() must NOT report the batch as done (MIN semantics), and a
+    replayed post_df must complete the stragglers without re-publishing
+    the already-committed partition."""
+    t = PartitionedTopic(
+        spark, "pt_partial", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=TopicRegistry(),
+    )
+    rows = [{"k": f"key-{i}", "n": i} for i in range(12)]
+    shards: dict[int, list] = {}
+    for r in rows:
+        shards.setdefault(t.partition_for(r["k"]), []).append(r)
+    assert len(shards) > 1, "fixture must span partitions"
+    # simulate the pre-crash attempt: exactly one partition registered
+    lucky = min(shards)
+    t.partitions[lucky].post(shards[lucky], txn="bulk:9")
+    assert t.last_txn("bulk") == -1  # not done: stragglers missing
+
+    # restart: a fresh instance (no in-memory txn memo) replays batch 9
+    t2 = PartitionedTopic(
+        spark, "pt_partial", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=TopicRegistry(),
+    )
+    df = spark.createDataFrame([(r["k"], r["n"]) for r in rows], "k string, n long")
+    out = t2.post_df(df, txn="bulk:9")
+    assert lucky not in out  # committed partition skipped, not duplicated
+    assert t2.last_txn("bulk") == 9  # batch now complete everywhere
+    got = sorted((r.k, r.n) for r in t2.batch_df().select("k", "n").collect())
+    assert got == sorted((f"key-{i}", i) for i in range(12))  # no dup/loss
+
+
+def test_post_txn_partial_replay_completes(spark, topic_root):
+    """Same crash-mid-publish contract for the driver-side post() path:
+    the replay publishes only to partitions that have not committed the
+    txn yet."""
+    t = PartitionedTopic(
+        spark, "pt_partial2", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=TopicRegistry(),
+    )
+    rows = [{"k": f"key-{i}", "n": i} for i in range(9)]
+    shards: dict[int, list] = {}
+    for r in rows:
+        shards.setdefault(t.partition_for(r["k"]), []).append(r)
+    lucky = min(shards)
+    t.partitions[lucky].post(shards[lucky], txn="w:3")
+
+    t2 = PartitionedTopic(
+        spark, "pt_partial2", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=TopicRegistry(),
+    )
+    t2.post(rows, txn="w:3")  # the replay
+    assert t2.last_txn("w") == 3
+    got = sorted(r.n for r in t2.batch_df().select("n").collect())
+    assert got == list(range(9))
+
+
+def test_null_key_routes_identically_both_paths(spark, topic_root):
+    """One null-key contract for both publish paths (ADVICE r4): post()
+    routes None by str(None); post_df coalesces the null cast-as-string
+    to "None" — every null-key row lands in the same partition's FIFO
+    instead of erroring after a partial registration."""
+    t = PartitionedTopic(
+        spark, "pt_null", "k string, n long", topic_root, key_col="k",
+        num_partitions=4, registry=TopicRegistry(),
+    )
+    t.post([{"k": None, "n": 0}])
+    df = spark.createDataFrame([(None, 1), ("a", 2)], "k string, n long")
+    t.post_df(df)
+    rows = t.batch_df().select("partition", "k", "n").collect()
+    assert len(rows) == 3
+    assert {r.partition for r in rows if r.k is None} == {t.partition_for(None)}
+
+
+def test_default_drain_name_resumes_exactly_once(spark, topic_root):
+    """ADVICE r4: the default (unnamed) consumer-group drain is
+    restart-STABLE — same checkpoints, same txn lines — so exactly-once
+    across a stop/restart holds without callers inventing a name. A
+    second drain started while the first is live still gets a fresh
+    (collision-avoiding) name."""
+    reg = TopicRegistry()
+    src = PartitionedTopic(
+        spark, "dn_src", "k string, seq long", topic_root, key_col="k",
+        num_partitions=2, registry=reg,
+    )
+    dst = Topic(spark, "dn_dst", "k string, seq long", topic_root, reg)
+    h = pipe(src, target=dst)  # default name
+    try:
+        src.post([{"k": f"k{i}", "seq": 0} for i in range(4)])
+        src.barrier(chain=True)
+        h.stop()
+        # events published while no consumer runs
+        src.post([{"k": f"k{i}", "seq": 1} for i in range(4)])
+        h = pipe(src, target=dst)  # default name again -> resumes
+        src.barrier(chain=True)
+        rows = dst.batch_df().select("k", "seq").collect()
+        assert len(rows) == 8  # exactly once across the restart
+        # live collision: a concurrent second drain gets a fresh name
+        h2 = pipe(src, target=dst)
+        try:
+            assert {p.name for p in h2} != {p.name for p in h}
+        finally:
+            h2.stop()
+    finally:
+        h.stop()
+        src.close()
+        dst.close()

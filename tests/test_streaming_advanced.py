@@ -420,3 +420,80 @@ def test_partitioned_exact_dedup_pipes_content_keyed(spark, topic_root):
         h.stop()
         src.close()
         dst.close()
+
+
+def test_streaming_dedup_null_text_dedups_across_batches(spark, topic_root):
+    """ADVICE r4: sha2(null) is null and a plain equi-anti-join never
+    matches null keys — a null-text document would re-publish every
+    micro-batch. The null-safe join keeps exactly ONE null-text
+    survivor, matching the batch twin's groupBy (nulls are one group)."""
+    from async_event_streams_spark.streaming import exact_dedup_pipe
+
+    reg = TopicRegistry()
+    docs = Topic(spark, "ndd_docs", "doc_id long, text string", topic_root, reg)
+    uniq = Topic(spark, "ndd_uniq", "doc_id long, text string", topic_root, reg)
+    h = exact_dedup_pipe(
+        docs, uniq, state_dir=f"{topic_root}/ndd-state", name="ndd-pipe"
+    )
+    try:
+        docs.send(
+            [{"doc_id": 0, "text": None}, {"doc_id": 1, "text": "a"}],
+            barrier="chain",
+        )
+        docs.send(
+            [{"doc_id": 2, "text": None}, {"doc_id": 3, "text": "b"}],
+            barrier="chain",
+        )
+        docs.send([{"doc_id": 4, "text": None}], barrier="chain")
+        got = sorted(
+            (r.doc_id, r.text)
+            for r in uniq.batch_df().select("doc_id", "text").collect()
+        )
+        assert got == [(0, None), (1, "a"), (3, "b")], got
+    finally:
+        h.stop()
+        docs.close()
+        uniq.close()
+
+
+def test_partitioned_dedup_chain_barrier_reaches_downstream(spark, topic_root):
+    """ADVICE r4: partitioned_exact_dedup_pipes must add the parent
+    topic -> target registry edge, so barrier(chain=True) on the
+    partitioned source also awaits the target's OWN downstream cascade
+    (a second pipe off the dedup output)."""
+    from async_event_streams_spark.streaming import partitioned_exact_dedup_pipes
+    from async_event_streams_spark.topics import PartitionedTopic
+
+    reg = TopicRegistry()
+    src = PartitionedTopic(
+        spark, "pkc_docs", "text string, doc_id long", topic_root,
+        key_col="text", num_partitions=2, registry=reg,
+    )
+    mid = Topic(spark, "pkc_uniq", "text string, doc_id long", topic_root, reg)
+    out = Topic(spark, "pkc_out", "text string, doc_id long", topic_root, reg)
+    h1 = partitioned_exact_dedup_pipes(
+        src, mid, state_root=f"{topic_root}/pkc-state"
+    )
+    h2 = pipe(mid, fn=lambda df: df.select("text", "doc_id"),
+              target=out, name="pkc-downstream")
+    try:
+        src.send(
+            [
+                {"doc_id": 0, "text": "aa"},
+                {"doc_id": 1, "text": "bb"},
+                {"doc_id": 2, "text": "aa"},
+            ],
+            barrier="chain",
+        )
+        # chain barrier returned -> the SECOND hop must already be done
+        got = sorted(
+            (r.doc_id, r.text)
+            for r in out.batch_df().select("doc_id", "text").collect()
+        )
+        assert got == [(0, "aa"), (1, "bb")], got
+    finally:
+        h2.stop()
+        h1.stop()
+        src.close()
+        mid.close()
+        out.close()
