@@ -13,6 +13,9 @@ from .windows import (  # noqa: F401
 )
 from .stateful import running_max_by_key, sessionize  # noqa: F401
 from .dedup import exact_dedup_pipe, partitioned_exact_dedup_pipes  # noqa: F401
-from .neardedup import minhash_dedup_pipe  # noqa: F401
+from .neardedup import (  # noqa: F401
+    minhash_dedup_pipe,
+    windowed_minhash_dedup_pipe,
+)
 from .state import compact_state, state_dirs  # noqa: F401
 from .ann import ivf_index_pipe, search_ivf_index  # noqa: F401

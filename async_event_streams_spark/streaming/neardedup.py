@@ -26,6 +26,17 @@ cap only at full-corpus scale may admit earlier pairs a batch run over
 the final corpus would have dropped. Equality with the batch result
 holds whenever no bucket crosses the cap mid-stream (the common case —
 oversized buckets are boilerplate that exact-dedup upstream owns).
+The exact divergence is a TESTED contract, not just a comment:
+`tests/test_streaming_advanced.py::test_neardedup_cap_divergence_is_exactly_the_under_cap_admits`
+constructs a cap-crossing corpus and asserts the streaming-minus-batch
+difference is precisely the pairs admitted while the bucket was still
+under the cap.
+
+`windowed_minhash_dedup_pipe` is the BOUNDED-STATE variant (SURVEY §9b
+candidate (b), r3 VERDICT item 3): duplicates only count within an
+event-time horizon, which is what lets state be pruned — the unbounded
+seen-set becomes a sliding window whose size tracks the horizon's data
+rate, not corpus size.
 """
 
 from __future__ import annotations
@@ -144,6 +155,136 @@ def minhash_dedup_pipe(
         )
         # ord was event_id; the pipe's envelope filter keeps
         # source_event_id lineage + payload for the republish
+        return survivors.drop("ord")
+
+    return pipe(source, fn=dedup_batch, target=target, name=name)
+
+
+def windowed_minhash_dedup_pipe(
+    source,
+    target,
+    state_dir: str,
+    horizon_sec: int,
+    text_col: str = "text",
+    time_col: str = "et",
+    jaccard_threshold: float = 0.8,
+    lsh_bucket_cap: int = 64,
+    name: str = "wneardedup",
+):
+    """Near-dedup bounded by an EVENT-TIME horizon: a document is
+    dropped iff some earlier-arriving document within `horizon_sec` of
+    its event time Jaccard-verifies at >= threshold (dropped documents
+    still shadow later ones, like the batch semantics). Because matches
+    beyond the horizon don't count, state needs only a sliding window
+    of sketches — the watermark contract that keeps a 100 TB streaming
+    dedup's state proportional to the horizon's data rate instead of
+    corpus size (the unbounded seen-set is `minhash_dedup_pipe`).
+
+    Watermark mechanics (mirrors Spark's `withWatermark` contract,
+    allowed lateness = horizon): watermark W = max event time seen -
+    horizon; rows arriving with event time older than W may be deduped
+    nondeterministically (exactly the rows Spark would drop). State
+    dirs whose max event time falls behind W - horizon (= maxET -
+    2*horizon) can no longer match any in-contract arrival and are
+    DELETED after each batch — per-dir max event times come from the
+    parquet footers (driver metadata reads, no Spark job), memoized per
+    dir. Pruning is therefore replay-safe for in-contract data: a
+    replayed batch joins against a superset of the state that can
+    match it, and the horizon predicate discards the rest.
+
+    `time_col` is a payload column (timestamp or numeric seconds).
+    Returns the PipeHandle."""
+    from ..topics.pipe import pipe
+    from ..util import cap_buckets, materialize
+
+    reject_partitioned_source(source, "windowed_minhash_dedup_pipe")
+    os.makedirs(state_dir, exist_ok=True)
+    maxet_memo: dict[str, int] = {}  # state-dir path -> max __et
+
+    def _dir_maxet(path: str) -> int | None:
+        got = maxet_memo.get(path)
+        if got is not None:
+            return got
+        import pyarrow.parquet as pq
+
+        hi: int | None = None
+        try:
+            for f in os.listdir(path):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(path, f))
+                idx = md.schema.names.index("__et")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        v = int(st.max)
+                        hi = v if hi is None else max(hi, v)
+        except (OSError, ValueError):
+            return None
+        if hi is not None:
+            maxet_memo[path] = hi
+        return hi
+
+    def dedup_batch(df, batch_id: int):
+        import shutil
+
+        from ..topics.topic import ENVELOPE_NAMES
+
+        spark = df.sparkSession
+        payload_cols = [c for c in df.columns if c not in ENVELOPE_NAMES]
+        batch = materialize(
+            _band_rows(
+                df.select("event_id", "source_event_id", *payload_cols),
+                text_col,
+                "event_id",
+            ).withColumn("__et", F.col(time_col).cast("long"))
+        )
+        prior = _state_dirs(state_dir, batch_id)
+        cols = ["ord", "sh", "bi", "bk", "__et"]
+        pool = batch.select(*cols)
+        if prior:
+            pool = pool.unionByName(spark.read.parquet(*prior).select(*cols))
+        pool = cap_buckets(pool, ["bi", "bk"], lsh_bucket_cap)
+        a, b = pool.alias("a"), batch.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        union = F.size("a.sh") + F.size("b.sh") - inter
+        dropped = (
+            a.join(
+                b,
+                (F.col("a.bi") == F.col("b.bi"))
+                & (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.ord") < F.col("b.ord"))
+                # the horizon predicate — matches beyond it don't count,
+                # which is exactly what makes pruned state irrelevant
+                & (F.abs(F.col("b.__et") - F.col("a.__et")) <= horizon_sec),
+            )
+            .filter(inter.cast("double") / union >= jaccard_threshold)
+            .select(F.col("b.ord").alias("ord"))
+            .distinct()
+        )
+        survivors = materialize(
+            batch.filter(F.col("bi") == 0)
+            .drop("bi", "bk", "sh", "__et")
+            .join(dropped, "ord", "left_anti")
+        )
+        own_dir = os.path.join(state_dir, f"batch={batch_id}")
+        (
+            batch.select(*cols)
+            .write.mode("overwrite")  # replay-safe: batch N owns its dir
+            .parquet(own_dir)
+        )
+        maxet_memo.pop(own_dir, None)  # overwrite invalidates the memo
+        # Advance the watermark and prune: global max event time is the
+        # max over current dirs (the dir holding it is never prunable).
+        dirs = _state_dirs(state_dir, batch_id + 1)
+        maxets = {d: _dir_maxet(d) for d in dirs}
+        known = [v for v in maxets.values() if v is not None]
+        if known:
+            cutoff = max(known) - 2 * horizon_sec
+            for d, hi in maxets.items():
+                if d != own_dir and hi is not None and hi < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+                    maxet_memo.pop(d, None)
         return survivors.drop("ord")
 
     return pipe(source, fn=dedup_batch, target=target, name=name)

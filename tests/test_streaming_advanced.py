@@ -497,3 +497,123 @@ def test_partitioned_dedup_chain_barrier_reaches_downstream(spark, topic_root):
         src.close()
         mid.close()
         out.close()
+
+
+def test_windowed_neardedup_bounded_state_equals_batch_over_window(
+    spark, topic_root
+):
+    """VERDICT r3 item 3: event-time-bounded streaming near-dedup. A
+    document is dropped iff an earlier arrival within `horizon_sec` of
+    its event time verifies as a near-dup (dropped docs still shadow).
+    The accumulated output must match a pure-Python batch-over-window
+    oracle after every wave, and the state directory count must stay
+    BOUNDED (old dirs pruned once the watermark passes them) instead of
+    growing with the corpus."""
+    from async_event_streams_spark.streaming import (
+        state_dirs,
+        windowed_minhash_dedup_pipe,
+    )
+
+    A = "the quick brown fox jumps over the lazy dog tonight"
+    B = "completely different words about spark streaming engines here now"
+    C = "unrelated third topic sentence with its own tokens entirely fresh"
+    HORIZON = 100
+    # (doc_id, text, event-time seconds), in arrival order
+    waves = [
+        [(0, A, 1000), (1, B, 1010)],
+        [(2, A, 1050), (3, B, 1200)],  # 2 dups 0 (dt=50); 3 outlives 1 (dt=190)
+        [(4, A, 1130), (5, C, 1300)],  # 4 dups 2 (dt=80, a DROPPED doc shadows)
+        [(6, A, 2000)],                # nearest A is 4 (dt=870) -> survives
+        [(7, A, 2050)],                # dups 6 (dt=50) AFTER pruning
+    ]
+
+    def oracle(published):
+        kept, log = [], []  # log: (text, et) of every arrival (shadowing)
+        for i, txt, et in published:
+            dup = any(t == txt and abs(et - e) <= HORIZON for t, e in log)
+            log.append((txt, et))
+            if not dup:
+                kept.append(i)
+        return kept
+
+    reg = TopicRegistry()
+    docs = Topic(spark, "wnd_docs", "doc_id long, text string, et long",
+                 topic_root, reg)
+    uniq = Topic(spark, "wnd_uniq", "doc_id long, text string, et long",
+                 topic_root, reg)
+    sdir = f"{topic_root}/wnd-state"
+    h = windowed_minhash_dedup_pipe(
+        docs, uniq, state_dir=sdir, horizon_sec=HORIZON, name="wnd-pipe"
+    )
+    try:
+        published = []
+        for wave in waves:
+            docs.send(
+                [{"doc_id": i, "text": t, "et": et} for i, t, et in wave],
+                barrier="chain",
+            )
+            published += wave
+            got = sorted(
+                r.doc_id for r in uniq.batch_df().select("doc_id").collect()
+            )
+            assert got == oracle(published), (got, oracle(published))
+        assert got == [0, 1, 3, 5, 6]
+        # bounded state: dirs for waves 1-3 (max event times 1010/1200/
+        # 1300) fell behind maxET - 2*horizon = 1850 and were pruned;
+        # only the last two waves' dirs remain
+        assert len(state_dirs(sdir)) == 2, state_dirs(sdir)
+    finally:
+        h.stop()
+        docs.close()
+        uniq.close()
+
+
+def test_neardedup_cap_divergence_is_exactly_the_under_cap_admits(
+    spark, topic_root
+):
+    """VERDICT r3 item 4: pin the per-prefix LSH cap caveat as a tested
+    contract. A bucket that crosses `lsh_bucket_cap` only mid-stream
+    admits pairs while still under the cap; a batch run over the full
+    corpus caps the bucket up front and admits none. The divergence must
+    be EXACTLY the docs dropped during the under-cap prefix — nothing
+    more (capped buckets admit nothing once over), nothing less."""
+    from async_event_streams_spark.pipelines import dedup_near
+    from async_event_streams_spark.streaming import minhash_dedup_pipe
+
+    CAP = 4
+    text = "six identical boilerplate documents sharing every band bucket"
+    waves = [[0, 1], [2, 3], [4, 5]]  # bucket size 2 -> 4 -> 6 (crosses cap)
+
+    reg = TopicRegistry()
+    docs = Topic(spark, "cap_docs", "doc_id long, text string", topic_root, reg)
+    uniq = Topic(spark, "cap_uniq", "doc_id long, text string", topic_root, reg)
+    h = minhash_dedup_pipe(
+        docs, uniq, state_dir=f"{topic_root}/cap-state",
+        lsh_bucket_cap=CAP, name="cap-pipe",
+    )
+    try:
+        for wave in waves:
+            docs.send(
+                [{"doc_id": i, "text": text} for i in wave], barrier="chain"
+            )
+        stream_kept = sorted(
+            r.doc_id for r in uniq.batch_df().select("doc_id").collect()
+        )
+        bdf = spark.createDataFrame(
+            [(i, text) for i in range(6)], "doc_id long, text string"
+        )
+        batch_kept = sorted(
+            r.doc_id
+            for r in dedup_near(bdf, 0.8, lsh_bucket_cap=CAP).collect()
+        )
+        # batch: bucket size 6 > cap from the start -> nothing dropped
+        assert batch_kept == [0, 1, 2, 3, 4, 5], batch_kept
+        # stream: waves 1-2 ran under the cap (pool sizes 2 and 4) and
+        # dropped 1,2,3; wave 3 crossed the cap (6 > 4) so 4,5 survived
+        assert stream_kept == [0, 4, 5], stream_kept
+        # the divergence is exactly the under-cap admits
+        assert sorted(set(batch_kept) - set(stream_kept)) == [1, 2, 3]
+    finally:
+        h.stop()
+        docs.close()
+        uniq.close()
