@@ -18,4 +18,8 @@ from .neardedup import (  # noqa: F401
     windowed_minhash_dedup_pipe,
 )
 from .state import compact_state, state_dirs  # noqa: F401
-from .ann import ivf_index_pipe, search_ivf_index  # noqa: F401
+from .ann import (  # noqa: F401
+    ivf_index_pipe,
+    load_index_centroids,
+    search_ivf_index,
+)

@@ -26,7 +26,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.similarity import dot
-from .state import reject_partitioned_source, state_dirs
+from .state import compact_state, reject_partitioned_source, state_dirs
+
+_CENTROIDS_FILE = "_centroids.json"
+
+
+def load_index_centroids(state_dir: str) -> list[list[float]] | None:
+    """The index's CURRENT coarse centroids, as persisted alongside the
+    state dirs (`_centroids.json`). The file is what keeps search and
+    retrained assignment in agreement: cell ids in the index are only
+    meaningful under the centroids that produced them."""
+    import json
+
+    try:
+        with open(os.path.join(state_dir, _CENTROIDS_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _save_centroids(state_dir: str, cents: list[list[float]]) -> None:
+    import json
+
+    tmp = os.path.join(state_dir, _CENTROIDS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(cents, f)
+    os.replace(tmp, os.path.join(state_dir, _CENTROIDS_FILE))
 
 
 def ivf_index_pipe(
@@ -36,24 +61,79 @@ def ivf_index_pipe(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     name: str = "ivf-index",
+    compact_every: int | None = None,
+    retrain_on_compact: bool = False,
+    retrain_seed: int = 42,
 ):
     """Maintain the IVF index over a stream of embeddings: each
     micro-batch assigns `vec_col` to its nearest centroid (in-scan
     argmax, same plan as the batch x_ann_ivf) and appends
-    (id, e, cell) rows to the index. Returns the PipeHandle."""
+    (id, e, cell) rows to the index. Returns the PipeHandle.
+
+    `compact_every=K` folds the per-batch index dirs every K batches
+    (committed-batch watermark: dirs below the current batch id are
+    committed, so the merge can't swallow a replayable batch's rows).
+    With `retrain_on_compact`, each compaction also RETRAINS the coarse
+    centroids on everything indexed so far (distributed MLlib k-means,
+    functions/similarity.py::train_ivf_centroids) and rewrites the
+    merged dir's cell assignments under them — the answer to
+    distribution drift: initial centroids only ever saw the corpus
+    prefix. The live centroids persist in `_centroids.json` (restart
+    picks them up; `search_ivf_index` reads them by default), because
+    cell ids are only meaningful under the centroids that produced
+    them. The dir-swap + json update is not crash-atomic on a plain
+    filesystem (same caveat as compact_state; a torn window is healed
+    by the next retrain) — back the state with a transactional table at
+    cluster scale."""
     from ..queries.llm import ivf_assign
     from ..topics.pipe import pipe
     from ..util import materialize
 
     reject_partitioned_source(source, "ivf_index_pipe")
     os.makedirs(state_dir, exist_ok=True)
+    saved = load_index_centroids(state_dir)
+    live = {"centroids": saved if saved is not None else [list(map(float, c)) for c in centroids]}
+    if saved is None:
+        _save_centroids(state_dir, live["centroids"])
+
+    def retrain(spark, batch_id: int) -> None:
+        import shutil
+
+        from ..functions.similarity import train_ivf_centroids
+
+        dirs = state_dirs(state_dir, batch_id)
+        if not dirs:
+            return
+        idx = spark.read.parquet(*dirs)
+        new = train_ivf_centroids(
+            idx, "e", k=len(live["centroids"]), seed=retrain_seed
+        )
+        # reassign everything indexed so far, THEN publish the new
+        # centroids — readers never see new centroids with old cells
+        for d in dirs:
+            tmp = d + ".retrain.tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                ivf_assign(spark.read.parquet(d).select("vec_id", "e"), new)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            shutil.rmtree(d)
+            os.rename(tmp, d)
+        live["centroids"] = new
+        _save_centroids(state_dir, new)
 
     def index_batch(df, batch_id: int):
+        spark = df.sparkSession
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            merged = compact_state(spark, state_dir, upto_batch=batch_id)
+            if retrain_on_compact and merged > 1:
+                retrain(spark, batch_id)
         v = df.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("e"),
         )
-        assigned = materialize(ivf_assign(v, centroids))
+        assigned = materialize(ivf_assign(v, live["centroids"]))
         (
             assigned.write.mode("overwrite")  # replay-safe: batch N owns it
             .parquet(os.path.join(state_dir, f"batch={batch_id}"))
@@ -67,7 +147,7 @@ def search_ivf_index(
     spark: SparkSession,
     state_dir: str,
     queries_df: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     probes: int = 4,
     k: int = 5,
     vec_col: str = "embedding",
@@ -77,7 +157,13 @@ def search_ivf_index(
     indexed so far: rank the query's `probes` nearest cells (broadcast
     K-row centroid table), equi-join the index on cell, score, take
     top-k. Tie discipline matches the batch x_ann_ivf (score rounded to
-    9 dp, neighbor_id ascending)."""
+    9 dp, neighbor_id ascending). With `centroids=None` the index's own
+    persisted centroids are used — the correct default once
+    retrain-on-compaction may have replaced the construction-time ones."""
+    if centroids is None:
+        centroids = load_index_centroids(state_dir)
+        if centroids is None:
+            raise ValueError(f"no persisted centroids under {state_dir}")
     dirs = state_dirs(state_dir)
     if not dirs:
         raise ValueError(f"no index under {state_dir}")

@@ -25,7 +25,7 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .state import reject_partitioned_source
+from .state import compact_state, reject_partitioned_source
 from .state import state_dirs as _state_dirs
 
 
@@ -35,12 +35,21 @@ def exact_dedup_pipe(
     state_dir: str,
     text_col: str = "text",
     name: str = "dedup",
+    compact_every: int | None = None,
 ):
     """Wire `source` → exact-dedup → `target`: each micro-batch keeps
     only documents whose sha2(text) was never seen — not in any earlier
     batch (anti-join against the state table) nor earlier in the same
     batch (first occurrence by event_id) — and appends the survivors'
-    hashes to the state. Returns the PipeHandle."""
+    hashes to the state. Returns the PipeHandle.
+
+    `compact_every=K` auto-compacts the state every K batches: batch N
+    (N a multiple of K) first folds all dirs < N into one. Everything
+    below the current batch id is COMMITTED (foreachBatch replays at
+    most the current batch), so the merge can never swallow a
+    replayable batch's own rows — the `compact_state` safety rule,
+    applied with the committed-batch watermark the pipe gets for free.
+    A replayed batch N re-runs the compaction as a no-op (≤1 dir)."""
     from ..topics.pipe import pipe
     from ..util import materialize
 
@@ -49,6 +58,8 @@ def exact_dedup_pipe(
 
     def dedup_batch(df, batch_id: int):
         spark = df.sparkSession
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            compact_state(spark, state_dir, upto_batch=batch_id)
         hashed = df.withColumn(
             "__h", F.sha2(F.col(text_col).cast("binary"), 256)
         )
@@ -94,6 +105,7 @@ def partitioned_exact_dedup_pipes(
     state_root: str,
     text_col: str = "text",
     name: str = "dedup",
+    compact_every: int | None = None,
 ):
     """Scale-out exact dedup for a CONTENT-KEYED PartitionedTopic: when
     the routing key is the dedup content (or deterministically derived
@@ -122,6 +134,7 @@ def partitioned_exact_dedup_pipes(
             state_dir=os.path.join(state_root, f"p{i}"),
             text_col=text_col,
             name=f"{name}-p{i}",
+            compact_every=compact_every,
         )
         for i, p in enumerate(parts)
     )

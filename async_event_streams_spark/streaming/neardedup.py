@@ -46,7 +46,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..functions.text import minhash_component, shingle_digests, shingles, tokens
-from .state import reject_partitioned_source
+from .state import compact_state, reject_partitioned_source
 from .state import state_dirs as _state_dirs
 
 
@@ -93,12 +93,20 @@ def minhash_dedup_pipe(
     jaccard_threshold: float = 0.8,
     lsh_bucket_cap: int = 64,
     name: str = "neardedup",
+    compact_every: int | None = None,
 ):
     """Wire `source` → near-dedup → `target`: each micro-batch drops
     documents that Jaccard-verify (≥ threshold) against any earlier
     document — in the accumulated state or earlier in the same batch —
     and appends every batch document's band/sketch rows to the state.
-    Returns the PipeHandle."""
+    Returns the PipeHandle.
+
+    `compact_every=K` folds the per-batch sketch dirs every K batches
+    (committed-batch watermark: everything below the current batch id
+    is committed, so the merge can't swallow a replayable batch's own
+    rows). NOTE the cap caveat above: compaction merges DIRS, it does
+    not re-evaluate `cap_buckets` — the per-prefix divergence contract
+    pinned by the cap test is unchanged by compaction."""
     from ..topics.pipe import pipe
     from ..util import cap_buckets, materialize
 
@@ -109,6 +117,8 @@ def minhash_dedup_pipe(
         from ..topics.topic import ENVELOPE_NAMES
 
         spark = df.sparkSession
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            compact_state(spark, state_dir, upto_batch=batch_id)
         payload_cols = [c for c in df.columns if c not in ENVELOPE_NAMES]
         batch = materialize(
             _band_rows(

@@ -82,3 +82,92 @@ def test_streaming_ivf_index_equals_batch(spark, sf_dir, topic_root):
     finally:
         h.stop()
         vecs.close()
+
+
+def test_ivf_retrain_on_compaction_after_drift(spark, topic_root):
+    """VERDICT r3 item 9: the incremental index assigns against fixed
+    centroids, so a drifted stream (a cluster the initial centroids
+    never saw) degrades cell balance. With retrain_on_compact the
+    compaction boundary retrains centroids on everything indexed so
+    far, rewrites the merged dir's cells, persists the new centroids,
+    and keeps 1-probe search at full recall for BOTH the old and the
+    new cluster."""
+    import math
+
+    from async_event_streams_spark.streaming import load_index_centroids
+
+    dim = 4
+    # cluster A along axis 0 (what the initial centroids know),
+    # cluster B along axis 1 (the drift)
+    a_vecs = [(i, [10.0 + 0.1 * i, float(i % 3), 0.0, 0.0]) for i in range(8)]
+    b_vecs = [(100 + i, [float(i % 3), 10.0 + 0.1 * i, 0.0, 0.0]) for i in range(8)]
+    initial = [[10.0, 0.0, 0.0, 0.0], [9.0, 1.0, 0.0, 0.0]]  # both A-ish
+
+    reg = TopicRegistry()
+    vecs = Topic(
+        spark, "drift_vecs", "vec_id long, embedding array<double>",
+        topic_root, reg,
+    )
+    sdir = f"{topic_root}/drift-state"
+    h = ivf_index_pipe(
+        vecs, sdir, initial, name="drift-pipe",
+        compact_every=2, retrain_on_compact=True,
+    )
+    try:
+        waves = [a_vecs[:8], b_vecs[:4], b_vecs[4:]]  # batch 2 retrains
+        for wave in waves:
+            vecs.send(
+                [{"vec_id": i, "embedding": e} for i, e in wave],
+                barrier="chain",
+            )
+        trained = load_index_centroids(sdir)
+        assert trained is not None and trained != initial
+        # k-means over A+B must place one centroid per cluster: exactly
+        # one with dominant axis 0, one with dominant axis 1
+        axes = sorted(
+            max(range(dim), key=lambda d: abs(c[d])) for c in trained
+        )
+        assert axes == [0, 1], trained
+        # the whole index (merged + post-retrain batches) is assigned
+        # under the TRAINED centroids
+        from async_event_streams_spark.queries.llm import ivf_assign
+
+        allv = spark.createDataFrame(
+            a_vecs + b_vecs, "vec_id long, e array<double>"
+        )
+        want = {r.vec_id: r.cell for r in ivf_assign(allv, trained).collect()}
+        got = {
+            r.vec_id: r.cell
+            for r in spark.read.parquet(*state_dirs(sdir)).collect()
+        }
+        assert got == want and len(got) == 16
+
+        # 1-probe search (persisted centroids by default) reaches full
+        # recall on both clusters: the true nearest neighbor is always
+        # in the query's own cell
+        def cos(x, y):
+            num = sum(p * q for p, q in zip(x, y))
+            return num / (
+                math.sqrt(sum(p * p for p in x)) * math.sqrt(sum(q * q for q in y))
+            )
+
+        all_map = dict(a_vecs + b_vecs)
+        queries = spark.createDataFrame(
+            [(i, e) for i, e in (a_vecs[:2] + b_vecs[:2])],
+            "query_id long, embedding array<double>",
+        )
+        found = {
+            r.query_id: r.neighbor_id
+            for r in search_ivf_index(
+                spark, sdir, queries, probes=1, k=1
+            ).collect()
+        }
+        for qid, qe in a_vecs[:2] + b_vecs[:2]:
+            truth = max(
+                (i for i in all_map if i != qid),
+                key=lambda i: (round(cos(qe, all_map[i]), 9), -i),
+            )
+            assert found[qid] == truth, (qid, found[qid], truth)
+    finally:
+        h.stop()
+        vecs.close()
