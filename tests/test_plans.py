@@ -129,9 +129,12 @@ def test_whole_stage_codegen_covers_hot_paths(spark, sf_dir):
     ],
 )
 def test_single_shuffle_aggregations(spark, sf_dir, name):
-    """These aggregations must shuffle exactly once (grouped partials)."""
+    """These aggregations shuffle at most twice, and every exchange
+    moves only grouped partials (c_agg_basic's scaled-long fast path is
+    an explicit two-level aggregation — both its exchanges carry
+    O(|groups| x partitions) rows, never row volume)."""
     plan = plan_of(spark, sf_dir, name)
-    n_exchange = plan.count("Exchange")
+    n_exchange = op_count(plan, "Exchange")
     assert n_exchange <= 2, f"{name}: {n_exchange} Exchanges"
 
 
@@ -201,16 +204,24 @@ def test_tpch_q6_all_predicates_reach_scan(spark, sf_dir):
 
 
 def test_tpch_q1_single_shuffle_partial_agg(spark, sf_dir):
-    """Q1's 8 aggregates over a 6-value group key must compute in one
-    partial-aggregating pass: map-side combine reduces each task to ≤6
-    rows, so exactly one (tiny) exchange and the date filter is pushed
-    to the scan. (Averages are sum(decimal)/count since the r3 decimal
-    hardening, so the plan shows partial_sum/partial_count, not
-    partial_avg — same single-pass shape.)"""
+    """Q1's 8 aggregates over a 6-value group key: the date filter is
+    pushed to the scan and all per-row work is map-side. Since the r4
+    scaled-long fast path the plan is a TWO-LEVEL aggregation — partial
+    sums per (group, scan-partition) in exact int64, then the
+    DECIMAL(38,0) final combine — so it shows two exchanges, both tiny:
+    the first moves ≤6 rows per scan partition (the pid-grouped
+    partials), the second ≤6 rows per shuffle partition. The row volume
+    through every exchange is O(|groups| × partitions), never O(rows);
+    per-row decimal arithmetic is gone from the hot scan stage."""
     plan = plan_of(spark, sf_dir, "c_tpch_q1")
     assert "LessThanOrEqual(l_shipdate" in plan
-    assert "partial_sum" in plan and "partial_count" in plan
-    assert op_count(plan, "Exchange") == 1
+    assert "partial_sum" in plan
+    assert "SPARK_PARTITION_ID" in plan  # the explicit partial level
+    assert op_count(plan, "Exchange") == 2
+    # the no-wrap guard must survive optimization (it is what makes the
+    # long path safe to run on data that could overflow a partial);
+    # assert_true compiles to a conditional raise_error
+    assert "raise_error" in plan.lower()
 
 
 def test_tpch_q10_broadcasts_and_takeordered(spark, sf_dir):
@@ -282,3 +293,43 @@ def test_dup_rate_two_phase_distinct(spark, sf_dir):
     assert op_count(plan, "Exchange") == 2
     assert "partial_" in plan
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_q1_falls_back_to_decimal_on_disqualified_data(spark, tmp_path):
+    """The scaled-long fast path is gated on the profiled preconditions
+    (non-negative, <= 2 decimals, no nulls). Data that violates them —
+    here a 3-decimal price — must take the all-decimal plan (no
+    partition-id partial level) and still aggregate exactly."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.queries import QUERIES
+    from async_event_streams_spark.queries.relational import _money_profile
+
+    ts = datetime.datetime(1995, 1, 1)
+    rows = [
+        ("A", "F", 10.0, 100.005, 0.05, 0.02, ts),  # 3dp price
+        ("A", "F", 20.0, 200.00, 0.00, 0.04, ts),
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "l_returnflag string, l_linestatus string, l_quantity double, "
+            "l_extendedprice double, l_discount double, l_tax double, "
+            "l_shipdate timestamp",
+        ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    )
+    sf = str(tmp_path)
+    assert _money_profile(spark, sf) is None
+    df = QUERIES["c_tpch_q1"](spark, sf)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SPARK_PARTITION_ID" not in plan  # decimal path, not long
+    got = {(r.l_returnflag, r.l_linestatus): r for r in df.collect()}
+    r = got[("A", "F")]
+    assert r.sum_qty == 30.0 and r.count_order == 2
+    # decimal path quantizes the price at the DECIMAL(12,2) cast first:
+    # 100.005 -> 100.01; 100.01*0.95 + 200.00*1.00 = 295.0095 -> 295.01
+    assert r.sum_disc_price == 295.01
