@@ -4,12 +4,12 @@ SURVEY.md §2-C).
 
 The Spark-side machinery is real — schemas, content addressing,
 batch-shaped UDF signatures, partition-aware iteration. The image codec
-is real too WHEN Pillow is importable (an optional dependency); without
-it, `fake=True` substitutes a deterministic structural decode so the
-pipeline shape (binary → features) stays testable end-to-end, and the
-real-codec request fails fast ON THE DRIVER with an actionable message
-(never per-row on executors). Video decode remains stubbed (no
-PyAV/ffmpeg here); its fan-out mechanics are real and tested.
+is real WHEN Pillow is importable, and the video codec is real WHEN
+PyAV is importable (both optional dependencies); without them,
+`fake=True` substitutes a deterministic structural decode so the
+pipeline shape (binary → features, video → frame fan-out) stays
+testable end-to-end, and the real-codec request fails fast ON THE
+DRIVER with an actionable message (never per-row on executors).
 """
 
 from __future__ import annotations
@@ -24,6 +24,11 @@ try:  # optional dependency: real image codec when available
     from PIL import Image as _PILImage
 except Exception:  # pragma: no cover - environment-dependent
     _PILImage = None
+
+try:  # optional dependency: real video codec when available
+    import av as _av
+except Exception:  # pragma: no cover - environment-dependent
+    _av = None
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -223,6 +228,32 @@ FRAME_SCHEMA = StructType(
 _FAKE_FRAME_BYTES = 256  # the stub codec's fixed 'frame' stride
 
 
+def decode_video_frames(
+    payload: bytes, every_n: int, max_frames: int
+) -> list[tuple[int, bytes]]:
+    """Real video decode via PyAV (optional dependency): demux + decode
+    the first video stream, keep every `every_n`-th frame up to
+    `max_frames`, each as raw RGB24 bytes (no Pillow needed). Returns
+    [(frame_index, rgb_bytes)]. Raises NotImplementedError without
+    PyAV."""
+    if _av is None:
+        raise NotImplementedError(
+            "video codec needs the optional PyAV dependency "
+            "(pip install av); pass fake_codec=True for the "
+            "fixed-stride structural sampler"
+        )
+    out: list[tuple[int, bytes]] = []
+    with _av.open(io.BytesIO(payload or b"")) as container:
+        stream = container.streams.video[0]
+        for i, frame in enumerate(container.decode(stream)):
+            if i % every_n:
+                continue
+            if len(out) >= max_frames:
+                break
+            out.append((i, frame.to_ndarray(format="rgb24").tobytes()))
+    return out
+
+
 def sample_frames(
     assets: DataFrame,
     every_n: int = 10,
@@ -232,16 +263,20 @@ def sample_frames(
     """Video → frames (1→N row fan-out): every `every_n`-th frame, at
     most `max_frames` per video, one output row per sampled frame.
 
-    STUB codec: a real build would seek/decode via PyAV/ffmpeg; here the
-    payload is treated as a concatenation of fixed-stride frames. The
-    fan-out mechanics are the real deliverable — mapInPandas yielding
-    MORE rows than it consumes, per-frame rows independently
-    repartitionable downstream, memory bounded per Arrow batch (frames
-    of one video never need to co-reside)."""
-    if not fake_codec:
+    Real codec via the optional PyAV dependency (decode_video_frames:
+    demux → decode → RGB24 bytes per sampled frame); checked driver-
+    side so a missing codec fails at plan construction, not per-row on
+    executors. `fake_codec=True` keeps the deterministic stand-in (the
+    payload treated as fixed-stride frames) the oracle-checked
+    `x_frame_sample` replays. Either way the fan-out mechanics are the
+    same deliverable — mapInPandas yielding MORE rows than it consumes,
+    per-frame rows independently repartitionable downstream, memory
+    bounded per Arrow batch (frames of one video never co-reside)."""
+    if not fake_codec and _av is None:
         raise NotImplementedError(
-            "video codecs not available in this environment; "
-            "pass fake_codec=True for the fixed-stride structural sampler"
+            "sample_frames(fake_codec=False) needs the optional PyAV "
+            "dependency (pip install av); pass fake_codec=True for the "
+            "fixed-stride structural sampler"
         )
     if every_n < 1 or max_frames < 1:
         raise ValueError("every_n and max_frames must be >= 1")
@@ -251,17 +286,29 @@ def sample_frames(
             ids, idxs, payloads = [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 payload = payload or b""
-                n_frames = len(payload) // _FAKE_FRAME_BYTES
-                taken = 0
-                for fi in range(0, n_frames, every_n):
-                    if taken >= max_frames:
-                        break
+                if fake_codec:
+                    n_frames = len(payload) // _FAKE_FRAME_BYTES
+                    taken = 0
+                    frames = []
+                    for fi in range(0, n_frames, every_n):
+                        if taken >= max_frames:
+                            break
+                        frames.append(
+                            (
+                                fi,
+                                payload[
+                                    fi * _FAKE_FRAME_BYTES : (fi + 1)
+                                    * _FAKE_FRAME_BYTES
+                                ],
+                            )
+                        )
+                        taken += 1
+                else:
+                    frames = decode_video_frames(payload, every_n, max_frames)
+                for fi, fp in frames:
                     ids.append(aid)
                     idxs.append(fi)
-                    payloads.append(
-                        payload[fi * _FAKE_FRAME_BYTES : (fi + 1) * _FAKE_FRAME_BYTES]
-                    )
-                    taken += 1
+                    payloads.append(fp)
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
