@@ -237,6 +237,57 @@ def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Horizon-bounded near-dedup (batch twin of the r4 watermark-bounded
+# streaming pipe): duplicates only count within an event-time window.
+_WINDOWED_HORIZON_SEC = 120
+
+_WINDOWED_ORACLE = f"""
+WITH pairs AS ({_VERIFIED_ORACLE}),
+d AS (SELECT doc_id, (doc_id * 37) % 997 AS et FROM documents),
+drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM pairs p
+  JOIN d a ON a.doc_id = p.doc_a
+  JOIN d b ON b.doc_id = p.doc_b
+  WHERE ABS(b.et - a.et) <= {_WINDOWED_HORIZON_SEC}
+)
+SELECT d.doc_id, CAST(d.et AS BIGINT) AS et
+FROM d LEFT JOIN drops ON d.doc_id = drops.doc_id
+WHERE drops.doc_id IS NULL
+"""
+
+
+@query("x_dedup_windowed", oracle=_WINDOWED_ORACLE)
+def x_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon-bounded near-dedup — the BATCH TWIN of
+    streaming/neardedup.py::windowed_minhash_dedup_pipe: a document is
+    dropped iff a verified near-dup with a lower doc_id lies within an
+    event-time horizon of it (a dropped doc still shadows later ones).
+    Event time is a deterministic synthetic (doc_id*37 mod 997) so the
+    DuckDB oracle replays it exactly; in production it is the document's
+    ingest timestamp, and this horizon predicate is precisely what lets
+    the streaming state stay bounded (SURVEY §9c item 3). Scale shape:
+    candidate pairs are LSH-bounded (never all-pairs); the event-time
+    lookups are slim doc_id-keyed equi-joins; the final anti-join keys
+    on doc_id."""
+    pairs = x_dedup_verified(spark, sf_dir).select("doc_a", "doc_b")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("et", (F.col("doc_id") * 37 % 997).cast("long"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("et").alias("et_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("et").alias("et_b"))
+    drops = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.abs(F.col("et_b") - F.col("et_a")) <= _WINDOWED_HORIZON_SEC)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return d.join(drops, "doc_id", "left_anti").select("doc_id", "et")
+
+
 # ---------------------------------------------------------------------------
 # Dedup: SimHash (32-bit, md5-derived token hashes)
 # ---------------------------------------------------------------------------

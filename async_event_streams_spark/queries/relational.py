@@ -329,6 +329,48 @@ def c_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_agg_approx_quantile",
+    # Same tolerance-encoding as c_agg_approx_distinct: the sketch value
+    # is engine-specific, so Spark ships the exact quantile plus a
+    # "sketch within 5% of exact" boolean; DuckDB ships the exact
+    # quantile and literal true.
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) * 2, 2) "
+        "AS DOUBLE) AS exact_p50_x2, true AS approx_ok "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def c_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): the scale path for
+    quantiles — mergeable fixed-size per-partition sketches, one slim
+    shuffle, where an exact percentile must move every value of the
+    group. accuracy=10000 bounds rank error to n/10000 (~60 ranks at
+    sf0.1), far inside the 5%-of-value verdict bound; the exact
+    continuous-interpolation percentile anchors the oracle. Anchored as
+    2x the median: an even-count continuous median interpolates between
+    two 2dp values and lands EXACTLY on the half-cent rounding boundary
+    (the q10 flip class) — doubling makes the anchor an exact 2dp sum,
+    off-boundary by construction."""
+    agg = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        )
+    )
+    rel_err = (
+        F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("exact_p50") * 2, 2).cast("double").alias("exact_p50_x2"),
+        (rel_err < F.lit(0.05)).alias("approx_ok"),
+    )
+
+
+@query(
     "c_agg_rollup",
     oracle=(
         "SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders, "

@@ -333,3 +333,54 @@ def test_q1_falls_back_to_decimal_on_disqualified_data(spark, tmp_path):
     # decimal path quantizes the price at the DECIMAL(12,2) cast first:
     # 100.005 -> 100.01; 100.01*0.95 + 200.00*1.00 = 295.0095 -> 295.01
     assert r.sum_disc_price == 295.01
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """The io.write_bucketed_table promise, plan-asserted: both join
+    sides pre-bucketed on the join key with the same bucket count read
+    co-located, so the join runs with ZERO Exchange — at 100 TB this is
+    the difference between re-shuffling two fact tables per join and
+    reading them joined in place. (Broadcast is disabled to force the
+    shuffle-join code path the bucketing must elide.)"""
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.io import write_bucketed_table
+    from async_event_streams_spark.tables import table
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/warehouse'"
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        write_bucketed_table(
+            orders, "bkt.orders_b", ["o_orderkey"], n_buckets=8,
+            sort_by=["o_orderkey"],
+        )
+        write_bucketed_table(
+            li, "bkt.lineitem_b", ["l_orderkey"], n_buckets=8,
+            sort_by=["l_orderkey"],
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table("bkt.orders_b"), spark.table("bkt.lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert op_count(plan, "Exchange") == 0, plan[:1500]
+        assert "SortMergeJoin" in plan
+        # and it still computes the right thing
+        want = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        )
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
