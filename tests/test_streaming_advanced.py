@@ -664,3 +664,56 @@ def test_exact_dedup_auto_compaction_bounds_state(spark, topic_root):
         h.stop()
         docs.close()
         uniq.close()
+
+
+def test_windowed_pipe_equals_batch_twin_on_corpus(spark, sf_dir, topic_root):
+    """The two halves of the r4 horizon-dedup surface must agree: the
+    watermark-bounded streaming pipe (windowed_minhash_dedup_pipe) run
+    over the real documents corpus, published in doc_id order with the
+    batch twin's synthetic event time, accumulates exactly the
+    x_dedup_windowed survivor set (same bands, same Jaccard verify,
+    same horizon, same shadowing) — one semantics, two execution
+    shapes."""
+    from async_event_streams_spark.queries.llm import (
+        _WINDOWED_HORIZON_SEC,
+        x_dedup_windowed,
+    )
+    from async_event_streams_spark.streaming import windowed_minhash_dedup_pipe
+    from async_event_streams_spark.tables import table
+
+    docs_rows = (
+        table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "text", "(doc_id * 37) % 997 AS et")
+        .orderBy("doc_id")
+        .collect()
+    )
+    reg = TopicRegistry()
+    docs = Topic(spark, "bt_docs", "doc_id long, text string, et long",
+                 topic_root, reg)
+    uniq = Topic(spark, "bt_uniq", "doc_id long, text string, et long",
+                 topic_root, reg)
+    h = windowed_minhash_dedup_pipe(
+        docs, uniq, state_dir=f"{topic_root}/bt-state",
+        horizon_sec=_WINDOWED_HORIZON_SEC, name="bt-pipe",
+    )
+    try:
+        third = (len(docs_rows) + 2) // 3
+        for lo in range(0, len(docs_rows), third):
+            docs.send(
+                [
+                    {"doc_id": r.doc_id, "text": r.text, "et": r.et}
+                    for r in docs_rows[lo : lo + third]
+                ],
+                barrier="chain",
+            )
+        got = sorted(
+            r.doc_id for r in uniq.batch_df().select("doc_id").collect()
+        )
+        want = sorted(
+            r.doc_id for r in x_dedup_windowed(spark, sf_dir).collect()
+        )
+        assert got == want, (len(got), len(want))
+    finally:
+        h.stop()
+        docs.close()
+        uniq.close()
