@@ -87,17 +87,28 @@ def _sql_double(w: float) -> str:
     return f"{float(w)!r}D"
 
 
-def _sql_dot_lit(vec_sql: str, lits: list[float], assume_double: bool = False) -> str:
+def _sql_dot_lit(
+    vec_sql: str,
+    lits: list[float],
+    assume_double: bool = False,
+    offset: int = 0,
+) -> str:
     """Unrolled dot product of an array column against Python-literal
     weights as SQL text: left-to-right double accumulation, bit-identical
     to the HOF `dot` and DuckDB's list_dot_product on DOUBLE[].
     `assume_double` skips the per-element CAST when the caller already
-    cast the array to array<double> (one cast node instead of dim*K)."""
+    cast the array to array<double> (one cast node instead of dim*K).
+    `offset` indexes a SUBSPACE of the column ([offset, offset+len)) —
+    the product-quantization path dots sub-slices without materializing
+    slice() expressions per element."""
     if assume_double:
-        terms = (f"{vec_sql}[{i}] * {_sql_double(w)}" for i, w in enumerate(lits))
+        terms = (
+            f"{vec_sql}[{offset + i}] * {_sql_double(w)}"
+            for i, w in enumerate(lits)
+        )
     else:
         terms = (
-            f"CAST({vec_sql}[{i}] AS DOUBLE) * {_sql_double(w)}"
+            f"CAST({vec_sql}[{offset + i}] AS DOUBLE) * {_sql_double(w)}"
             for i, w in enumerate(lits)
         )
     return "(" + " + ".join(terms) + ")"
@@ -129,6 +140,30 @@ def ivf_cell(
     return F.expr(
         f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)"
     )
+
+
+def pq_sub_scores_sql(
+    vec_sql: str,
+    subcentroids: list[list[float]],
+    offset: int,
+    round_dp: int | None = None,
+    assume_double: bool = False,
+) -> str:
+    """Per-sub-centroid score array over ONE subspace of `vec_sql`
+    (elements [offset, offset+sub_dim)) — `ivf_scores_sql` restricted
+    to a slice, for product-quantization encoding: each subspace's
+    argmax over its K sub-centroids is an in-scan expression, so
+    encoding N vectors into m codes adds zero exchanges, exactly like
+    `ivf_cell`. Same dot/||centroid|| metric and ROUND tie discipline
+    so a SQL oracle replays the codes."""
+    import math
+
+    scores = []
+    for c in subcentroids:
+        cnorm = _sql_double(math.sqrt(sum(x * x for x in c)))
+        s = f"({_sql_dot_lit(vec_sql, c, assume_double, offset)} / {cnorm})"
+        scores.append(f"ROUND({s}, {round_dp})" if round_dp is not None else s)
+    return f"array({', '.join(scores)})"
 
 
 def ivf_scores_sql(

@@ -24,6 +24,7 @@ from ..functions.similarity import (
     ivf_scores_sql,
     lsh_bucket,
     lsh_planes,
+    pq_sub_scores_sql,
 )
 from ..functions.text import (
     minhash_component,
@@ -878,6 +879,172 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
         .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: product quantization (the memory/IO scale path)
+# ---------------------------------------------------------------------------
+
+# PQ splits each vector into M subspaces and stores only the id of the
+# nearest sub-centroid per subspace: 64 doubles (512 B) become 4 small
+# codes — at 100 TB this is what lets candidate scoring read a
+# ~64x-compressed table. K=16 codes per subspace; codebooks are
+# deterministic (sub-slices of vec_id < K) so the DuckDB oracle replays
+# the exact codes; production would k-means each subspace.
+_PQ_M = 4
+_PQ_SUB = 16  # dims per subspace (M * SUB = embedding dim 64)
+_PQ_K = 16
+
+_PQ_CODEBOOKS: dict[str, list] = {}
+
+
+def _pq_slice(col_sql: str, j: int) -> str:
+    a = _PQ_SUB * j + 1
+    return f"list_slice({col_sql}, {a}, {a + _PQ_SUB - 1})"
+
+
+def _pq_oracle() -> str:
+    encs = []
+    for j in range(_PQ_M):
+        qs, cs = _pq_slice("v.e", j), _pq_slice("cb.ce", j)
+        encs.append(
+            f"""enc{j} AS (
+  SELECT vec_id, cid AS c{j} FROM (
+    SELECT v.vec_id, cb.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY ROUND(list_dot_product({qs}, {cs})
+        / sqrt(list_dot_product({cs}, {cs})), 9) DESC, cb.cid) AS rn
+    FROM v CROSS JOIN cb) WHERE rn = 1
+)"""
+        )
+    enc_join = " JOIN ".join(
+        ["enc0"] + [f"enc{j} USING (vec_id)" for j in range(1, _PQ_M)]
+    )
+    num = " + ".join(
+        f"list_dot_product({_pq_slice('q.e', j)}, {_pq_slice(f'b{j}.ce', j)})"
+        for j in range(_PQ_M)
+    )
+    den2 = " + ".join(
+        f"list_dot_product({_pq_slice(f'b{j}.ce', j)}, {_pq_slice(f'b{j}.ce', j)})"
+        for j in range(_PQ_M)
+    )
+    cb_joins = " ".join(
+        f"JOIN cb b{j} ON b{j}.cid = enc.c{j}" for j in range(_PQ_M)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cb AS (
+  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_PQ_K}
+), {", ".join(encs)},
+enc AS (SELECT * FROM {enc_join}),
+scored AS (
+  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+    ({num}) / (sqrt(list_dot_product(q.e, q.e)) * sqrt({den2})) AS score
+  FROM (SELECT * FROM v WHERE vec_id < 10) q
+  CROSS JOIN enc {cb_joins}
+  WHERE enc.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(score, 9) DESC, neighbor_id)
+    AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def pq_encode(v: DataFrame, codebooks: list) -> DataFrame:
+    """Vector -> M sub-codes, each an IN-SCAN argmax over that
+    subspace's K sub-centroids (pq_sub_scores_sql literals with offset
+    indexing — no slice() materialization, no join, no exchange: the
+    N-row side never shuffles to be encoded, exactly like ivf_assign).
+    Each score array binds in its own projection so the argmax doesn't
+    duplicate the K*sub_dim expression."""
+    out = v
+    for j, cb in enumerate(codebooks):
+        arr = pq_sub_scores_sql(
+            "e", cb, offset=_PQ_SUB * j, round_dp=9, assume_double=True
+        )
+        out = (
+            out.withColumn(f"_s{j}", F.expr(arr))
+            .withColumn(
+                f"c{j}",
+                F.expr(
+                    f"CAST(array_position(_s{j}, array_max(_s{j})) - 1 AS INT)"
+                ),
+            )
+            .drop(f"_s{j}")
+        )
+    return out.select("vec_id", *[f"c{j}" for j in range(_PQ_M)])
+
+
+@query("x_ann_pq", oracle=_pq_oracle())
+def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization with asymmetric
+    distance: candidates are scored from their M codes alone —
+    sum of dot(query-subspace, sub-centroid) over the reconstruction,
+    normalized by the query norm and the reconstruction norm — so the
+    scoring scan reads a ~64x-compressed table (codes, not vectors).
+    Plan shape at scale: encoding is an in-scan argmax per subspace
+    (zero exchanges, plan-asserted); scoring is the 10-row broadcast
+    query set against the code table with M broadcast-hash joins to
+    the K-row codebook (the LUT realized as tiny joins); only slim
+    (query_id, neighbor_id, score) rows reach the top-k. Deterministic
+    codebooks (vec_id < K sub-slices) let DuckDB replay the exact
+    codes; tie/rounding discipline matches x_ann_ivf."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cbs = _PQ_CODEBOOKS.get(sf_dir)
+    if cbs is None:
+        full = [
+            list(r.e)
+            for r in v.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+        ]
+        cbs = [
+            [c[_PQ_SUB * j : _PQ_SUB * (j + 1)] for c in full]
+            for j in range(_PQ_M)
+        ]
+        _PQ_CODEBOOKS[sf_dir] = cbs
+    codes = artifact(spark, f"{sf_dir}:pq_codes", lambda: pq_encode(v, cbs))
+    cb_rows = v.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "e"
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = codes.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    num = None
+    den2 = None
+    for j in range(_PQ_M):
+        cbj = cb_rows.select(
+            F.col("cid").alias(f"c{j}"),
+            F.slice("e", _PQ_SUB * j + 1, _PQ_SUB).alias(f"ce{j}"),
+        )
+        scored = scored.join(F.broadcast(cbj), f"c{j}")
+        qs = F.slice("qe", _PQ_SUB * j + 1, _PQ_SUB)
+        term = dot(qs, F.col(f"ce{j}"))
+        n2 = dot(F.col(f"ce{j}"), F.col(f"ce{j}"))
+        num = term if num is None else num + term
+        den2 = n2 if den2 is None else den2 + n2
+    scored = scored.withColumn(
+        "score", num / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(den2))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "score",
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("score"))
     )
 
 

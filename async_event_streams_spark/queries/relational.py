@@ -1880,6 +1880,62 @@ def c_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_sessionize_gaps",
+    oracle=(
+        "WITH e AS ("
+        "  SELECT user_id, event_id, ts,"
+        "    CASE WHEN lag(ts) OVER w IS NULL"
+        "          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1"
+        "         ELSE 0 END AS new_s"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        "), s AS ("
+        "  SELECT user_id, ts,"
+        "    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "      ROWS UNBOUNDED PRECEDING) AS session_id"
+        "  FROM e)"
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(MIN(ts) AS TIMESTAMP) AS session_start, "
+        "CAST(MAX(ts) AS TIMESTAMP) AS session_end "
+        "FROM s GROUP BY user_id, session_id"
+    ),
+)
+def c_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization with explicit session NUMBERING (the
+    lag + cumulative-sum pattern): a user\'s events start a new session
+    after a >30 min silence; session_id is the running count of
+    session starts, so sessions are stable, joinable keys — the batch
+    complement of the F.session_window streaming aggregate
+    (c_stream_session numbers nothing). Scale shape: both window
+    functions share one hash partitioning on user_id (single exchange
+    + one sort feeds lag AND the running sum), then the per-session
+    rollup is a partial-agg shuffle of slim rows. Tie-break on
+    event_id keeps the row order — and therefore the numbering —
+    engine-independent."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives TIMESTAMP_NTZ (nanos parquet); hop via TIMESTAMP in the
+    # UTC-pinned session so epoch seconds agree with DuckDB's epoch()
+    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    gap = sec(F.col("ts")) - sec(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .withColumn(
+            "session_id",
+            F.sum(new_s).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
     "c_time_rollup",
     oracle=(
         "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, "

@@ -133,3 +133,131 @@ def test_ivf_recall(spark, sf_dir):
     exact = _topk_sets(QUERIES["x_cosine_topk"](spark, sf_dir))
     recall = _recall(exact, _topk_sets(QUERIES["x_ann_ivf"](spark, sf_dir)))
     assert recall >= 0.5, f"x_ann_ivf recall {recall:.3f}"
+
+
+def test_trained_pq_codebooks_recall_on_clustered_corpus(spark):
+    """The production PQ pipeline: per-subspace k-means codebooks
+    (MLlib via train_ivf_centroids on each slice), ADC scoring over the
+    codes, then EXACT RE-RANK of the ADC shortlist — the standard PQ
+    deployment, because quantization deliberately erases intra-cluster
+    detail (same-cluster members share codes, so their relative ADC
+    order is noise; measured recall@5 of raw ADC is ~0.2 here for
+    exactly that reason). Two gates on a clustered corpus (the workload
+    PQ exists for): (a) coarse fidelity — ADC's top-5 come from the
+    query's true cluster; (b) end-to-end recall@5 after exact re-rank
+    of the top-50 ADC shortlist vs exact cosine (random shortlisting
+    would give ~0.12)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from async_event_streams_spark.functions.similarity import (
+        dot,
+        train_ivf_centroids,
+    )
+    from async_event_streams_spark.queries.llm import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        pq_encode,
+    )
+
+    rng = random.Random(11)
+    dim, n_clusters, n = _PQ_M * _PQ_SUB, 12, 400
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    vecs = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        vecs.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    v = spark.createDataFrame(vecs, "vec_id long, e array<double>")
+
+    def cos(a, b):
+        num = sum(p * q for p, q in zip(a, b))
+        return num / math.sqrt(
+            sum(p * p for p in a) * sum(q * q for q in b)
+        )
+
+    by_id = dict(vecs)
+    exact = {
+        q: set(
+            sorted(
+                (i for i in by_id if i != q),
+                key=lambda i: (-round(cos(by_id[q], by_id[i]), 9), i),
+            )[:5]
+        )
+        for q in range(10)
+    }
+
+    trained = []
+    for j in range(_PQ_M):
+        sub = v.select(F.slice("e", _PQ_SUB * j + 1, _PQ_SUB).alias("se"))
+        trained.append(train_ivf_centroids(sub, "se", k=_PQ_K, seed=7))
+
+    codes = pq_encode(v, trained)
+    cb_rows = spark.createDataFrame(
+        [
+            (j, k, trained[j][k])
+            for j in range(_PQ_M)
+            for k in range(len(trained[j]))
+        ],
+        "j int, cid int, ce array<double>",
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = codes.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    num = den2 = None
+    for j in range(_PQ_M):
+        cbj = cb_rows.filter(F.col("j") == j).select(
+            F.col("cid").alias(f"c{j}"), F.col("ce").alias(f"ce{j}")
+        )
+        scored = scored.join(F.broadcast(cbj), f"c{j}")
+        qs = F.slice("qe", _PQ_SUB * j + 1, _PQ_SUB)
+        t = dot(qs, F.col(f"ce{j}"))
+        n2 = dot(F.col(f"ce{j}"), F.col(f"ce{j}"))
+        num = t if num is None else num + t
+        den2 = n2 if den2 is None else den2 + n2
+    scored = scored.withColumn(
+        "score", num / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(den2))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    adc5 = scored.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5")
+    # (a) coarse fidelity: ADC's top-5 are from the query's true cluster
+    same_cluster = 0
+    for r in adc5.select("query_id", "vec_id").collect():
+        same_cluster += (r.vec_id % n_clusters) == (r.query_id % n_clusters)
+    assert same_cluster >= 45, same_cluster  # >= 90% of 10 queries x 5
+
+    # (b) shortlist -> exact re-rank: top-50 by ADC, exact cosine top-5
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 50")
+        .select("query_id", "qe", "vec_id")
+    )
+    reranked = (
+        shortlist.join(v, "vec_id")
+        .withColumn("xscore", F.round(dot(F.col("qe"), F.col("e"))
+            / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("e"), F.col("e")))), 9))
+        .withColumn(
+            "xrnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("xscore").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter("xrnk <= 5")
+    )
+    approx = {}
+    for r in reranked.select("query_id", "vec_id").collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = _recall(exact, approx)
+    assert recall >= 0.8, recall

@@ -384,3 +384,38 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_pq_encoding_has_no_exchange(spark, sf_dir):
+    """PQ encoding (M in-scan sub-argmaxes over literal codebooks) must
+    add zero exchanges/joins/windows — the N-row side never shuffles to
+    be compressed, exactly like ivf_assign. At 100 TB this plan IS the
+    point of product quantization: a single scan turns vectors into
+    codes."""
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.queries.llm import (
+        _PQ_CODEBOOKS,
+        _PQ_K,
+        _PQ_SUB,
+        pq_encode,
+    )
+    from async_event_streams_spark.tables import table
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    full = [
+        list(r.e)
+        for r in v.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    ]
+    cbs = [
+        [c[_PQ_SUB * j : _PQ_SUB * (j + 1)] for c in full] for j in range(4)
+    ]
+    df = pq_encode(v, cbs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
