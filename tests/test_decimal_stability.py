@@ -41,6 +41,13 @@ HARDENED = [
     # an int/int ratio — must also be layout-independent
     "x_length_percentiles",
     "x_dup_rate",
+    # r4: q1/agg_basic now run the scaled-long two-level path — the
+    # pid-grouped partials change with BOTH layout knobs, so this test
+    # is exactly what proves the long partials merge order-free; the
+    # approx-quantile's 2x-median anchor must also hold across layouts
+    # (the GK sketch itself is layout-dependent, which is why only the
+    # tolerance boolean and the exact anchor are emitted)
+    "c_agg_approx_quantile",
 ]
 
 # (maxPartitionBytes, shuffle.partitions): one coarse layout (few splits,
