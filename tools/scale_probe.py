@@ -65,6 +65,13 @@ PROBE_QUERIES = [
     "x_pack_sequences",
     "x_length_percentiles",
     "x_dup_rate",
+    # r4 additions: the scaled-long q1 path rides c_agg_basic above;
+    # PQ scoring reads codes + broadcast codebooks, windowed dedup is
+    # LSH-bounded pairs + slim et joins, sessionization one exchange
+    "x_ann_pq",
+    "x_dedup_windowed",
+    "c_sessionize_gaps",
+    "c_agg_approx_quantile",
 ]
 
 KEY_STRIDE = 100_000_000
