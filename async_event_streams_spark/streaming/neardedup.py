@@ -190,6 +190,12 @@ def windowed_minhash_dedup_pipe(
     dedup's state proportional to the horizon's data rate instead of
     corpus size (the unbounded seen-set is `minhash_dedup_pipe`).
 
+    This is the engine's answer to SURVEY §8-H5: the reference buffers
+    without bound and its only flow control is the send barrier
+    (/root/reference/src/event_queue.rs:8, src/lib.rs:44-52); at scale
+    we must NOT replicate that, so the horizon contract is what turns
+    the naturally-unbounded dedup seen-set into bounded state.
+
     Watermark mechanics (mirrors Spark's `withWatermark` contract,
     allowed lateness = horizon): watermark W = max event time seen -
     horizon; rows arriving with event time older than W may be deduped
