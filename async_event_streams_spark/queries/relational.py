@@ -17,6 +17,8 @@ Determinism discipline for the DuckDB differential oracle:
 
 from __future__ import annotations
 
+import weakref
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -82,18 +84,27 @@ def _dfrac(expr: Column) -> Column:
 # preconditions hold (integer arithmetic; the final /10^k division is
 # exact decimal), so the DuckDB oracles stay the decimal SQL.
 
+# Value holds weakref.ref(spark) (not the session itself) so profiled
+# sessions don't accumulate for the process lifetime; the deref's `is`
+# check still guards id() reuse, and dead/stale entries are evicted on
+# lookup.
 _MONEY_PROFILE_CACHE: dict[tuple[int, str], tuple[object, dict | None]] = {}
 
 
 def _money_profile(spark: SparkSession, sf_dir: str) -> dict | None:
     """Profile lineitem's money columns for the scaled-long path: None
     when any precondition fails (negative values, > 2dp, nulls, empty
-    table), else the maxima needed for the no-wrap bound. One scan per
+    table, or rate columns outside their sane range — discount must be
+    <= 1 and tax <= 2, without which the no-wrap bound below would not
+    cover |disc_l|/|charge_l| and an int64 partial could wrap silently),
+    else the maxima needed for the no-wrap bound. One scan per
     (session, dataset), session-pinned like tables._TABLE_CACHE."""
     key = (id(spark), sf_dir)
     hit = _MONEY_PROFILE_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
+    if hit is not None and hit[0]() is spark:
         return hit[1]
+    if hit is not None:  # dead session or id() reuse — drop the entry
+        del _MONEY_PROFILE_CACHE[key]
 
     def residual(c: str) -> Column:
         return F.max(F.abs(F.col(c) * 100 - F.round(F.col(c) * 100)))
@@ -119,10 +130,17 @@ def _money_profile(spark: SparkSession, sf_dir: str) -> dict | None:
             vals[f"r_{c}"] is not None and vals[f"r_{c}"] < 1e-6 for c in cols
         )
         and all(vals[f"min_{c}"] >= 0 for c in cols)
+        # Rate-column ceilings the no-wrap bound in _q1_long_partials
+        # depends on: with discount <= 1, (100 - disc_h) stays in
+        # [0, 100] so |disc_l| <= price_c*100; with tax <= 2,
+        # (100 + tax_h) <= 300 matches the profiled max_tax_h term.
+        # Outside these ranges -> decimal path.
+        and vals["max_l_discount"] <= 1.0
+        and vals["max_l_tax"] <= 2.0
     )
     if ok:
         profile = {f"max_{c}": float(vals[f"max_{c}"]) for c in cols}
-    _MONEY_PROFILE_CACHE[key] = (spark, profile)
+    _MONEY_PROFILE_CACHE[key] = (weakref.ref(spark), profile)
     return profile
 
 

@@ -54,6 +54,43 @@ def _save_centroids(state_dir: str, cents: list[list[float]]) -> None:
     os.replace(tmp, os.path.join(state_dir, _CENTROIDS_FILE))
 
 
+def _sweep_retrain(state_dir: str) -> None:
+    """Heal a retrain torn by a crash. The swap order in `retrain` is
+    write `d.retrain.tmp` -> rename `d` aside to `d.retrain.old` ->
+    rename tmp into place -> delete old, so every crash window leaves a
+    recoverable state:
+
+    - tmp + live `d`: the swap never started (or finished and only the
+      old copy was reaped late) — drop the leftovers.
+    - tmp, no `d`: tmp is COMPLETE (it was fully written before `d`
+      moved aside) — promote it, then drop the old copy.
+    - old only, no `d`: the promote itself tore (rename is atomic, so
+      this means tmp was already reaped by a later sweep) — restore the
+      pre-retrain copy; no vectors are lost, they just carry the prior
+      centroids until the next retrain.
+    """
+    import shutil
+
+    for entry in sorted(os.listdir(state_dir)):
+        if not entry.endswith(".retrain.tmp"):
+            continue
+        tmp = os.path.join(state_dir, entry)
+        d = tmp[: -len(".retrain.tmp")]
+        if os.path.exists(d):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.rename(tmp, d)
+    for entry in sorted(os.listdir(state_dir)):
+        if not entry.endswith(".retrain.old"):
+            continue
+        old = os.path.join(state_dir, entry)
+        d = old[: -len(".retrain.old")]
+        if os.path.exists(d):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, d)
+
+
 def ivf_index_pipe(
     source,
     state_dir: str,
@@ -81,16 +118,18 @@ def ivf_index_pipe(
     prefix. The live centroids persist in `_centroids.json` (restart
     picks them up; `search_ivf_index` reads them by default), because
     cell ids are only meaningful under the centroids that produced
-    them. The dir-swap + json update is not crash-atomic on a plain
-    filesystem (same caveat as compact_state; a torn window is healed
-    by the next retrain) — back the state with a transactional table at
-    cluster scale."""
+    them. The per-dir swap renames the live dir aside before promoting
+    the rewritten copy (never delete-then-rename), and `_sweep_retrain`
+    repairs any crash-torn window on pipe startup — no dir's vectors
+    are ever lost. The json update itself is os.replace-atomic; back
+    the state with a transactional table at cluster scale."""
     from ..queries.llm import ivf_assign
     from ..topics.pipe import pipe
     from ..util import materialize
 
     reject_partitioned_source(source, "ivf_index_pipe")
     os.makedirs(state_dir, exist_ok=True)
+    _sweep_retrain(state_dir)  # heal any crash-torn retrain swap
     saved = load_index_centroids(state_dir)
     live = {"centroids": saved if saved is not None else [list(map(float, c)) for c in centroids]}
     if saved is None:
@@ -109,17 +148,24 @@ def ivf_index_pipe(
             idx, "e", k=len(live["centroids"]), seed=retrain_seed
         )
         # reassign everything indexed so far, THEN publish the new
-        # centroids — readers never see new centroids with old cells
+        # centroids — readers never see new centroids with old cells.
+        # Swap discipline: the live dir is renamed ASIDE (atomic), the
+        # complete tmp renamed in (atomic), and only then is the old
+        # copy deleted — no window where the dir's vectors exist nowhere
+        # on disk; _sweep_retrain heals any crash between the steps.
         for d in dirs:
             tmp = d + ".retrain.tmp"
+            old = d + ".retrain.old"
             shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
             (
                 ivf_assign(spark.read.parquet(d).select("vec_id", "e"), new)
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
-            shutil.rmtree(d)
+            os.rename(d, old)
             os.rename(tmp, d)
+            shutil.rmtree(old)
         live["centroids"] = new
         _save_centroids(state_dir, new)
 

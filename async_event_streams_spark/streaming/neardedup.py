@@ -50,6 +50,57 @@ from .state import compact_state, reject_partitioned_source
 from .state import state_dirs as _state_dirs
 
 
+def _dir_maxet(spark, path: str, memo: dict[str, int]) -> int | None:
+    """Max `__et` in a state dir, from parquet footer statistics when
+    available (no Spark job), memoized per dir. Any row group WITHOUT
+    min/max stats forces a one-off Spark max(__et) scan of the dir — a
+    partial-stats max could UNDERSTATE the true max and prune a dir
+    still holding in-horizon rows, and returning None would silently
+    degrade the bounded-state guarantee back to unbounded growth
+    (ADVICE r5). Only if the fallback scan itself fails is None
+    returned, with a RuntimeWarning so the operator sees the pruning
+    stall."""
+    got = memo.get(path)
+    if got is not None:
+        return got
+    import pyarrow.parquet as pq
+
+    hi: int | None = None
+    partial = False
+    try:
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            idx = md.schema.names.index("__et")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    v = int(st.max)
+                    hi = v if hi is None else max(hi, v)
+                else:
+                    partial = True
+    except (OSError, ValueError):
+        partial = True
+    if partial:
+        try:
+            row = spark.read.parquet(path).agg(F.max("__et")).head()
+            hi = None if row is None or row[0] is None else int(row[0])
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                "windowed_minhash_dedup_pipe: cannot determine "
+                f"max __et for {path}; dir not pruned this batch",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return None
+    if hi is not None:
+        memo[path] = hi
+    return hi
+
+
 def _band_rows(df, text_col: str, ord_col: str):
     """(ord, id_cols..., sh, bi, bk): two LSH band rows per document —
     the same 4-component/2-band minhash construction as
@@ -217,30 +268,6 @@ def windowed_minhash_dedup_pipe(
     os.makedirs(state_dir, exist_ok=True)
     maxet_memo: dict[str, int] = {}  # state-dir path -> max __et
 
-    def _dir_maxet(path: str) -> int | None:
-        got = maxet_memo.get(path)
-        if got is not None:
-            return got
-        import pyarrow.parquet as pq
-
-        hi: int | None = None
-        try:
-            for f in os.listdir(path):
-                if not f.endswith(".parquet"):
-                    continue
-                md = pq.read_metadata(os.path.join(path, f))
-                idx = md.schema.names.index("__et")
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        v = int(st.max)
-                        hi = v if hi is None else max(hi, v)
-        except (OSError, ValueError):
-            return None
-        if hi is not None:
-            maxet_memo[path] = hi
-        return hi
-
     def dedup_batch(df, batch_id: int):
         import shutil
 
@@ -293,7 +320,7 @@ def windowed_minhash_dedup_pipe(
         # Advance the watermark and prune: global max event time is the
         # max over current dirs (the dir holding it is never prunable).
         dirs = _state_dirs(state_dir, batch_id + 1)
-        maxets = {d: _dir_maxet(d) for d in dirs}
+        maxets = {d: _dir_maxet(spark, d, maxet_memo) for d in dirs}
         known = [v for v in maxets.values() if v is not None]
         if known:
             cutoff = max(known) - 2 * horizon_sec

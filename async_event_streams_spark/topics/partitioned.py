@@ -250,11 +250,25 @@ class PartitionedTopic:
                 futures[i] = self._pool.submit(
                     self.partitions[i].post, shard, event_type, None, txn
                 )
-        done = {i: f.result() for i, f in futures.items()}  # await ALL,
-        # including header-only writes — a caller may check last_txn()
-        # (or crash-retry) the moment post() returns
-        for i in done:
-            self._mark_txn_committed(txn, i)
+        # Await ALL futures, including header-only writes — a caller may
+        # check last_txn() (or crash-retry) the moment post() returns.
+        # Partitions whose append SUCCEEDED are marked committed even if
+        # a sibling partition's append raises: the disk state is already
+        # committed for them, and an in-process retry of the same txn
+        # must skip them (not re-publish) to keep exactly-once. The
+        # first failure is re-raised after every future has resolved.
+        done: dict[int, tuple[int, int]] = {}
+        first_err: BaseException | None = None
+        for i, f in futures.items():
+            try:
+                done[i] = f.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                if first_err is None:
+                    first_err = e
+            else:
+                self._mark_txn_committed(txn, i)
+        if first_err is not None:
+            raise first_err
         return {i: r for i, r in done.items() if shards[i]}
 
     def post_df(

@@ -361,6 +361,47 @@ def test_post_df_txn_partial_replay_completes(spark, topic_root):
     assert got == sorted((f"key-{i}", i) for i in range(12))  # no dup/loss
 
 
+def test_post_txn_inprocess_retry_after_partition_failure(spark, topic_root):
+    """ADVICE r5 (medium): when ONE partition's append raises mid-post,
+    the sibling partitions that DID commit to disk must be marked in
+    the in-memory txn memo before the exception propagates — otherwise
+    an in-process retry of the same txn (same topic instance, memo
+    already populated from the pre-failure disk scan) re-publishes to
+    committed partitions and duplicates events."""
+    t = PartitionedTopic(
+        spark, "pt_inproc", "k string, n long", topic_root, key_col="k",
+        num_partitions=3, registry=TopicRegistry(),
+    )
+    rows = [{"k": f"key-{i}", "n": i} for i in range(12)]
+    shards: dict[int, list] = {}
+    for r in rows:
+        shards.setdefault(t.partition_for(r["k"]), []).append(r)
+    assert len(shards) == 3, "fixture must span all partitions"
+    # Warm the in-memory memo for this prefix (the bug needs the cache
+    # populated BEFORE the failed attempt, so the retry consults stale
+    # memory instead of disk).
+    assert t.last_txn("w") == -1
+    t._replayed_partitions("w:1")
+
+    victim = max(shards)
+    real_post = t.partitions[victim].post
+
+    def failing_post(*a, **kw):
+        raise RuntimeError("injected partition failure")
+
+    t.partitions[victim].post = failing_post
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            t.post(rows, txn="w:1")
+    finally:
+        t.partitions[victim].post = real_post
+    # the survivors committed to disk; the retry must skip them
+    t.post(rows, txn="w:1")
+    assert t.last_txn("w") == 1
+    got = sorted(r.n for r in t.batch_df().select("n").collect())
+    assert got == list(range(12))  # no duplicates, no loss
+
+
 def test_post_txn_partial_replay_completes(spark, topic_root):
     """Same crash-mid-publish contract for the driver-side post() path:
     the replay publishes only to partitions that have not committed the

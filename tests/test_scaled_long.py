@@ -98,6 +98,30 @@ def test_long_path_equals_decimal_path_on_2dp_data(spark, rows):
     assert got == want
 
 
+def test_money_profile_rejects_rate_columns_out_of_range(spark, tmp_path):
+    """ADVICE r5: the no-wrap bound in _q1_long_partials assumes
+    l_discount <= 1 (and a sane tax ceiling); _money_profile must send
+    data past those ranges to the decimal path (profile=None), because
+    for discount > 2 |charge_l| can exceed the per_row bound and wrap an
+    int64 partial without tripping the guard."""
+    from async_event_streams_spark.queries.relational import _money_profile
+
+    def write_lineitem(sub: str, discount: float, tax: float) -> str:
+        d = tmp_path / sub
+        df = spark.createDataFrame(
+            [("A", "F", 1.0, 100.0, discount, tax)], SCHEMA
+        )
+        df.write.parquet(str(d / "lineitem.parquet"))
+        return str(d)
+
+    ok_dir = write_lineitem("ok", 0.10, 0.05)
+    assert _money_profile(spark, ok_dir) is not None
+    bad_disc = write_lineitem("bad_disc", 1.50, 0.05)
+    assert _money_profile(spark, bad_disc) is None
+    bad_tax = write_lineitem("bad_tax", 0.10, 2.50)
+    assert _money_profile(spark, bad_tax) is None
+
+
 def test_no_wrap_guard_trips_instead_of_wrapping(spark):
     """A partition big enough to overflow an int64 partial must RAISE,
     never silently wrap. Two independent layers can fire, and either is

@@ -171,3 +171,71 @@ def test_ivf_retrain_on_compaction_after_drift(spark, topic_root):
     finally:
         h.stop()
         vecs.close()
+
+
+def test_sweep_retrain_heals_torn_swap(spark, tmp_path):
+    """ADVICE r5: the retrain dir swap must never lose a dir's vectors.
+    _sweep_retrain repairs every crash window the rename-aside
+    discipline can leave behind: a complete tmp with the live dir gone
+    (promote tmp), a stale tmp beside a live dir (drop tmp), and an old
+    copy with no live dir (restore old)."""
+    import os
+
+    from async_event_streams_spark.streaming.ann import _sweep_retrain
+
+    root = str(tmp_path / "ivfstate")
+    os.makedirs(root)
+
+    def mkdir_with(name: str, marker: str) -> str:
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        with open(os.path.join(d, marker), "w") as f:
+            f.write("x")
+        return d
+
+    # window 1: crash after d moved aside, before tmp promoted
+    mkdir_with("batch=1.retrain.tmp", "new")
+    mkdir_with("batch=1.retrain.old", "old")
+    # window 2: crash before the swap started (tmp beside live dir)
+    mkdir_with("batch=2", "live")
+    mkdir_with("batch=2.retrain.tmp", "stale")
+    # window 3: crash after promote, before old reaped
+    mkdir_with("batch=3", "live")
+    mkdir_with("batch=3.retrain.old", "old")
+    # window 4: old only (tmp already reaped by an earlier sweep)
+    mkdir_with("batch=4.retrain.old", "old")
+
+    _sweep_retrain(root)
+
+    assert sorted(os.listdir(root)) == ["batch=1", "batch=2", "batch=3", "batch=4"]
+    assert os.path.exists(os.path.join(root, "batch=1", "new"))  # promoted
+    assert os.path.exists(os.path.join(root, "batch=2", "live"))  # kept
+    assert os.path.exists(os.path.join(root, "batch=3", "live"))  # kept
+    assert os.path.exists(os.path.join(root, "batch=4", "old"))  # restored
+
+
+def test_dir_maxet_falls_back_without_footer_stats(spark, tmp_path):
+    """ADVICE r5: when parquet footers lack __et statistics the pruning
+    watermark must still advance via a one-off max(__et) scan — not
+    silently return None and let state grow unbounded."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from async_event_streams_spark.streaming.neardedup import _dir_maxet
+
+    d = str(tmp_path / "batch=0")
+    os.makedirs(d)
+    t = pa.table({"ord": [1, 2, 3], "__et": [100, 250, 175]})
+    pq.write_table(t, os.path.join(d, "part-0.parquet"), write_statistics=False)
+
+    memo: dict[str, int] = {}
+    assert _dir_maxet(spark, d, memo) == 250  # via the Spark fallback
+    assert memo[d] == 250  # memoized: the fallback scan runs once
+
+    # with stats present the footer path answers (no Spark job needed)
+    d2 = str(tmp_path / "batch=1")
+    os.makedirs(d2)
+    pq.write_table(t, os.path.join(d2, "part-0.parquet"))
+    assert _dir_maxet(spark, d2, {}) == 250
