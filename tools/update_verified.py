@@ -50,6 +50,24 @@ def green_names(newest_only: bool) -> set[str]:
     return names
 
 
+def last_green_rounds() -> dict[str, int]:
+    """name -> newest round whose correctness file shows it green."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def bench_queries() -> dict[str, float]:
     """Per-query seconds, preferring the repo's BENCH_DETAIL.json
     (written whole by bench.py since r3) over the driver's BENCH_r*.json
@@ -122,6 +140,24 @@ def main() -> None:
     )
     if n_subs != 1:
         sys.exit(f"expected one _EXTERNALLY_VERIFIED block, found {n_subs}")
+
+    # regenerate the last-green-round table from ALL correctness files
+    greens = last_green_rounds()
+    lg_body = "\n".join(
+        "    "
+        + " ".join(f'"{n}": {greens[n]},' for n in chunk)
+        for chunk in [
+            sorted(greens)[i : i + 3] for i in range(0, len(greens), 3)
+        ]
+    )
+    out, n_lg = re.subn(
+        r"_LAST_GREEN_ROUND: dict\[str, int\] = \{[^{}]*\}",
+        lambda _m: "_LAST_GREEN_ROUND: dict[str, int] = {\n" + lg_body + "\n}",
+        out,
+        count=1,
+    )
+    if n_lg != 1:
+        sys.exit(f"expected one _LAST_GREEN_ROUND block, found {n_lg}")
 
     # refresh measured bench seconds (displacing estimates)
     bench = bench_queries()
