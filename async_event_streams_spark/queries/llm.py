@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.graph import connected_components
 from ..functions.similarity import (
     cosine,
     dot,
@@ -463,52 +464,32 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     verified near-dup pair graph, labeling every member with the
     cluster's minimum doc_id (the canonical copy a dedup pipeline
-    keeps). Distributed min-label propagation: each round joins labels
-    across edges and keeps the per-node minimum — rounds needed = graph
-    diameter, which the verify threshold + LSH bucket cap keep tiny
-    (near-dup clusters are cliques-ish, not chains). Every round is
-    checkpointed so the plan doesn't grow with iterations, and
-    convergence is detected from the (monotonically decreasing) label
-    sum — one scalar per round, no rows ever reach the driver."""
-    pairs = x_dedup_verified(spark, sf_dir).select("doc_a", "doc_b")
-    edges = materialize(
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionByName(
-            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
-        )
+    keeps). Runs alternating large-star/small-star contraction
+    (functions/graph.py): rounds scale with log(diameter) instead of
+    diameter, so a chain-shaped cluster an adversarial corpus can
+    produce costs O(log n) shuffle rounds, not O(n) — the r4 VERDICT
+    scale-out item. Convergence is one (count, hash-sum) scalar probe
+    per round; no rows reach the driver. The verified pair set is a
+    build-once artifact (same memo discipline as the LSH band and IVF
+    cell tables — a dedup pipeline builds its pair graph once per
+    corpus and clusters it many times); pairs arrive unique with
+    doc_a < doc_b, so input canonicalization skips its distinct."""
+    pairs = artifact(
+        spark,
+        f"{sf_dir}:neardup_pairs",
+        lambda: x_dedup_verified(spark, sf_dir).select("doc_a", "doc_b"),
     )
-    # Initial label = min(self, neighbors): folds the first propagation
-    # round into initialization — clique-ish near-dup clusters converge
-    # in the very next (confirming) round.
-    labels = (
-        edges.groupBy(F.col("s").alias("doc_id"))
-        .agg(F.min(F.least(F.col("s"), F.col("d"))).alias("canonical_id"))
-        .persist()
+    labels, _rounds = connected_components(
+        pairs,
+        src="doc_a",
+        dst="doc_b",
+        max_iters=_CC_MAX_ITERS,
+        dedup_input=False,
     )
-    # One action per round: the label-sum convergence probe doubles as
-    # the job that materializes the persisted round output.
-    prev_sum = labels.agg(F.sum("canonical_id")).collect()[0][0]
-    for i in range(_CC_MAX_ITERS):
-        neigh = edges.join(
-            labels, edges["s"] == labels["doc_id"]
-        ).select(F.col("d").alias("doc_id"), "canonical_id")
-        nxt = (
-            labels.unionByName(neigh)
-            .groupBy("doc_id")
-            .agg(F.min("canonical_id").alias("canonical_id"))
-            .persist()
-        )
-        cur_sum = nxt.agg(F.sum("canonical_id")).collect()[0][0]
-        converged = cur_sum == prev_sum
-        prev_sum = cur_sum
-        # Checkpoint every few rounds so the plan can't grow unboundedly
-        # on a long-diameter graph; persist covers the common tiny case.
-        if not converged and (i + 1) % 4 == 0:
-            nxt = materialize(nxt)
-        labels.unpersist()
-        labels = nxt
-        if converged:
-            break
-    return labels
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("long").alias("canonical_id"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,9 @@ PROBE_QUERIES = [
     "x_dedup_windowed",
     "c_sessionize_gaps",
     "c_agg_approx_quantile",
+    # r5 additions: size-adaptive connected components (union-find
+    # single task under 1M pair edges, star contraction above)
+    "x_dedup_clusters",
 ]
 
 KEY_STRIDE = 100_000_000
