@@ -759,6 +759,19 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def _ivf_centroids_for(v: DataFrame, sf_dir: str) -> list[list[float]]:
+    """The deterministic coarse centroids (vec_id < _IVF_K), memoized
+    per dataset — K tiny rows to the driver become plan literals."""
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = [
+            list(r.e)
+            for r in v.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
+        ]
+        _IVF_CENTROIDS[sf_dir] = cents
+    return cents
+
+
 def ivf_assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Nearest-centroid assignment computed IN THE SCAN: `ivf_cell`
     embeds the K centroids as plan literals and evaluates the rounded
@@ -810,13 +823,7 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan literals; at scale this is the same shape as shipping trained
     # k-means centroids into the plan (train_ivf_centroids). Memoized
     # per dataset: centroids are a deterministic function of sf_dir.
-    cents = _IVF_CENTROIDS.get(sf_dir)
-    if cents is None:
-        cents = [
-            list(r.e)
-            for r in v.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
-        ]
-        _IVF_CENTROIDS[sf_dir] = cents
+    cents = _ivf_centroids_for(v, sf_dir)
     assigned = artifact(spark, f"{sf_dir}:ivf_cells", lambda: ivf_assign(v, cents))
     cent = v.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
@@ -936,13 +943,35 @@ FROM ranked WHERE rnk <= 5
 """
 
 
-def pq_encode(v: DataFrame, codebooks: list) -> DataFrame:
+def _pq_codebooks_for(v: DataFrame, sf_dir: str) -> list:
+    """Deterministic per-subspace codebooks (sub-slices of the
+    vec_id < _PQ_K rows), memoized per dataset."""
+    cbs = _PQ_CODEBOOKS.get(sf_dir)
+    if cbs is None:
+        full = [
+            list(r.e)
+            for r in v.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+        ]
+        cbs = [
+            [c[_PQ_SUB * j : _PQ_SUB * (j + 1)] for c in full]
+            for j in range(_PQ_M)
+        ]
+        _PQ_CODEBOOKS[sf_dir] = cbs
+    return cbs
+
+
+def pq_encode(
+    v: DataFrame, codebooks: list, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Vector -> M sub-codes, each an IN-SCAN argmax over that
     subspace's K sub-centroids (pq_sub_scores_sql literals with offset
     indexing — no slice() materialization, no join, no exchange: the
     N-row side never shuffles to be encoded, exactly like ivf_assign).
     Each score array binds in its own projection so the argmax doesn't
-    duplicate the K*sub_dim expression."""
+    duplicate the K*sub_dim expression. `keep` names extra input
+    columns to carry through (e.g. ("e",) for the streaming index,
+    which stores vectors beside codes for retraining) — still in the
+    same scan, never a join."""
     out = v
     for j, cb in enumerate(codebooks):
         arr = pq_sub_scores_sql(
@@ -958,7 +987,9 @@ def pq_encode(v: DataFrame, codebooks: list) -> DataFrame:
             )
             .drop(f"_s{j}")
         )
-    return out.select("vec_id", *[f"c{j}" for j in range(_PQ_M)])
+    return out.select(
+        "vec_id", *keep, *[f"c{j}" for j in range(len(codebooks))]
+    )
 
 
 @query("x_ann_pq", oracle=_pq_oracle())
@@ -977,17 +1008,7 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes; tie/rounding discipline matches x_ann_ivf."""
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    cbs = _PQ_CODEBOOKS.get(sf_dir)
-    if cbs is None:
-        full = [
-            list(r.e)
-            for r in v.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
-        ]
-        cbs = [
-            [c[_PQ_SUB * j : _PQ_SUB * (j + 1)] for c in full]
-            for j in range(_PQ_M)
-        ]
-        _PQ_CODEBOOKS[sf_dir] = cbs
+    cbs = _pq_codebooks_for(v, sf_dir)
     codes = artifact(spark, f"{sf_dir}:pq_codes", lambda: pq_encode(v, cbs))
     cb_rows = v.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("cid"), "e"
@@ -1024,6 +1045,235 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
         .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: IVF x PQ (the composed 10^9-vector architecture)
+# ---------------------------------------------------------------------------
+
+# Shortlist re-ranked exactly after ADC scoring. PQ quantization erases
+# intra-cluster detail, so the raw ADC order within the probed cells is
+# noisy — the standard deployment ADC-scores the compressed codes to a
+# shortlist and re-reads only those few full vectors.
+_IVFPQ_SHORT = 20
+
+
+def _ivfpq_oracle() -> str:
+    encs = []
+    for j in range(_PQ_M):
+        qs, cs = _pq_slice("v.e", j), _pq_slice("cb.ce", j)
+        encs.append(
+            f"""enc{j} AS (
+  SELECT vec_id, cid AS c{j} FROM (
+    SELECT v.vec_id, cb.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY ROUND(list_dot_product({qs}, {cs})
+        / sqrt(list_dot_product({cs}, {cs})), 9) DESC, cb.cid) AS rn
+    FROM v CROSS JOIN cb) WHERE rn = 1
+)"""
+        )
+    enc_join = " JOIN ".join(
+        ["enc0"] + [f"enc{j} USING (vec_id)" for j in range(1, _PQ_M)]
+    )
+    num = " + ".join(
+        f"list_dot_product({_pq_slice('p.qe', j)}, {_pq_slice(f'b{j}.ce', j)})"
+        for j in range(_PQ_M)
+    )
+    den2 = " + ".join(
+        f"list_dot_product({_pq_slice(f'b{j}.ce', j)}, {_pq_slice(f'b{j}.ce', j)})"
+        for j in range(_PQ_M)
+    )
+    cb_joins = " ".join(
+        f"JOIN cb b{j} ON b{j}.cid = idx.c{j}" for j in range(_PQ_M)
+    )
+    idx_codes = ", ".join(f"enc.c{j}" for j in range(_PQ_M))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_IVF_K}
+), ascore AS (
+  SELECT v.vec_id, v.e, centroid_id,
+    list_dot_product(e, ce) / sqrt(list_dot_product(ce, ce)) AS cs
+  FROM v CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, centroid_id AS cell, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY ROUND(cs, 9) DESC, centroid_id) AS rn
+    FROM ascore) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, e AS qe, centroid_id AS cell FROM (
+    SELECT vec_id, e, centroid_id, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY ROUND(cs, 9) DESC, centroid_id) AS rn
+    FROM ascore WHERE vec_id < 10) WHERE rn <= {_IVF_PROBES}
+), cb AS (
+  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_PQ_K}
+), {", ".join(encs)},
+enc AS (SELECT * FROM {enc_join}),
+idx AS (
+  SELECT a.vec_id, a.cell, {idx_codes}
+  FROM assigned a JOIN enc ON enc.vec_id = a.vec_id
+), adc AS (
+  SELECT p.query_id, idx.vec_id AS neighbor_id,
+    ({num}) / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt({den2})) AS ascore
+  FROM probes p
+  JOIN idx ON idx.cell = p.cell AND idx.vec_id <> p.query_id
+  {cb_joins}
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY ROUND(ascore, 9) DESC, neighbor_id) AS srn
+    FROM adc) WHERE srn <= {_IVFPQ_SHORT}
+), exact AS (
+  SELECT s.query_id, s.neighbor_id,
+    list_dot_product(q.e, n.e) /
+    (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))) AS score
+  FROM short s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(score, 9) DESC, neighbor_id)
+    AS INTEGER) AS rnk
+  FROM exact
+)
+SELECT query_id, neighbor_id, rnk, ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def ivfpq_encode(
+    v: DataFrame, centroids: list[list[float]], codebooks: list
+) -> DataFrame:
+    """One scan -> (vec_id, cell, c0..cM-1): the IVF coarse cell AND
+    the M PQ sub-codes, every argmax an in-scan literal expression
+    (ivf_scores_sql / pq_sub_scores_sql) — the N-row side is never
+    exchanged to be indexed, same contract as ivf_assign/pq_encode and
+    plan-asserted in tests/test_plans.py."""
+    out = (
+        v.withColumn(
+            "_sc",
+            F.expr(
+                ivf_scores_sql("e", centroids, round_dp=9, assume_double=True)
+            ),
+        )
+        .withColumn(
+            "cell",
+            F.expr("CAST(array_position(_sc, array_max(_sc)) - 1 AS INT)"),
+        )
+        .drop("_sc")
+    )
+    for j, cb in enumerate(codebooks):
+        arr = pq_sub_scores_sql(
+            "e", cb, offset=_PQ_SUB * j, round_dp=9, assume_double=True
+        )
+        out = (
+            out.withColumn(f"_s{j}", F.expr(arr))
+            .withColumn(
+                f"c{j}",
+                F.expr(
+                    f"CAST(array_position(_s{j}, array_max(_s{j})) - 1 AS INT)"
+                ),
+            )
+            .drop(f"_s{j}")
+        )
+    return out.select("vec_id", "cell", *[f"c{j}" for j in range(_PQ_M)])
+
+
+@query("x_ann_ivfpq", oracle=_ivfpq_oracle())
+def x_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE deployable 10^9-vector ANN architecture, composed end to
+    end: IVF restricts WHICH vectors are considered (probe the
+    query's nearest cells), PQ codes decide HOW candidates are scored
+    (asymmetric distance over a ~64x-compressed code table), and an
+    exact re-rank of the ADC shortlist recovers the precision
+    quantization erased. Neither index alone deploys at that scale:
+    IVF-with-full-vectors still reads fat rows per probed cell; PQ
+    alone still scans every code. Plan shape: the index (cell + M
+    codes per vector) is ONE in-scan pass (zero exchanges,
+    plan-asserted); search broadcasts the probe set against the code
+    table restricted to probed cells, ADC-scores via M broadcast
+    codebook joins, shortlists top-{_IVFPQ_SHORT} per query, and only
+    the shortlist's few full vectors are re-read for exact scoring.
+    Deterministic centroids/codebooks (vec_id < K) keep the DuckDB
+    oracle replayable; the trained path is gated in
+    tests/test_ann_recall.py. Tie/rounding discipline matches
+    x_ann_ivf/x_ann_pq (9 dp ranking keys, neighbor_id ties)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = _ivf_centroids_for(v, sf_dir)
+    cbs = _pq_codebooks_for(v, sf_dir)
+    index = artifact(
+        spark, f"{sf_dir}:ivfpq_index", lambda: ivfpq_encode(v, cents, cbs)
+    )
+    cent = v.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cs"), 9).desc(), F.col("centroid_id")
+    )
+    probes = (
+        v.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "e",
+            "centroid_id",
+            (dot(F.col("e"), F.col("ce")) / F.sqrt(dot(F.col("ce"), F.col("ce")))).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("centroid_id").alias("cell"),
+        )
+    )
+    scored = index.join(
+        F.broadcast(probes),
+        (index.cell == probes.cell) & (index.vec_id != probes.query_id),
+    )
+    cb_full = v.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "e"
+    )
+    num = None
+    den2 = None
+    for j in range(_PQ_M):
+        cbj = cb_full.select(
+            F.col("cid").alias(f"c{j}"),
+            F.slice("e", _PQ_SUB * j + 1, _PQ_SUB).alias(f"ce{j}"),
+        )
+        scored = scored.join(F.broadcast(cbj), f"c{j}")
+        qs = F.slice("qe", _PQ_SUB * j + 1, _PQ_SUB)
+        term = dot(qs, F.col(f"ce{j}"))
+        n2 = dot(F.col(f"ce{j}"), F.col(f"ce{j}"))
+        num = term if num is None else num + term
+        den2 = n2 if den2 is None else den2 + n2
+    adc = scored.withColumn(
+        "ascore", num / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(den2))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("ascore"), 9).desc(), F.col("vec_id")
+    )
+    short = (
+        adc.withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= _IVFPQ_SHORT)
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"))
+    )
+    # Exact re-rank: only _IVFPQ_SHORT * |queries| full vectors are
+    # re-read — the broadcast side is the shortlist, never the corpus.
+    exact = F.broadcast(short).join(
+        v, short.neighbor_id == v.vec_id
+    ).select(
+        "query_id", "neighbor_id", cosine(F.col("qe"), F.col("e")).alias("score")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("score"))
     )

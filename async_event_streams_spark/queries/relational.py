@@ -364,26 +364,67 @@ def c_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles — mergeable fixed-size per-partition sketches, one slim
     shuffle, where an exact percentile must move every value of the
     group. accuracy=10000 bounds rank error to n/10000 (~60 ranks at
-    sf0.1), far inside the 5%-of-value verdict bound; the exact
-    continuous-interpolation percentile anchors the oracle. Anchored as
-    2x the median: an even-count continuous median interpolates between
-    two 2dp values and lands EXACTLY on the half-cent rounding boundary
-    (the q10 flip class) — doubling makes the anchor an exact 2dp sum,
-    off-boundary by construction."""
-    agg = (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    sf0.1), far inside the 5%-of-value verdict bound.
+
+    The exact continuous-interpolation median that anchors the oracle
+    is computed by RANK SELECTION over exact integer cents, not
+    `percentile()` (r4 VERDICT item 7): the gathered anchor buffers
+    every value of a group into one aggregation array (r4 scale probe:
+    6.2x growth, dominating the shipped sketch's 4.4x), while rank
+    selection is one key-partitioned sort of slim (group, cents) rows
+    + a row_number probe at the two median ranks — the group count
+    rides the sketch's aggregate, so no extra pass. Falls back to
+    `percentile()` when the 2dp precondition fails (_money_profile,
+    same gate as the q1 fast path).
+
+    Anchored as 2x the median: an even-count continuous median
+    interpolates between two 2dp values and lands EXACTLY on the
+    half-cent rounding boundary (the q10 flip class) — doubling makes
+    the anchor an exact 2dp sum (v1c + v2c cents), off-boundary by
+    construction and bit-identical to the gathered path."""
+    li = table(spark, sf_dir, "lineitem")
+    sketch = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    if _money_profile(spark, sf_dir) is not None:
+        w_rn = Window.partitionBy("l_returnflag").orderBy("pc")
+        ranked = li.select(
+            "l_returnflag", _cents(F.col("l_extendedprice")).alias("pc")
+        ).withColumn("rn", F.row_number().over(w_rn))
+        # continuous p50 over 1-indexed ranks: h = (n-1)/2 (0-indexed),
+        # lower rank r1 = floor(h)+1, upper rank r2 = r1+1 (read only
+        # when n is even). n broadcasts from the sketch aggregate.
+        r1 = (F.floor((F.col("n") - 1) / 2) + 1).cast("long")
+        sel = ranked.join(
+            F.broadcast(sketch.select("l_returnflag", "n")), "l_returnflag"
+        ).filter((F.col("rn") == r1) | (F.col("rn") == r1 + 1))
+        exact = sel.groupBy("l_returnflag").agg(
+            F.max(F.when(F.col("rn") == r1, F.col("pc"))).alias("v1c"),
+            F.max(F.when(F.col("rn") == r1 + 1, F.col("pc"))).alias("v2c"),
+            F.first("n").alias("n2"),
         )
-    )
-    rel_err = (
-        F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50")
-    )
-    return agg.select(
+        # 2x median in exact cents: odd n -> 2*v1c; even n -> v1c+v2c
+        # (the 0.5 interpolation fraction folds into the doubling)
+        x2c = F.when(
+            F.col("n2") % 2 == 1, 2 * F.col("v1c")
+        ).otherwise(F.col("v1c") + F.col("v2c"))
+        exact = exact.select(
+            "l_returnflag", (x2c.cast("double") / 100).alias("exact_p50_x2")
+        )
+    else:
+        exact = li.groupBy("l_returnflag").agg(
+            F.round(
+                F.expr("percentile(l_extendedprice, 0.5)") * 2, 2
+            ).cast("double").alias("exact_p50_x2")
+        )
+    joined = sketch.join(exact, "l_returnflag")
+    rel_err = F.abs(
+        F.col("approx_p50") - F.col("exact_p50_x2") / 2
+    ) / (F.col("exact_p50_x2") / 2)
+    return joined.select(
         "l_returnflag",
-        F.round(F.col("exact_p50") * 2, 2).cast("double").alias("exact_p50_x2"),
+        F.round("exact_p50_x2", 2).cast("double").alias("exact_p50_x2"),
         (rel_err < F.lit(0.05)).alias("approx_ok"),
     )
 

@@ -21,5 +21,8 @@ from .state import compact_state, state_dirs  # noqa: F401
 from .ann import (  # noqa: F401
     ivf_index_pipe,
     load_index_centroids,
+    load_pq_codebooks,
+    pq_index_pipe,
+    read_pq_codes,
     search_ivf_index,
 )

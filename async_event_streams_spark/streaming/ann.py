@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.similarity import dot
-from .state import compact_state, reject_partitioned_source, state_dirs
+from .state import (
+    compact_state,
+    reject_partitioned_source,
+    reject_stale_state,
+    state_dirs,
+)
 
 _CENTROIDS_FILE = "_centroids.json"
 
@@ -171,6 +176,7 @@ def ivf_index_pipe(
 
     def index_batch(df, batch_id: int):
         spark = df.sparkSession
+        reject_stale_state(state_dir, batch_id, "ivf_index_pipe")
         if compact_every and batch_id and batch_id % compact_every == 0:
             merged = compact_state(spark, state_dir, upto_batch=batch_id)
             if retrain_on_compact and merged > 1:
@@ -258,3 +264,158 @@ def search_ivf_index(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PQ code maintenance (r4 VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+_CODEBOOKS_FILE = "_codebooks.json"
+
+
+def load_pq_codebooks(state_dir: str) -> list | None:
+    """The PQ index's CURRENT per-subspace codebooks, persisted
+    alongside the state dirs (`_codebooks.json`). Codes are only
+    meaningful under the codebooks that produced them — same contract
+    as the IVF centroids file."""
+    import json
+
+    try:
+        with open(os.path.join(state_dir, _CODEBOOKS_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _save_codebooks(state_dir: str, cbs: list) -> None:
+    import json
+
+    tmp = os.path.join(state_dir, _CODEBOOKS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(cbs, f)
+    os.replace(tmp, os.path.join(state_dir, _CODEBOOKS_FILE))
+
+
+def pq_index_pipe(
+    source,
+    state_dir: str,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    name: str = "pq-index",
+    compact_every: int | None = None,
+    retrain_on_compact: bool = False,
+    retrain_seed: int = 42,
+):
+    """Maintain a PQ code table over a stream of embeddings — the
+    compressed-index twin of `ivf_index_pipe`: each micro-batch encodes
+    `vec_col` into M sub-codes (in-scan per-subspace argmax, the same
+    zero-exchange plan as the batch queries/llm.py::pq_encode) and
+    appends (vec_id, e, c0..cM-1) rows to the batch-versioned index.
+    Returns the PipeHandle.
+
+    The full vectors ride along in the STATE table solely so
+    retraining can re-derive codebooks and re-encode; the read path
+    (`read_pq_codes`) projects codes only — parquet's columnar reads
+    make the compressed-read story hold even with e stored beside the
+    codes (and a cluster deployment would split the two tables).
+
+    `compact_every=K` folds per-batch dirs as in ivf_index_pipe. With
+    `retrain_on_compact`, each compaction RETRAINS the per-subspace
+    codebooks on everything indexed so far (distributed k-means per
+    slice) and re-encodes every dir under them, using the same
+    rename-aside swap + `_sweep_retrain` crash healing as the IVF
+    path. Live codebooks persist in `_codebooks.json`; restart picks
+    them up, so incremental encoding stays consistent with what the
+    index holds."""
+    from ..queries.llm import _PQ_SUB, pq_encode
+    from ..topics.pipe import pipe
+    from ..util import materialize
+
+    reject_partitioned_source(source, "pq_index_pipe")
+    os.makedirs(state_dir, exist_ok=True)
+    _sweep_retrain(state_dir)  # heal any crash-torn retrain swap
+    saved = load_pq_codebooks(state_dir)
+    live = {
+        "cbs": saved
+        if saved is not None
+        else [[list(map(float, c)) for c in cb] for cb in codebooks]
+    }
+    if saved is None:
+        _save_codebooks(state_dir, live["cbs"])
+
+    def retrain(spark, batch_id: int) -> None:
+        import shutil
+
+        from ..functions.similarity import train_ivf_centroids
+
+        dirs = state_dirs(state_dir, batch_id)
+        if not dirs:
+            return
+        idx = spark.read.parquet(*dirs)
+        sub_dim = len(live["cbs"][0][0])
+        new = []
+        for j in range(len(live["cbs"])):
+            sub = idx.select(F.slice("e", sub_dim * j + 1, sub_dim).alias("se"))
+            new.append(
+                train_ivf_centroids(
+                    sub, "se", k=len(live["cbs"][j]), seed=retrain_seed
+                )
+            )
+        live_new = [[list(map(float, c)) for c in cb] for cb in new]
+        # re-encode everything indexed so far, THEN publish the new
+        # codebooks — readers never see new codebooks with old codes.
+        # Same swap discipline as the IVF retrain: rename aside,
+        # promote, delete old last; _sweep_retrain heals any tear.
+        for d in dirs:
+            tmp = d + ".retrain.tmp"
+            old = d + ".retrain.old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            src = spark.read.parquet(d).select("vec_id", "e")
+            (
+                pq_encode(src, live_new, keep=("e",))
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old)
+        live["cbs"] = live_new
+        _save_codebooks(state_dir, live_new)
+
+    def index_batch(df, batch_id: int):
+        spark = df.sparkSession
+        reject_stale_state(state_dir, batch_id, "pq_index_pipe")
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            merged = compact_state(spark, state_dir, upto_batch=batch_id)
+            if retrain_on_compact and merged > 1:
+                retrain(spark, batch_id)
+        v = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+        )
+        coded = materialize(pq_encode(v, live["cbs"], keep=("e",)))
+        (
+            coded.write.mode("overwrite")  # replay-safe: batch N owns it
+            .parquet(os.path.join(state_dir, f"batch={batch_id}"))
+        )
+        return coded.drop("e")
+
+    return pipe(source, fn=index_batch, sink_fn=lambda df, b: None, name=name)
+
+
+def read_pq_codes(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Everything indexed so far, codes only (columnar projection — the
+    compressed read path ADC scoring consumes)."""
+    dirs = state_dirs(state_dir)
+    if not dirs:
+        raise ValueError(f"no index under {state_dir}")
+    import re
+
+    df = spark.read.parquet(*dirs)
+    codes = sorted(
+        (c for c in df.columns if re.fullmatch(r"c\d+", c)),
+        key=lambda c: int(c[1:]),
+    )
+    return df.select("vec_id", *codes)

@@ -20,6 +20,28 @@ import shutil
 _BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
 
 
+def reject_stale_state(state_dir: str, batch_id: int, op_name: str) -> None:
+    """A fresh pipe checkpoint numbers its first batch 0; if the state
+    dir already holds LATER batches, this is an existing state table
+    paired with the wrong (new) checkpoint — letting batch 0 proceed
+    would overwrite `batch=0` (possibly a compacted dir holding most of
+    the corpus) and silently corrupt the index. A legitimate
+    crash-replay re-runs only the last uncommitted batch, so its id is
+    always >= every existing dir's id. Fail fast with the fix."""
+    if batch_id == 0:
+        later = state_dirs(state_dir)
+        if any(
+            int(_BATCH_DIR_RE.match(os.path.basename(d)).group(1)) > 0
+            for d in later
+        ):
+            raise ValueError(
+                f"{op_name}: fresh checkpoint (batch 0) but {state_dir} "
+                "already holds later batches — reuse the original pipe "
+                "name (its checkpoint resumes where it left off), or "
+                "point the new pipe at a fresh state_dir."
+            )
+
+
 def reject_partitioned_source(source, op_name: str) -> None:
     """Stateful pipes keep ONE batch-versioned state table, but a
     PartitionedTopic source drains as N independent pipes whose batch

@@ -261,3 +261,187 @@ def test_trained_pq_codebooks_recall_on_clustered_corpus(spark):
         approx.setdefault(r.query_id, set()).add(r.vec_id)
     recall = _recall(exact, approx)
     assert recall >= 0.8, recall
+
+
+def test_ivfpq_composed_recall_beats_components(spark):
+    """The composed IVF x PQ index (r4 VERDICT item 5): IVF cell
+    shortlist -> ADC over PQ codes within probed cells -> exact re-rank.
+    Gate: on a clustered corpus with TRAINED quantizers, composed
+    recall@5 must be >= the better of IVF-alone (exact scoring in the
+    same probed cells — equal probe budget) and PQ-alone (ADC over the
+    whole corpus + same-size re-rank) — i.e. composing the two
+    restrictions loses nothing while scoring compressed codes over a
+    fraction of the corpus."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from async_event_streams_spark.functions.similarity import (
+        dot,
+        train_ivf_centroids,
+    )
+    from async_event_streams_spark.queries.llm import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        ivf_assign,
+        pq_encode,
+    )
+
+    rng = random.Random(23)
+    dim, n_clusters, n = _PQ_M * _PQ_SUB, 12, 400
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    vecs = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        vecs.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    v = spark.createDataFrame(vecs, "vec_id long, e array<double>")
+
+    def cos(a, b):
+        return sum(p * q for p, q in zip(a, b)) / math.sqrt(
+            sum(p * p for p in a) * sum(q * q for q in b)
+        )
+
+    by_id = dict(vecs)
+    exact = {
+        q: set(
+            sorted(
+                (i for i in by_id if i != q),
+                key=lambda i: (-round(cos(by_id[q], by_id[i]), 9), i),
+            )[:5]
+        )
+        for q in range(10)
+    }
+
+    cents = train_ivf_centroids(v, "e", k=16, seed=7)
+    cbs = []
+    for j in range(_PQ_M):
+        sub = v.select(F.slice("e", _PQ_SUB * j + 1, _PQ_SUB).alias("se"))
+        cbs.append(train_ivf_centroids(sub, "se", k=_PQ_K, seed=7))
+
+    cells = ivf_assign(v, cents)  # (vec_id, e, cell)
+    codes = pq_encode(v, cbs)  # (vec_id, c0..cM-1)
+    cent_df = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cents)],
+        "centroid_id int, ce array<double>",
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cs"), 9).desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "qe",
+            "centroid_id",
+            (dot(F.col("qe"), F.col("ce"))
+             / F.sqrt(dot(F.col("ce"), F.col("ce")))).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter("rn <= 4")
+        .select("query_id", "qe", F.col("centroid_id").alias("cell"))
+    )
+
+    def topk_sets(df, id_col="vec_id"):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r[id_col])
+        return out
+
+    w5 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+
+    # IVF-alone: exact cosine within probed cells
+    ivf_top5 = (
+        cells.join(
+            F.broadcast(probes),
+            (cells.cell == probes.cell) & (cells.vec_id != probes.query_id),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("e"))
+                / (F.sqrt(dot(F.col("qe"), F.col("qe")))
+                   * F.sqrt(dot(F.col("e"), F.col("e")))), 9
+            ).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w5))
+        .filter("rnk <= 5")
+    )
+
+    def adc_rerank(cand):
+        """ADC-score candidates (query_id, qe, vec_id, c0..), shortlist
+        50 (the same re-rank budget the trained-PQ gate uses — it must
+        cover a cluster's ~33 members, because same-cluster codes are
+        near-identical and ADC cannot order within a cluster), exact
+        re-rank to top-5."""
+        scored = cand
+        num = den2 = None
+        for j in range(_PQ_M):
+            cbj = spark.createDataFrame(
+                [(k, list(cbs[j][k])) for k in range(len(cbs[j]))],
+                f"c{j} int, ce{j} array<double>",
+            )
+            scored = scored.join(F.broadcast(cbj), f"c{j}")
+            qs = F.slice("qe", _PQ_SUB * j + 1, _PQ_SUB)
+            t = dot(qs, F.col(f"ce{j}"))
+            n2 = dot(F.col(f"ce{j}"), F.col(f"ce{j}"))
+            num = t if num is None else num + t
+            den2 = n2 if den2 is None else den2 + n2
+        scored = scored.withColumn(
+            "score",
+            num / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(den2)),
+        )
+        short = (
+            scored.withColumn("rnk", F.row_number().over(w5))
+            .filter("rnk <= 50")
+            .select("query_id", "qe", "vec_id")
+        )
+        return (
+            F.broadcast(short)
+            .join(v.select(F.col("vec_id").alias("nid"), "e"),
+                  F.col("vec_id") == F.col("nid"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    dot(F.col("qe"), F.col("e"))
+                    / (F.sqrt(dot(F.col("qe"), F.col("qe")))
+                       * F.sqrt(dot(F.col("e"), F.col("e")))), 9
+                ).alias("score"),
+            )
+            .withColumn("rnk", F.row_number().over(w5))
+            .filter("rnk <= 5")
+        )
+
+    # PQ-alone: ADC over the WHOLE corpus + re-rank
+    pq_cand = codes.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    pq_top5 = adc_rerank(pq_cand)
+
+    # Composed: ADC only within probed cells + re-rank
+    comp_cand = (
+        cells.select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .join(
+            F.broadcast(probes.select("query_id", "qe", "cell")), "cell"
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    comp_top5 = adc_rerank(comp_cand)
+
+    r_ivf = _recall(exact, topk_sets(ivf_top5))
+    r_pq = _recall(exact, topk_sets(pq_top5))
+    r_comp = _recall(exact, topk_sets(comp_top5))
+    assert r_comp >= max(r_ivf, r_pq), (
+        f"composed {r_comp:.3f} < max(ivf {r_ivf:.3f}, pq {r_pq:.3f})"
+    )
+    assert r_comp >= 0.8, f"composed recall {r_comp:.3f}"

@@ -419,3 +419,31 @@ def test_pq_encoding_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_ivfpq_encoding_has_no_exchange(spark, sf_dir):
+    """The composed IVF x PQ index build (coarse cell + M sub-codes,
+    all in-scan literal argmaxes) must add zero exchanges/joins/windows
+    — one scan produces the whole index row. At 10^9 vectors this is
+    the build path's entire scaling argument."""
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.queries.llm import (
+        _ivf_centroids_for,
+        _pq_codebooks_for,
+        ivfpq_encode,
+    )
+    from async_event_streams_spark.tables import table
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = _ivf_centroids_for(v, sf_dir)
+    cbs = _pq_codebooks_for(v, sf_dir)
+    df = ivfpq_encode(v, cents, cbs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan

@@ -239,3 +239,137 @@ def test_dir_maxet_falls_back_without_footer_stats(spark, tmp_path):
     os.makedirs(d2)
     pq.write_table(t, os.path.join(d2, "part-0.parquet"))
     assert _dir_maxet(spark, d2, {}) == 250
+
+
+def test_streaming_pq_codes_equal_batch(spark, sf_dir, topic_root):
+    """r4 VERDICT item 6: the incrementally-maintained PQ code table
+    must equal batch pq_encode over the same vectors — across waves,
+    compaction + codebook retrain, and a pipe restart that must pick
+    up the retrained codebooks from disk."""
+    from async_event_streams_spark.queries.llm import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        pq_encode,
+    )
+    from async_event_streams_spark.streaming import (
+        load_pq_codebooks,
+        pq_index_pipe,
+        read_pq_codes,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.orderBy("vec_id").limit(30).collect()
+    full = [list(r.embedding) for r in rows[:_PQ_K]]
+    cbs = [
+        [c[_PQ_SUB * j : _PQ_SUB * (j + 1)] for c in full]
+        for j in range(_PQ_M)
+    ]
+
+    def codes_of(df):
+        return {
+            r.vec_id: tuple(r[f"c{j}"] for j in range(_PQ_M))
+            for r in df.collect()
+        }
+
+    reg = TopicRegistry()
+    vecs = Topic(
+        spark, "pq_vecs", "vec_id long, embedding array<double>", topic_root, reg
+    )
+    sdir = f"{topic_root}/pq-state"
+    h = pq_index_pipe(
+        vecs, sdir, cbs, name="pq-pipe",
+        compact_every=2, retrain_on_compact=True,
+    )
+    try:
+        for lo in range(0, 20, 10):  # waves 1-2: initial codebooks
+            vecs.send(
+                [
+                    {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                    for r in rows[lo : lo + 10]
+                ],
+                barrier="chain",
+            )
+        v20 = spark.createDataFrame(
+            [(r.vec_id, list(r.embedding)) for r in rows[:20]],
+            "vec_id long, e array<double>",
+        )
+        assert codes_of(read_pq_codes(spark, sdir)) == codes_of(
+            pq_encode(v20, cbs)
+        )
+
+        # wave 3 crosses compact_every=2 -> compaction + retrain; the
+        # whole table must be re-encoded under the RETRAINED codebooks
+        # and the new wave encoded consistently with them
+        vecs.send(
+            [
+                {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                for r in rows[20:30]
+            ],
+            barrier="chain",
+        )
+        trained = load_pq_codebooks(sdir)
+        assert trained is not None and trained != cbs
+        v30 = spark.createDataFrame(
+            [(r.vec_id, list(r.embedding)) for r in rows],
+            "vec_id long, e array<double>",
+        )
+        assert codes_of(read_pq_codes(spark, sdir)) == codes_of(
+            pq_encode(v30, trained)
+        )
+        h.stop()
+
+        # restart: the SAME pipe name resumes from its checkpoint (new
+        # batch ids continue, no replay-overwrite of compacted dirs)
+        # and must pick up the persisted trained codebooks, not the
+        # constructor's stale ones
+        h2 = pq_index_pipe(
+            vecs, sdir, cbs, name="pq-pipe",
+            compact_every=None, retrain_on_compact=False,
+        )
+        try:
+            extra = emb.orderBy("vec_id").limit(35).collect()[30:35]
+            vecs.send(
+                [
+                    {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                    for r in extra
+                ],
+                barrier="chain",
+            )
+            v35 = spark.createDataFrame(
+                [(r.vec_id, list(r.embedding)) for r in rows]
+                + [(r.vec_id, list(r.embedding)) for r in extra],
+                "vec_id long, e array<double>",
+            )
+            assert codes_of(read_pq_codes(spark, sdir)) == codes_of(
+                pq_encode(v35, trained)
+            )
+        finally:
+            h2.stop()
+    finally:
+        h.stop()
+        vecs.close()
+
+
+def test_reject_stale_state_guard(tmp_path):
+    """A fresh checkpoint (batch 0) over a state dir that already holds
+    later batches means a new pipe name was pointed at an existing
+    index — batch 0 would overwrite (possibly compacted) state. The
+    guard must fail fast; legitimate cases (empty dir, crash-replay of
+    batch 0 with only batch=0 present, any later batch id) pass."""
+    import os
+
+    import pytest as _pytest
+
+    from async_event_streams_spark.streaming.state import reject_stale_state
+
+    root = str(tmp_path / "state")
+    os.makedirs(os.path.join(root, "batch=0"))
+    reject_stale_state(root, 0, "t")  # replaying batch 0 alone: fine
+    reject_stale_state(root, 5, "t")  # resumed checkpoint: fine
+    os.makedirs(os.path.join(root, "batch=3"))
+    reject_stale_state(root, 4, "t")  # later batch over later dirs: fine
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        reject_stale_state(root, 0, "t")
