@@ -367,15 +367,28 @@ def c_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1), far inside the 5%-of-value verdict bound.
 
     The exact continuous-interpolation median that anchors the oracle
-    is computed by RANK SELECTION over exact integer cents, not
-    `percentile()` (r4 VERDICT item 7): the gathered anchor buffers
-    every value of a group into one aggregation array (r4 scale probe:
-    6.2x growth, dominating the shipped sketch's 4.4x), while rank
-    selection is one key-partitioned sort of slim (group, cents) rows
-    + a row_number probe at the two median ranks — the group count
-    rides the sketch's aggregate, so no extra pass. Falls back to
-    `percentile()` when the 2dp precondition fails (_money_profile,
-    same gate as the q1 fast path).
+    is SKETCH-GUIDED BAND REFINEMENT, not `percentile()` (r4 VERDICT
+    item 7): the gathered anchor buffers every value of a group into
+    one aggregation array (r4 probe: 6.2x growth); a full rank
+    selection (plain window OR the prefix-sum grouped_rank) still
+    globally sorts every row (probed 42x and 29x at 100x — sorting
+    60M rows to read 2 ranks is the waste itself). Instead, GK's HARD
+    rank guarantee (error <= n/accuracy) brackets the median: one
+    sketch pass also takes approx percentiles at 0.5 +- 3/accuracy,
+    whose values are guaranteed to straddle both median ranks. Pass 2
+    is ONE partial-aggregating groupBy over cents CLAMPED to that
+    bracket (below-band rows collapse to a -1 marker, above-band to
+    -2), so the shuffle carries only distinct in-band cents + 2
+    markers per group — the exact median then falls out of a
+    cumulative count over that tiny histogram, and an `assert_true`
+    guard raises if a bracket ever failed (it cannot, per GK's
+    deterministic bound — same never-silently-wrong discipline as the
+    q1 no-wrap guard). Both passes are linear partial aggregations; no
+    global sort at any scale. Bracket values come to the driver as
+    |groups| literal rows, the same bounded collect-as-plan-literals
+    pattern as the IVF centroids. Falls back to `percentile()` when
+    the 2dp precondition fails (_money_profile, same gate as the q1
+    fast path) or the group count exceeds the literal budget.
 
     Anchored as 2x the median: an even-count continuous median
     interpolates between two 2dp values and lands EXACTLY on the
@@ -383,32 +396,88 @@ def c_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anchor an exact 2dp sum (v1c + v2c cents), off-boundary by
     construction and bit-identical to the gathered path."""
     li = table(spark, sf_dir, "lineitem")
-    sketch = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    if _money_profile(spark, sf_dir) is not None:
-        w_rn = Window.partitionBy("l_returnflag").orderBy("pc")
-        ranked = li.select(
-            "l_returnflag", _cents(F.col("l_extendedprice")).alias("pc")
-        ).withColumn("rn", F.row_number().over(w_rn))
-        # continuous p50 over 1-indexed ranks: h = (n-1)/2 (0-indexed),
-        # lower rank r1 = floor(h)+1, upper rank r2 = r1+1 (read only
-        # when n is even). n broadcasts from the sketch aggregate.
-        r1 = (F.floor((F.col("n") - 1) / 2) + 1).cast("long")
-        sel = ranked.join(
-            F.broadcast(sketch.select("l_returnflag", "n")), "l_returnflag"
-        ).filter((F.col("rn") == r1) | (F.col("rn") == r1 + 1))
-        exact = sel.groupBy("l_returnflag").agg(
-            F.max(F.when(F.col("rn") == r1, F.col("pc"))).alias("v1c"),
-            F.max(F.when(F.col("rn") == r1 + 1, F.col("pc"))).alias("v2c"),
-            F.first("n").alias("n2"),
+    eps = 1.0 / 10000
+    sk_rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice",
+                F.array(
+                    F.lit(max(0.0, 0.5 - 3 * eps)),
+                    F.lit(0.5),
+                    F.lit(min(1.0, 0.5 + 3 * eps)),
+                ),
+                10000,
+            ).alias("br"),
+            F.count(F.lit(1)).alias("n"),
         )
-        # 2x median in exact cents: odd n -> 2*v1c; even n -> v1c+v2c
-        # (the 0.5 interpolation fraction folds into the doubling)
-        x2c = F.when(
-            F.col("n2") % 2 == 1, 2 * F.col("v1c")
-        ).otherwise(F.col("v1c") + F.col("v2c"))
+        .collect()
+    )
+    groups = {r["l_returnflag"]: r for r in sk_rows}
+    ok_2dp = _money_profile(spark, sf_dir) is not None
+    if ok_2dp and 0 < len(groups) <= 100 and None not in groups:
+        # driver-side bracket literals (exact cents of REAL data values
+        # — percentile_approx returns elements, not interpolations)
+        def cents_of(x: float) -> int:
+            return int(round(x * 100))
+
+        def case_over_groups(val_of) -> Column:
+            expr = None
+            for g, r in groups.items():
+                c = F.when(F.col("l_returnflag") == g, F.lit(val_of(r)))
+                expr = c if expr is None else expr.when(
+                    F.col("l_returnflag") == g, F.lit(val_of(r))
+                )
+            return expr
+
+        lo_c = case_over_groups(lambda r: cents_of(r["br"][0]))
+        hi_c = case_over_groups(lambda r: cents_of(r["br"][2]))
+        # r1 = floor((n-1)/2)+1; r2 = r1+1 (read only when n is even)
+        r1_l = case_over_groups(lambda r: (r["n"] - 1) // 2 + 1)
+        n_l = case_over_groups(lambda r: r["n"])
+        pc = _cents(F.col("l_extendedprice"))
+        clamped = F.when(pc < lo_c, F.lit(-1)).when(pc > hi_c, F.lit(-2)).otherwise(pc)
+        hist = (
+            li.select("l_returnflag", clamped.alias("pc"))
+            .groupBy("l_returnflag", "pc")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # tiny from here on: distinct in-band cents + 2 markers/group
+        w_flag = Window.partitionBy("l_returnflag")
+        w_cum = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("pc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        below = F.sum(F.when(F.col("pc") == -1, F.col("cnt")).otherwise(F.lit(0))).over(w_flag)
+        band = (
+            hist.withColumn("below", below)
+            .filter(F.col("pc") >= 0)
+            .withColumn("cum", F.sum("cnt").over(w_cum) + F.col("below"))
+        )
+        covers = lambda r: (F.col("cum") - F.col("cnt") < r) & (  # noqa: E731
+            r <= F.col("cum")
+        )
+        exact = band.groupBy("l_returnflag").agg(
+            F.max(F.when(covers(r1_l), F.col("pc"))).alias("v1c"),
+            F.max(F.when(covers(r1_l + 1), F.col("pc"))).alias("v2c"),
+            F.min("below").alias("below"),
+            F.max("cum").alias("hi_cum"),
+        )
+        # GK bracket guard: both median ranks MUST fall inside the
+        # band (below < r1 and r2 <= total covered). A violation means
+        # the sketch's rank contract broke — raise, never emit a
+        # silently-wrong anchor.
+        r2_need = F.when(n_l % 2 == 0, r1_l + 1).otherwise(r1_l)
+        guard = F.assert_true(
+            (F.col("below") < r1_l) & (r2_need <= F.col("hi_cum")),
+            F.lit("median bracket failed GK rank guarantee"),
+        )
+        x2c = (
+            F.when(n_l % 2 == 1, 2 * F.col("v1c"))
+            .otherwise(F.col("v1c") + F.col("v2c"))
+            + F.coalesce(guard.cast("long"), F.lit(0))
+        )
         exact = exact.select(
             "l_returnflag", (x2c.cast("double") / 100).alias("exact_p50_x2")
         )
@@ -418,7 +487,11 @@ def c_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("percentile(l_extendedprice, 0.5)") * 2, 2
             ).cast("double").alias("exact_p50_x2")
         )
-    joined = sketch.join(exact, "l_returnflag")
+    approx = spark.createDataFrame(
+        [(g, float(r["br"][1])) for g, r in groups.items()],
+        "l_returnflag string, approx_p50 double",
+    )
+    joined = F.broadcast(approx).join(exact, "l_returnflag")
     rel_err = F.abs(
         F.col("approx_p50") - F.col("exact_p50_x2") / 2
     ) / (F.col("exact_p50_x2") / 2)
