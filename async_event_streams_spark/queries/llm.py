@@ -492,6 +492,33 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_SIZES_ORACLE = f"""
+WITH clusters AS ({_CLUSTERS_ORACLE})
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY canonical_id
+) GROUP BY cluster_size
+"""
+
+
+@query("x_cluster_sizes", oracle=_CLUSTER_SIZES_ORACLE)
+def x_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the report a dedup
+    pipeline publishes (how much of the corpus is duplicated, and in
+    what shapes: many pairs vs a few megaclusters). Two slim partial
+    aggregations over the CC labels: sizes per canonical, then a
+    histogram of sizes. At 100 TB both shuffles carry one row per
+    cluster / per distinct size."""
+    labels = x_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup: n-gram Jaccard (verification pass over neighboring docs)
 # ---------------------------------------------------------------------------
@@ -541,6 +568,52 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b"),
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
+    )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_a, doc_b,
+  ROUND(CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE)
+    / len(sha), 6) AS containment
+FROM pairs
+"""
+
+
+@query("x_containment", oracle=_CONTAINMENT_ORACLE)
+def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT |A∩B| / |A| between adjacent doc ids — the
+    asymmetric twin of Jaccard that catches sub-document duplication
+    (a page quoted wholesale inside a bigger page scores high
+    containment but low Jaccard, so Jaccard-only dedup misses it; cf.
+    Broder's resemblance-vs-containment distinction). Same
+    deterministic pair set and build-once shingle artifact as
+    x_dedup_jaccard; all set math JVM-side."""
+    docs = table(spark, sf_dir, "documents")
+    s = artifact(
+        spark,
+        f"{sf_dir}:shingle_sets",
+        lambda: docs.select(
+            "doc_id",
+            F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+        ),
+    )
+    a = s.alias("a")
+    b = s.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("shb"),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("shb")))
+    return a.join(b, F.col("a.doc_id") == F.col("join_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("doc_b"),
+        F.round(inter.cast("double") / F.size("a.sh"), 6).alias("containment"),
     )
 
 
@@ -1362,6 +1435,105 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: semantic (SemDeDup-style cluster-then-prune over embeddings)
+# ---------------------------------------------------------------------------
+
+_SEM_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal (see
+# _ND_THRESHOLD); a real corpus would use ~0.9+
+# SemDeDup wants MANY SMALL clusters (cluster size ~ hundreds): the
+# within-cluster pair count is sum(|cell|^2)/2, so K is the quadratic
+# lever — K=16 over 50k vectors measured 4.5 s (78M in-cell pairs) vs
+# ~0.6 s at K=128, and at 10^9 vectors K scales with n to hold the
+# per-cell pair budget flat.
+_SEM_K = 128
+
+_SEM_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
+def _sem_centroids_for(v: DataFrame, sf_dir: str) -> list[list[float]]:
+    cents = _SEM_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = [
+            list(r.e)
+            for r in v.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
+        ]
+        _SEM_CENTROIDS[sf_dir] = cents
+    return cents
+
+
+def _semantic_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_SEM_K}
+), ascore AS (
+  SELECT v.vec_id, v.e, centroid_id,
+    list_dot_product(e, ce) / sqrt(list_dot_product(ce, ce)) AS cs
+  FROM v CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, e, centroid_id AS cell FROM (
+    SELECT vec_id, e, centroid_id, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY ROUND(cs, 9) DESC, centroid_id) AS rn
+    FROM ascore) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) /
+    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+    6) >= {_SEM_THRESHOLD}
+)
+SELECT v.vec_id, assigned.cell
+FROM v JOIN assigned USING (vec_id)
+LEFT JOIN dropped ON v.vec_id = dropped.vec_id
+WHERE dropped.vec_id IS NULL
+"""
+
+
+@query("x_dedup_semantic", oracle=_semantic_oracle())
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster —
+    semantic dedup reduced to k-means + a cluster-local self-join, the
+    scalable alternative to corpus-wide all-pairs cosine. Here the
+    coarse clustering is the deterministic IVF assignment (in-scan
+    argmax, zero exchange — same cells, same oracle replayability as
+    x_ann_ivf; production trains the centroids with distributed
+    k-means), the within-cluster prune keeps the lowest vec_id of each
+    near-dup pair, and survivors carry their cell id. Cluster-local
+    pairing bounds the join: candidates per cell ~ (n/K)^2, not n^2,
+    and a hot cell is a skewed join key AQE splits."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = _sem_centroids_for(v, sf_dir)
+    assigned = artifact(
+        spark, f"{sf_dir}:sem_cells", lambda: ivf_assign(v, cents)
+    )
+    a = assigned.alias("a")
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("cell").alias("cell_b"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("cell_b"))
+            & (F.col("a.vec_id") < F.col("vec_b")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.e"), F.col("eb")), 6) >= _SEM_THRESHOLD
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: corpus stats, per-doc quality, language ID, fingerprints
 # ---------------------------------------------------------------------------
 
@@ -1745,6 +1917,41 @@ def x_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") % 10 == 1)
         .select("doc_id", "lang")
     )
+
+
+_STRAT_K = 50
+# Knuth's multiplicative constant: a deterministic pseudo-shuffle both
+# engines replay exactly with 64-bit integer arithmetic
+_STRAT_HASH = "(doc_id * 2654435761) % 4294967296"
+
+_STRAT_ORACLE = f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY {_STRAT_HASH}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_STRAT_K}
+"""
+
+
+@query("x_sample_stratified", oracle=_STRAT_ORACLE)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-stratum sampling (k docs per source): the mixing
+    primitive that builds balanced eval/train splits from a skewed
+    corpus. Order within a stratum is a deterministic multiplicative
+    hash of doc_id — a reproducible pseudo-shuffle (unlike RNG
+    sampleBy), replayed exactly by the SQL oracle. Ranks come from
+    `grouped_rank` (size-adaptive prefix-sum): strata are few, so a
+    plain partitionBy(source) window would cap the sort at |sources|
+    tasks at 100 TB — the ntile anti-pattern the r4 probe caught."""
+    from ..functions.order import grouped_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.expr(_STRAT_HASH).alias("h")
+    )
+    ranked = grouped_rank(
+        docs, ["source"], ["h", "doc_id"], rank_col="rn"
+    )
+    return ranked.filter(F.col("rn") <= _STRAT_K).select("source", "doc_id")
 
 
 # ---------------------------------------------------------------------------

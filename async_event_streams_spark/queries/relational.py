@@ -347,6 +347,48 @@ def c_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_agg_hll_union",
+    # Same tolerance-encoding as c_agg_approx_distinct: sketch bytes
+    # and estimates are engine-specific, so the oracle pins the exact
+    # count and a literal-true flag; Spark ships the exact count plus
+    # a "merged sketch within 10% of exact" boolean.
+    oracle=(
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+        "AS exact_users, true AS sketch_ok "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def c_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable distinct-count: per-(type, day) HLL sketches
+    (`hll_sketch_agg`, Datasketches) UNIONED up to per-type estimates
+    (`hll_union_agg`). This is the 100 TB cardinality architecture —
+    daily jobs persist kilobyte sketches instead of raw ids, and any
+    rollup (weekly, all-time, cross-segment) is a cheap union of
+    sketches rather than a re-scan of the raw data; approx_count_
+    distinct alone (c_agg_approx_distinct) cannot be re-aggregated.
+    The exact count anchors the differential check only."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rel_err = (
+        F.abs(F.col("est_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (rel_err < F.lit(0.10)).alias("sketch_ok"),
+    )
+
+
+@query(
     "c_agg_approx_quantile",
     # Same tolerance-encoding as c_agg_approx_distinct: the sketch value
     # is engine-specific, so Spark ships the exact quantile plus a
