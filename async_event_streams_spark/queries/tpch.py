@@ -1,0 +1,963 @@
+"""The remaining TPC-H query shapes (q2..q22) over the cut-down star schema.
+
+Rounds 1-4 carried the six headline TPC-H anchors (q1/q3/q5/q6/q10/q18
+in `relational.py`); this module completes the set so every classic
+TPC-H number has an oracle-checked counterpart. The driver's schema is
+a REDUCED TPC-H (TESTDATA.md): no `partsupp`, no
+`l_shipmode/l_commitdate/l_receiptdate`, no `c_phone/p_container`.
+Where a classic query needs a missing column, the shape is adapted to
+an available one and the adaptation is documented in the docstring —
+the point is the PLAN SHAPE (the join/agg/subquery topology and its
+100 TB behavior), not the TPC-H spec constants.
+
+Determinism discipline (same as relational.py): every threshold or
+equality that decides row MEMBERSHIP is computed in exact arithmetic
+(decimal sums, integer cents) — never on a double aggregate whose
+summation order differs between Spark and DuckDB; doubles appear only
+in final rounded outputs; every LIMIT has a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import table
+from . import query
+from .relational import _dfrac, _dprice
+
+# Shared revenue term: exact decimal product (see relational.py note on
+# why both factors cast to decimal before multiplying).
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* CAST(1 - l_discount AS DECIMAL(12,6))"
+)
+
+
+def _rev() -> F.Column:
+    return _dprice("l_extendedprice") * _dfrac(1 - F.col("l_discount"))
+
+
+@query(
+    "c_tpch_q2",
+    oracle=(
+        "WITH eur AS ("
+        "  SELECT l_partkey, l_suppkey, s_acctbal, s_name, n_name, "
+        "         MIN(l_extendedprice) AS cost "
+        "  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "  JOIN nation ON s_nationkey = n_nationkey "
+        "  JOIN region ON n_regionkey = r_regionkey "
+        "  WHERE r_name = 'EUROPE' "
+        "  GROUP BY l_partkey, l_suppkey, s_acctbal, s_name, n_name) "
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost "
+        "FROM eur JOIN part ON p_partkey = l_partkey "
+        "WHERE p_size >= 45 AND p_type = 'LARGE' "
+        "AND cost = (SELECT MIN(e2.cost) FROM eur e2 "
+        "            WHERE e2.l_partkey = eur.l_partkey) "
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+    ),
+)
+def c_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part in a region).
+
+    Adaptation: no `partsupp`, so the part-supplier price list is
+    derived from lineitem — a supplier's "cost" for a part is the MIN
+    observed l_extendedprice (pure MIN of stored doubles: no arithmetic,
+    so the correlated-min equality is bit-exact across engines).
+
+    Plan shape: the correlated MIN subquery decorrelates to a window
+    MIN over the (part, supplier) aggregate — one shuffle keyed by
+    partkey serves both the aggregate and the window, and the part
+    filter broadcasts BELOW the aggregation (the correlated MIN is
+    per-partkey, so restricting partkeys first is semantics-preserving
+    and shrinks the aggregated fact rows ~60x). At 100 TB the only
+    wide exchange is the (partkey, suppkey) pre-aggregation of the
+    part-pruned lineitem; everything after runs on the collapsed price
+    list (|parts| x |suppliers-per-part|)."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 45) & (F.col("p_type") == "LARGE")
+    )
+    eur = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            "l_partkey", "l_suppkey", "s_acctbal", "s_name", "n_name",
+            "p_partkey", "p_type",
+        )
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eur.withColumn("part_min", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("part_min"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "c_tpch_q4",
+    oracle=(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "            AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+)
+def c_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking).
+
+    Adaptation: no l_commitdate/l_receiptdate, so "late" means a line
+    shipped more than 30 days after the order date.
+
+    Plan shape: EXISTS becomes a LEFT SEMI join from the
+    quarter-filtered orders (small side, broadcastable) into lineitem;
+    the date filter prunes the orders scan via parquet min/max. At
+    100 TB the semi join is the classic existence probe — no
+    duplication of lineitem rows, map-side combine on the 5-value
+    priority aggregate."""
+    lo = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "c_tpch_q7",
+    oracle=(
+        "SELECT supp_nation, cust_nation, l_year, "
+        f"CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue FROM ("
+        "  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year, "
+        "  l_extendedprice, l_discount "
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "  JOIN supplier ON l_suppkey = s_suppkey "
+        "  JOIN customer ON o_custkey = c_custkey "
+        "  JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "  JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "  WHERE ((sn.n_nationkey < 12 AND cn.n_nationkey >= 12) "
+        "      OR (sn.n_nationkey >= 12 AND cn.n_nationkey < 12)) "
+        "  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year"
+    ),
+)
+def c_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nation GROUPS, both
+    directions, by ship year).
+
+    Adaptation: the classic two-NATION pair is widened to two nation-key
+    ranges (A: key < 12, B: key >= 12) so the query is non-vacuous even
+    at the smoke sf where the 10-supplier table misses most single
+    nations; the disjunctive both-directions topology is unchanged.
+
+    Plan shape: the nation dimension joins twice under different roles
+    (classic role-playing dimension), both broadcast; the disjunctive
+    group-pair predicate evaluates on slim rows and the only wide
+    exchange is lineitem⋈orders on orderkey."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    nation = table(spark, sf_dir, "nation")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("supp_nation"),
+            F.col("n_nationkey").alias("s_nkey"),
+        )
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("cust_nation"),
+            F.col("n_nationkey").alias("c_nkey"),
+        )
+    )
+    orders = table(spark, sf_dir, "orders").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    pair = ((F.col("s_nkey") < 12) & (F.col("c_nkey") >= 12)) | (
+        (F.col("s_nkey") >= 12) & (F.col("c_nkey") < 12)
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "c_tpch_q8",
+    oracle=(
+        "SELECT o_year, CAST(ROUND("
+        "  CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) "
+        "       AS DOUBLE) / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) "
+        "AS mkt_share FROM ("
+        "  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year, "
+        f"  {_REV_SQL} AS volume, sn.n_name AS nation "
+        "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "  JOIN orders ON l_orderkey = o_orderkey "
+        "  JOIN customer ON o_custkey = c_custkey "
+        "  JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "  JOIN region ON cn.n_regionkey = r_regionkey "
+        "  JOIN supplier ON l_suppkey = s_suppkey "
+        "  JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "  WHERE r_name = 'AMERICA' AND p_type = 'PROMO' "
+        "  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') "
+        "GROUP BY o_year ORDER BY o_year"
+    ),
+)
+def c_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    PROMO-part revenue delivered into AMERICA, per order year.
+
+    The share is a ratio of two EXACT decimal sums cast to double at
+    the very end — the division is deterministic because both operands
+    are order-independent (the only cross-engine hazard in a ratio is
+    a drifting double sum, not the division). Plan shape: a 7-way star
+    where every dimension broadcasts (part filtered to 1/6, customer
+    via region to 1/5) and the single wide exchange is
+    lineitem⋈orders, then a 2-row aggregate."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    volume = _rev()
+    nat3 = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0))
+    return (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat3).cast("double") / F.sum(volume).cast("double"), 6
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "c_tpch_q9",
+    oracle=(
+        "SELECT nation, o_year, "
+        "CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit FROM ("
+        "  SELECT n_name AS nation, "
+        "  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year, "
+        f"  {_REV_SQL} - CAST(l_quantity AS DECIMAL(12,2)) "
+        "     * CAST(p_retailprice AS DECIMAL(12,2)) AS amount "
+        "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "  JOIN supplier ON l_suppkey = s_suppkey "
+        "  JOIN nation ON s_nationkey = n_nationkey "
+        "  JOIN orders ON l_orderkey = o_orderkey "
+        "  WHERE p_name LIKE '%widget%') "
+        "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+    ),
+)
+def c_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year).
+
+    Adaptation: no partsupp.ps_supplycost, so unit cost is
+    p_retailprice (the cost term is qty x retailprice instead of
+    qty x supplycost — same expression topology, different column).
+    Profit per line = revenue - cost, both exact decimal products, so
+    the grouped sum is order-independent.
+
+    Plan shape: part's name filter broadcasts (~1/8 of parts),
+    supplier+nation broadcast, and lineitem⋈orders is the one wide
+    exchange; the aggregate is |nations| x |years| rows."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    amount = _rev() - _dprice("l_quantity") * _dprice("p_retailprice")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "c_tpch_q11",
+    oracle=(
+        "WITH v AS ("
+        "  SELECT l_partkey AS p_key, "
+        "  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec "
+        "  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "  JOIN nation ON s_nationkey = n_nationkey "
+        "  JOIN region ON n_regionkey = r_regionkey "
+        "  WHERE r_name = 'AFRICA' GROUP BY l_partkey) "
+        "SELECT p_key AS p_partkey, "
+        "CAST(ROUND(value_dec, 2) AS DOUBLE) AS value "
+        "FROM v WHERE value_dec > "
+        "(SELECT SUM(value_dec) * 0.001 FROM v) "
+        "ORDER BY value DESC, p_partkey LIMIT 100"
+    ),
+)
+def c_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: parts above a fraction of a
+    region's total value).
+
+    Adaptation: no partsupp, so a part's "value" is the summed
+    extendedprice of its lineitems from AFRICA suppliers (same
+    group-then-compare-to-global-scalar topology as
+    value = supplycost x availqty).
+
+    Determinism: both the per-part value and the global total are
+    exact DECIMAL sums and the 0.001 multiplier is a decimal literal,
+    so the threshold comparison can't flip on a double boundary.
+    Plan shape: one wide exchange (group lineitem by partkey), then the
+    global total is a 1-row broadcast cross-join — the classic
+    scalar-subquery decorrelation. At 100 TB the threshold side never
+    re-shuffles the fact table."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    v = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum(_dprice("l_extendedprice")).alias("value_dec"))
+    )
+    total = v.agg(
+        (F.sum("value_dec") * F.lit(Decimal("0.001"))).alias("threshold")
+    )
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("threshold"))
+        .select(
+            F.col("p_key").alias("p_partkey"),
+            F.round("value_dec", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "c_tpch_q12",
+    oracle=(
+        "SELECT l_linestatus, "
+        "CAST(count_if(o_orderpriority IN ('1-URGENT','2-HIGH')) AS BIGINT) "
+        "AS high_line_count, "
+        "CAST(count_if(o_orderpriority NOT IN ('1-URGENT','2-HIGH')) "
+        "AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY "
+        "AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY l_linestatus ORDER BY l_linestatus"
+    ),
+)
+def c_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs order priority).
+
+    Adaptation: no l_shipmode/l_commitdate/l_receiptdate — the class
+    column is l_linestatus and "late" is shipped >45 days after the
+    order date. The signature conditional-count pair
+    (high/low priority) is kept verbatim.
+
+    Plan shape: the ship-year filter prunes the lineitem scan; the
+    join condition references both sides (shipdate vs orderdate+45d)
+    so it evaluates as a post-join filter on the equi-join — one wide
+    exchange on orderkey, then a 2-row conditional aggregate with
+    map-side combine."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            table(spark, sf_dir, "orders"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")
+            ),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "c_tpch_q13",
+    oracle=(
+        "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+        "  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+        "  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+        "  AND o_orderpriority <> '4-NOT SPECIFIED' "
+        "  GROUP BY c_custkey) "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+)
+def c_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution).
+
+    Adaptation: no o_comment, so the excluded-order predicate is an
+    order-priority class instead of `NOT LIKE '%special%requests%'`.
+    The load-bearing detail is kept: the exclusion sits in the OUTER
+    JOIN's ON clause (not a WHERE), so customers whose every order is
+    excluded still appear with c_count = 0.
+
+    Plan shape: two-level aggregation — the first groupBy collapses to
+    one row per customer (wide exchange on custkey, COUNT of non-null
+    right keys), the second is a tiny distribution over distinct
+    counts. At 100 TB the left-outer is a shuffle join on custkey;
+    both aggregations combine map-side."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        table(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "c_tpch_q14",
+    oracle=(
+        "SELECT CAST(ROUND(100.0 * "
+        f"CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) "
+        "AS DOUBLE) / "
+        f"CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS DOUBLE) AS promo_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"
+    ),
+)
+def c_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percent of one month's revenue
+    from PROMO-type parts. Ratio of two exact decimal sums (see q8
+    note); part broadcasts un-filtered because the CASE needs p_type
+    for every row — at 100 TB part is still a dimension (~20 GB at
+    sf=100k, beyond broadcast: the docstring plan would switch to a
+    bucketed join on partkey; at dimension scales that matter here it
+    broadcasts). The month filter prunes the lineitem scan to ~1/80."""
+    lo = F.lit("1997-03-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = _rev()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(
+            F.broadcast(table(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "c_tpch_q15",
+    oracle=(
+        "WITH revenue AS ("
+        "  SELECT l_suppkey AS supplier_no, "
+        f"  CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS total_revenue "
+        "  FROM lineitem "
+        "  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' "
+        "  GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+        "JOIN revenue ON s_suppkey = supplier_no "
+        "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) "
+        "ORDER BY s_suppkey"
+    ),
+)
+def c_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    revenue. The MAX-equality is computed on the ROUNDED decimal sum
+    (identical bit pattern in both engines), so ties — the reason the
+    classic query is written with a view instead of LIMIT 1 — are
+    preserved exactly.
+
+    Plan shape: one wide exchange (revenue per suppkey), the scalar
+    MAX is a 1-row broadcast, supplier broadcasts for the name lookup.
+    The quarter filter prunes the scan."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    revenue = (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(table(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "c_tpch_q16",
+    oracle=(
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    ),
+)
+def c_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship count).
+
+    Adaptation: no partsupp — the part-supplier relation is distinct
+    (l_partkey, l_suppkey) pairs from lineitem; the excluded-supplier
+    subquery keys on negative acctbal instead of a complaint comment.
+
+    Plan shape: NOT IN over a provably non-null key list becomes a
+    LEFT ANTI broadcast join (the blocklist is tiny); COUNT(DISTINCT)
+    runs as Spark's two-level expand/agg keyed by the grouped columns.
+    The brand/type/size filters prune the broadcast part side before
+    the fact join."""
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad_supp = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "c_tpch_q17",
+    oracle=(
+        "WITH li AS ("
+        "  SELECT l_extendedprice, "
+        "  CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c, "
+        "  l_partkey FROM lineitem "
+        "  JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#3') "
+        "SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice "
+        "AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly "
+        "FROM li l1 WHERE 2 * qty_c * "
+        "(SELECT COUNT(*) FROM li l2 WHERE l2.l_partkey = l1.l_partkey) < "
+        "(SELECT SUM(qty_c) FROM li l3 WHERE l3.l_partkey = l1.l_partkey)"
+    ),
+)
+def c_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines of one
+    brand whose quantity is below half the part's average quantity.
+
+    Adaptation: threshold is 0.5x avg (classic 0.2x — this data's
+    uniform qty in [1,50] makes 0.2x nearly empty). The correlated AVG
+    is the load-bearing shape and it is decorrelated to a window
+    aggregate over partkey — one exchange, no per-row subquery.
+
+    Determinism: membership is decided in integer cents
+    (2*qty_c*n < sum_c ⟺ qty < 0.5*avg) — an exact-integer rewrite of
+    the double comparison, so no engine can flip a boundary row. Only
+    the final scalar divides as double."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_extendedprice",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("n", F.count("*").over(w))
+        .withColumn("sum_c", F.sum("qty_c").over(w))
+        .filter(F.lit(2) * F.col("qty_c") * F.col("n") < F.col("sum_c"))
+        .agg(
+            F.round(
+                F.sum(_dprice("l_extendedprice")).cast("double") / F.lit(7.0),
+                2,
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "c_tpch_q19",
+    oracle=(
+        f"SELECT CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 5 "
+        "       AND l_quantity >= 1 AND l_quantity <= 11) "
+        "OR (p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 10 "
+        "    AND l_quantity >= 10 AND l_quantity <= 20) "
+        "OR (p_type = 'LARGE' AND p_size BETWEEN 1 AND 15 "
+        "    AND l_quantity >= 20 AND l_quantity <= 30)"
+    ),
+)
+def c_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates).
+
+    Adaptation: no p_container/l_shipmode — the three OR arms pair
+    p_type/p_size classes with quantity bands. The load-bearing shape:
+    a disjunction whose arms each reference BOTH join sides, so it
+    cannot be pushed below the join — but the arm-local single-side
+    conjuncts can. Spark derives `p_size <= 15 AND p_type IN (...)`
+    onto the part scan and the quantity superset band onto lineitem
+    (visible as PushedFilters); the residual OR evaluates post-join on
+    broadcast-hash probes. One aggregate row, no shuffle beyond the
+    final 1-row reduce."""
+    qty = F.col("l_quantity")
+    arm1 = (
+        (F.col("p_type") == "SMALL")
+        & F.col("p_size").between(1, 5)
+        & (qty >= 1)
+        & (qty <= 11)
+    )
+    arm2 = (
+        (F.col("p_type") == "MEDIUM")
+        & F.col("p_size").between(1, 10)
+        & (qty >= 10)
+        & (qty <= 20)
+    )
+    arm3 = (
+        (F.col("p_type") == "LARGE")
+        & F.col("p_size").between(1, 15)
+        & (qty >= 20)
+        & (qty <= 30)
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(table(spark, sf_dir, "part")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(arm1 | arm2 | arm3)
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "c_tpch_q20",
+    oracle=(
+        "SELECT s_name, s_acctbal FROM supplier WHERE s_suppkey IN ("
+        "  SELECT l_suppkey FROM lineitem "
+        "  JOIN part ON l_partkey = p_partkey "
+        "  WHERE p_name LIKE 'red%' "
+        "  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "  GROUP BY l_suppkey "
+        "  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000) "
+        "ORDER BY s_name"
+    ),
+)
+def c_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess volume of a part class).
+
+    Adaptation: no partsupp.ps_availqty — a supplier qualifies when its
+    1997 shipped quantity of 'red%' parts exceeds 250 units (the
+    classic nested IN-chain: part-name filter → grouped HAVING →
+    supplier semi-join is preserved).
+
+    Determinism: the HAVING sum is integer cents (exact; double
+    quantity sums are order-dependent). Plan shape: part filter
+    broadcasts into the pruned lineitem scan, one exchange groups by
+    suppkey, and the qualifying key set (tiny) broadcasts back as a
+    LEFT SEMI join against supplier."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    qualifying = (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+                "qty_c"
+            )
+        )
+        .filter(F.col("qty_c") > 25000)
+        .select("l_suppkey")
+    )
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "c_tpch_q21",
+    oracle=(
+        "SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) "
+        "AS numwait "
+        "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+        "JOIN orders ON o_orderkey = l1.l_orderkey "
+        "WHERE o_orderstatus = 'F' AND s_nationkey < 13 "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "  WHERE l2.l_orderkey = l1.l_orderkey "
+        "  AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "  WHERE l3.l_orderkey = l1.l_orderkey "
+        "  AND l3.l_suppkey <> l1.l_suppkey "
+        "  AND l3.l_shipdate > l1.l_shipdate) "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+    ),
+)
+def c_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on finished
+    multi-supplier orders, the supplier whose shipment came LAST.
+
+    Adaptation: no l_receiptdate/l_commitdate — "kept waiting" means
+    this supplier's latest line ships at-or-after every other
+    supplier's (strict `>` in NOT EXISTS, so max-shipdate ties all
+    qualify, exactly as the classic query's tie semantics).
+
+    Decorrelation (the load-bearing rewrite): EXISTS+NOT-EXISTS over
+    lineitem self-joins collapse to ONE orderkey-clustered pass —
+    max shipdate per (orderkey, suppkey), then the order-wide max and
+    supplier count as WINDOW aggregates over the same clustering (no
+    self-join, so lineitem is scanned and aggregated exactly once; the
+    naive per_os⋈per_o formulation computed the pyramid twice). The
+    explicit repartition on l_orderkey is load-bearing: hash
+    partitioning by orderkey alone satisfies the grouped distribution
+    of (orderkey, suppkey) AND the window's clustering, so the
+    status-F semi join, the groupBy, and the window all ride ONE fact
+    exchange. A supplier waits iff n_supp >= 2 AND its max equals the
+    order max (strict > in NOT EXISTS ⟹ ties all qualify); timestamp
+    equality is exact (no arithmetic). The final count is a plain
+    COUNT because rows are unique per (orderkey, suppkey) — it equals
+    the oracle's COUNT(DISTINCT orderkey)."""
+    orders_f = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_os = (
+        table(spark, sf_dir, "lineitem")
+        .repartition("l_orderkey")
+        .join(
+            orders_f.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("my_max"))
+        .withColumn("order_max", F.max("my_max").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+    )
+    supp = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    return (
+        per_os.filter(
+            (F.col("n_supp") >= 2) & (F.col("my_max") == F.col("order_max"))
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "c_tpch_q22",
+    oracle=(
+        "WITH pool AS ("
+        "  SELECT c_custkey, c_nationkey, c_acctbal, "
+        "  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c "
+        "  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)), "
+        "thr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(bal_c) AS BIGINT) AS s FROM pool WHERE bal_c > 0) "
+        "SELECT c_nationkey AS cntrycode, "
+        "CAST(COUNT(*) AS BIGINT) AS numcust, "
+        "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) "
+        "AS totacctbal "
+        "FROM pool, thr WHERE bal_c * n > s "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') "
+        "GROUP BY c_nationkey ORDER BY cntrycode"
+    ),
+)
+def c_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): rich customers in a
+    country set with no RECENT orders.
+
+    Adaptation: no c_phone — the "country code" is c_nationkey, and
+    because this synthetic data gives every customer at least one
+    order, "no orders" becomes "no orders since 1999" (keeps the
+    anti-join non-vacuous at every sf).
+
+    Determinism: the above-average-balance membership test is exact
+    integer cents (bal_c * n > sum_c ⟺ bal > avg over positive
+    balances) — the classic query's scalar AVG(double) would be the
+    one cross-engine boundary hazard. Plan shape: scalar threshold =
+    1-row broadcast; NOT EXISTS = LEFT ANTI join against the
+    date-pruned orders scan; final aggregate is |nations| rows."""
+    pool = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    ).withColumn("bal_c", F.round(F.col("c_acctbal") * 100).cast("long"))
+    thr = pool.filter(F.col("bal_c") > 0).agg(
+        F.count("*").alias("n"), F.sum("bal_c").alias("s")
+    )
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        pool.join(F.broadcast(thr))
+        .filter(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(
+            recent.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(_dprice("c_acctbal")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -447,3 +447,52 @@ def test_ivfpq_encoding_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_tpch_q19_pushes_singleside_conjuncts_below_join(spark, sf_dir):
+    """Q19's disjunction references both join sides so it can't be
+    pushed in full — but Catalyst must derive the arm-union bounds
+    onto each scan (p_size <= 15 on part, quantity band on lineitem).
+    Losing this derivation turns a pruned scan into a full-table read
+    at 100 TB."""
+    plan = plan_of(spark, sf_dir, "c_tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # derived single-side bounds reach the parquet readers
+    assert "LessThanOrEqual(p_size,15)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_tpch_q4_exists_is_semi_join_not_aggregate_dedup(spark, sf_dir):
+    """EXISTS must compile to a LEFT SEMI join (stops at first match,
+    no duplication) — not an inner join + distinct."""
+    plan = plan_of(spark, sf_dir, "c_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_single_fact_exchange_no_self_join(spark, sf_dir):
+    """The decorrelated q21: the fact table must ride exactly ONE hash
+    exchange (the explicit l_orderkey repartition, which the semi join,
+    the (orderkey, suppkey) groupBy, AND the window all satisfy) plus
+    the tiny final s_name aggregate — and no lineitem self-join (the
+    naive per_os⋈per_o formulation computed the aggregation pyramid
+    twice)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "c_tpch_q21")
+    keys = re.findall(r"hashpartitioning\(([a-z_0-9#]+)", plan)
+    fact = [k for k in keys if not k.startswith("s_name")]
+    assert fact and all(k.startswith("l_orderkey") for k in fact), keys
+    assert len(fact) == 1, keys  # one exchange serves semi+agg+window
+    # lineitem read once: 3 table scans, each named twice in the
+    # formatted output (tree + details section)
+    assert plan.count("Scan parquet") <= 6, plan
+
+
+def test_tpch_q11_threshold_is_broadcast_scalar(spark, sf_dir):
+    """The group-vs-global-scalar threshold must be a 1-row broadcast
+    cross join — never a re-shuffle of the per-part aggregate."""
+    plan = plan_of(spark, sf_dir, "c_tpch_q11")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
