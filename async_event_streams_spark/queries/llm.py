@@ -2658,3 +2658,181 @@ def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: corpus statistics and funnel observability
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+k AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS k FROM c GROUP BY doc_id, ch),
+e AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+             SUM(k * log2(k)) AS klog
+      FROM k GROUP BY doc_id)
+SELECT doc_id, n_chars,
+  CAST(ROUND(log2(CAST(n_chars AS DOUBLE))
+             - klog / CAST(n_chars AS DOUBLE), 6) AS DOUBLE) AS entropy_bits
+FROM e
+"""
+
+
+@query("x_char_entropy", oracle=_ENTROPY_ORACLE)
+def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic cheap screen for binary junk, base64 blobs and
+    single-character spam in a pretraining corpus (low entropy =
+    repetitive garbage, ~4.1 bits = normal English text).
+
+    Computed as log2(n) - (1/n)·Σ k·log2(k) over per-char counts so
+    only ONE log per distinct character is evaluated (not one per
+    char occurrence). Shape at scale: explode is a ~5x local fan-out
+    feeding two partial-agg shuffles — (doc_id, ch) then doc_id — both
+    map-side combined to ≤|alphabet| rows per doc before the exchange.
+    For a fixed known alphabet the explode could be replaced by
+    O(|alphabet|) length-of-replace probes per row (zero fan-out);
+    the explode form is kept because real corpora have open
+    alphabets."""
+    docs = table(spark, sf_dir, "documents")
+    k = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("k"))
+    )
+    return (
+        k.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_chars"),
+            F.sum(F.col("k") * F.log2("k")).alias("klog"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.log2(F.col("n_chars").cast("double"))
+                - F.col("klog") / F.col("n_chars").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+_NOVELTY_TOP = 100
+
+_NOVELTY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_sql_shingles_k(2)}) AS gram FROM t),
+vocab AS (
+  SELECT gram FROM (
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY gram
+    ORDER BY n DESC, gram LIMIT {_NOVELTY_TOP})),
+d AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(count_if(v.gram IS NOT NULL) AS BIGINT) AS n_known
+  FROM g LEFT JOIN vocab v ON g.gram = v.gram
+  GROUP BY g.doc_id)
+SELECT doc_id, n_grams,
+  CAST(ROUND(1.0 - CAST(n_known AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+       AS DOUBLE) AS novelty
+FROM d
+"""
+
+
+@query("x_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's bigrams
+    NOT in the corpus's top-100 bigram vocabulary — low novelty flags
+    boilerplate/templated documents (the same screen n-gram LM
+    perplexity provides, without training a model; cf. the
+    repetition/boilerplate filters in C4/Gopher-style pipelines).
+
+    Shape at scale: the vocabulary is a partial-agg shuffle +
+    TakeOrderedAndProject (never a full sort of the gram
+    distribution), then BROADCASTS into the per-doc pass — the
+    corpus-sized gram stream is touched exactly twice, shuffles only
+    on (gram) and (doc_id), and the membership probe is a broadcast
+    hash join, not a shuffle join. Docs with <2 tokens have no grams
+    and drop out (mirrored by unnest of the empty list)."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), k=2)).alias("gram")
+    )
+    vocab = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(_NOVELTY_TOP)
+        .select("gram", F.lit(1).alias("__hit"))
+    )
+    return (
+        grams.join(F.broadcast(vocab), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__hit").alias("n_known"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_known").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+_FUNNEL_ORACLE = f"""
+WITH t AS (
+  SELECT lang, {_SQL_TOKS} AS toks FROM documents
+), g AS (
+  SELECT len(toks) >= 20 AS len_ok,
+         lang IN ('en', 'de', 'fr', 'es') AS lang_ok,
+         len(list_distinct(toks)) * 2 >= len(toks) AS unique_ok
+  FROM t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(count_if(len_ok) AS BIGINT) AS n_len_ok,
+  CAST(count_if(len_ok AND lang_ok) AS BIGINT) AS n_lang_ok,
+  CAST(count_if(len_ok AND lang_ok AND unique_ok) AS BIGINT) AS n_clean,
+  CAST(ROUND(CAST(count_if(len_ok AND lang_ok AND unique_ok) AS DOUBLE)
+             / COUNT(*), 6) AS DOUBLE) AS retention
+FROM g
+"""
+
+
+@query("x_filter_funnel", oracle=_FUNNEL_ORACLE)
+def x_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel observability: cumulative survivor counts
+    through three gates (length >= 20 tokens → allowed language →
+    distinct-token ratio >= 0.5, the Gopher-style repetition screen)
+    plus end-to-end retention. The report every production filtering
+    pipeline ships alongside its output — which gate is eating the
+    corpus, at a glance.
+
+    Shape at scale: ONE full scan, zero shuffles (conditional counts
+    all combine map-side into a single 1-row aggregate); the
+    distinct-ratio gate is a per-row array op, not a groupBy. The
+    uniqueness threshold is the exact-integer form
+    2·|distinct| >= |toks| — no double division decides membership."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    g = docs.select(
+        (F.size(toks) >= 20).alias("len_ok"),
+        F.col("lang").isin("en", "de", "fr", "es").alias("lang_ok"),
+        (F.size(F.array_distinct(toks)) * 2 >= F.size(toks)).alias(
+            "unique_ok"
+        ),
+    )
+    surv3 = F.col("len_ok") & F.col("lang_ok") & F.col("unique_ok")
+    return g.agg(
+        F.count("*").alias("n_total"),
+        F.count_if("len_ok").alias("n_len_ok"),
+        F.count_if(F.col("len_ok") & F.col("lang_ok")).alias("n_lang_ok"),
+        F.count_if(surv3).alias("n_clean"),
+        F.round(
+            F.count_if(surv3).cast("double") / F.count("*"), 6
+        ).alias("retention"),
+    )
