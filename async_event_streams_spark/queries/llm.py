@@ -2836,3 +2836,163 @@ def x_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(surv3).cast("double") / F.count("*"), 6
         ).alias("retention"),
     )
+
+
+_SPAN_K = 5
+
+_DUP_SPANS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, md5(unnest({_sql_shingles_k(_SPAN_K)})) AS d FROM t),
+occ AS (
+  SELECT doc_id, d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh GROUP BY doc_id, d),
+spread AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS nd FROM occ GROUP BY d)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS DOUBLE) AS dup_frac
+FROM occ JOIN spread USING (d)
+GROUP BY doc_id
+"""
+
+
+@query("x_dup_spans", oracle=_DUP_SPANS_ORACLE)
+def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a doc's
+    5-gram spans that ALSO occur in at least one other
+    document — the distributable approximation of exact substring
+    deduplication (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": their suffix-array pass marks the same
+    cross-document repeated spans; k-gram granularity trades span
+    boundaries for a shuffle-only plan). High dup_frac = the document
+    is mostly boilerplate shared with the rest of the corpus, even
+    when no WHOLE-document dedup fires.
+
+    Shape at scale: spans are md5 DIGESTS (16 bytes shuffled, not the
+    raw k-gram text); the plan is the explode feeding three chained
+    exchanges — (doc_id, digest) occurrence counts, a digest-keyed
+    WINDOW for the distinct-doc spread (computed on the already-
+    collapsed rows; a groupBy+self-join formulation recomputed the
+    whole explode+agg on both branches and measured ~2x slower), then
+    a doc_id-keyed rollup. Self-repetition inside one document
+    (c > 1, nd = 1) deliberately does NOT count as duplication; the
+    x_repetition query owns that signal."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            shingle_digests(shingles(tokens(F.col("text")), k=_SPAN_K))
+        ).alias("d"),
+    )
+    occ = (
+        sh.groupBy("doc_id", "d")
+        .agg(F.count("*").alias("c"))
+        .withColumn("nd", F.count("*").over(Window.partitionBy("d")))
+    )
+    dup_c = F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(dup_c).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+_KNN_K = 3
+
+
+def _knn_graph_oracle() -> str:
+    def plane_sql(p: int) -> str:
+        vals = ", ".join(str(v) for v in _ND_PLANES[p])
+        return f"CAST([{vals}] AS DOUBLE[])"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {plane_sql(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(len(_ND_PLANES))
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), b_all AS (
+  SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v
+), b AS (
+  SELECT vec_id, e, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b_all)
+  WHERE bsz <= {_LSH_BUCKET_CAP}
+), scored AS (
+  SELECT a.vec_id, x.vec_id AS neighbor_id,
+    list_dot_product(a.e, x.e) /
+    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(x.e, x.e))) AS score
+  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
+)
+SELECT vec_id, neighbor_id, rnk, ROUND(score, 6) AS score FROM (
+  SELECT vec_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY ROUND(score, 9) DESC, neighbor_id)
+    AS INTEGER) AS rnk
+  FROM scored) WHERE rnk <= {_KNN_K}
+"""
+
+
+@query("x_knn_graph", oracle=_knn_graph_oracle())
+def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the embedding corpus
+    (top-3 same-bucket cosine neighbors per vector) — the substrate
+    the batch similarity consumers stand on: SemDeDup clusters, graph
+    clustering, diversity sampling, and label propagation all start
+    from exactly this edge list. Differs from x_cosine_topk (10 probe
+    queries vs corpus) in being all-vectors-to-all: the quadratic
+    blow-up is contained by the SAME signed-projection LSH bucketing
+    as x_dedup_embedding (shared bucket artifact, bucket cap dropping
+    degenerate floods), so candidate generation stays a bucket-local
+    self-equi-join and the per-vector top-k is a WindowGroupLimit —
+    never a global sort, never all-pairs. At 10^9 vectors the bucket
+    count scales with n (more planes), holding per-bucket pair counts
+    flat — the same K-is-the-lever argument as SemDeDup's cell size."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
+    )
+    b = artifact(
+        spark,
+        f"{sf_dir}:emb_lsh_buckets",
+        lambda: cap_buckets(materialize(bucketed), ["bucket"], _LSH_BUCKET_CAP),
+    )
+    a = b.alias("a")
+    x = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    ).alias("x")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        a.join(
+            x,
+            (F.col("a.bucket") == F.col("bucket_b"))
+            & (F.col("a.vec_id") != F.col("neighbor_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            "neighbor_id",
+            cosine(F.col("a.e"), F.col("eb")).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("vec_id", "neighbor_id", "rnk", F.round("score", 6).alias("score"))
+    )

@@ -496,3 +496,14 @@ def test_tpch_q11_threshold_is_broadcast_scalar(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "c_tpch_q11")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_bucketed_equi_join_with_group_limit(spark, sf_dir):
+    """The kNN graph's candidate join must be a bucket equi-join
+    (never all-pairs) and the per-vector top-k must push a
+    WindowGroupLimit — the two properties that keep an
+    all-vectors-to-all graph build from going quadratic/global."""
+    plan = plan_of(spark, sf_dir, "x_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan

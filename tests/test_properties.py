@@ -221,3 +221,84 @@ def test_grouped_rank_modes_agree(spark, rows):
             ).collect()
         }
     assert out["window"] == out["prefix"]
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_char_entropy_matches_python(spark, batch):
+    """x_char_entropy's log2 identity (log2 n - (1/n)·Σ k·log2 k) must
+    equal the textbook -Σ p·log2 p on arbitrary strings."""
+    import math
+    from collections import Counter
+
+    batch = [s for s in batch if s]  # empty text has no chars on either side
+    if not batch:
+        return
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(batch)], "doc_id long, text string"
+    )
+    k = (
+        df.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("k"))
+    )
+    got = {
+        r.doc_id: r.h
+        for r in k.groupBy("doc_id")
+        .agg(
+            (
+                F.log2(F.sum("k").cast("double"))
+                - F.sum(F.col("k") * F.log2("k"))
+                / F.sum("k").cast("double")
+            ).alias("h")
+        )
+        .collect()
+    }
+    for i, s in enumerate(batch):
+        counts = Counter(s)
+        n = len(s)
+        want = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        assert abs(got[i] - want) < 1e-9, (repr(s), got[i], want)
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_dup_spans_fraction_matches_python(spark, batch):
+    """x_dup_spans' shuffle pipeline (occurrence counts ⋈ digest
+    spread) must equal the direct python definition: the share of a
+    doc's k-gram spans that occur in >= 2 distinct docs."""
+    from collections import Counter
+
+    K = 5
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(batch)], "doc_id long, text string"
+    )
+    sh = df.select(
+        "doc_id",
+        F.explode(shingle_digests(shingles(tokens(F.col("text")), k=K))).alias(
+            "d"
+        ),
+    )
+    occ = sh.groupBy("doc_id", "d").agg(F.count("*").alias("c"))
+    spread = occ.groupBy("d").agg(F.count("*").alias("nd"))
+    dup_c = F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup)
+        for r in occ.join(spread, "d")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_spans"), F.sum(dup_c).alias("n_dup"))
+        .collect()
+    }
+    spans = {
+        i: py_shingles(py_tokens(s), k=K) for i, s in enumerate(batch)
+    }
+    docs_of = {}
+    for i, ss in spans.items():
+        for g in set(ss):
+            docs_of.setdefault(g, set()).add(i)
+    for i, ss in spans.items():
+        if not ss:
+            assert i not in got
+            continue
+        n_dup = sum(1 for g in ss if len(docs_of[g]) >= 2)
+        assert got[i] == (len(ss), n_dup), (i, got[i], (len(ss), n_dup))

@@ -75,6 +75,19 @@ PROBE_QUERIES = [
     # r5 additions: size-adaptive connected components (union-find
     # single task under 1M pair edges, star contraction above)
     "x_dedup_clusters",
+    # r5 TPC-H sweep representatives: q21 is the heaviest (window
+    # pyramid over one orderkey exchange), q2 pre-aggregates the
+    # part-pruned price list, q13 is the outer-join distribution,
+    # q17's correlated-AVG rides a partkey window, q11's threshold is
+    # a broadcast scalar; plus the corpus-stat additions (entropy's
+    # char fan-out, novelty's double gram pass)
+    "c_tpch_q21",
+    "c_tpch_q2",
+    "c_tpch_q13",
+    "c_tpch_q17",
+    "c_tpch_q11",
+    "x_char_entropy",
+    "x_ngram_novelty",
 ]
 
 KEY_STRIDE = 100_000_000
@@ -120,8 +133,15 @@ def main() -> None:
         "noop"
     ).save()
 
+    # SCALE_PROBE_ONLY=name1,name2 restricts the run (a full 100x
+    # sweep of the standing list takes tens of minutes; targeted
+    # re-probes of the round's new queries don't need to pay that).
+    only = os.environ.get("SCALE_PROBE_ONLY")
+    probe_queries = (
+        [n for n in only.split(",") if n] if only else PROBE_QUERIES
+    )
     results = {}
-    for name in PROBE_QUERIES:
+    for name in probe_queries:
         base = min(time_query(name, BASE, spark) for _ in range(2))
         big = min(time_query(name, out_dir, spark) for _ in range(2))
         results[name] = {
