@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..tables import table
+from ..util import materialize
 from . import query
 from .relational import _dfrac, _dprice
 
@@ -418,6 +419,9 @@ def c_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_key"))
         .agg(F.sum(_dprice("l_extendedprice")).alias("value_dec"))
     )
+    # Pin before branching: v feeds both the global total and the
+    # filter probe; unpinned, the lineitem aggregation runs twice.
+    v = materialize(v)
     total = v.agg(
         (F.sum("value_dec") * F.lit(Decimal("0.001"))).alias("threshold")
     )
@@ -596,10 +600,13 @@ def c_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one wide exchange (revenue per suppkey), the scalar
     MAX is a 1-row broadcast, supplier broadcasts for the name lookup.
-    The quarter filter prunes the scan."""
+    The quarter filter prunes the scan. The revenue view is PINNED
+    (localCheckpoint) before branching: it feeds both the MAX scalar
+    and the equality probe, and without pinning each branch would
+    re-scan and re-aggregate the quarter's lineitem."""
     lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
     hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
-    revenue = (
+    revenue = materialize(
         table(spark, sf_dir, "lineitem")
         .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
@@ -935,9 +942,11 @@ def c_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cross-engine boundary hazard. Plan shape: scalar threshold =
     1-row broadcast; NOT EXISTS = LEFT ANTI join against the
     date-pruned orders scan; final aggregate is |nations| rows."""
-    pool = table(spark, sf_dir, "customer").filter(
-        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
-    ).withColumn("bal_c", F.round(F.col("c_acctbal") * 100).cast("long"))
+    pool = materialize(
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .withColumn("bal_c", F.round(F.col("c_acctbal") * 100).cast("long"))
+    )
     thr = pool.filter(F.col("bal_c") > 0).agg(
         F.count("*").alias("n"), F.sum("bal_c").alias("s")
     )
