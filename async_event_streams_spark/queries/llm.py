@@ -1362,7 +1362,13 @@ _ND_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal; this yields
 # actually exercises pair emission (a real corpus would use ~0.9)
 
 
-def _embdup_oracle() -> str:
+def _emb_bucket_cte() -> str:
+    """Shared DuckDB CTE: capped LSH buckets over the embeddings table
+    (names v / b_all / b). Single source of truth for every query that
+    stands on the shared `emb_lsh_buckets` artifact — the planes, the
+    bucket arithmetic and the cap MUST agree across those queries
+    because artifact() is first-run-wins on one memo key."""
+
     def plane_sql(p: int) -> str:
         vals = ", ".join(str(v) for v in _ND_PLANES[p])
         return f"CAST([{vals}] AS DOUBLE[])"
@@ -1381,7 +1387,28 @@ WITH v AS (
   SELECT vec_id, e, bucket FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b_all)
   WHERE bsz <= {_LSH_BUCKET_CAP}
-), pairs AS (
+)"""
+
+
+def _emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _emb_bucket_cte: the capped-bucket table as a
+    build-once artifact shared by x_dedup_embedding and x_knn_graph."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
+    )
+    return artifact(
+        spark,
+        f"{sf_dir}:emb_lsh_buckets",
+        lambda: cap_buckets(materialize(bucketed), ["bucket"], _LSH_BUCKET_CAP),
+    )
+
+
+def _embdup_oracle() -> str:
+    return f"""
+{_emb_bucket_cte()}, pairs AS (
   SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
     list_dot_product(a.e, x.e) /
     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(x.e, x.e))) AS score
@@ -1401,17 +1428,7 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison can't flip on a 1e-12 boundary. Buckets above
     _LSH_BUCKET_CAP are dropped (identical-vector floods go quadratic
     otherwise — exact dedup owns those)."""
-    emb = table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id",
-        F.col("embedding").alias("e"),
-        lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
-    )
-    b = artifact(
-        spark,
-        f"{sf_dir}:emb_lsh_buckets",
-        lambda: cap_buckets(materialize(bucketed), ["bucket"], _LSH_BUCKET_CAP),
-    )
+    b = _emb_lsh_buckets(spark, sf_dir)
     a = b.alias("a")
     x = b.select(
         F.col("vec_id").alias("vec_b"),
@@ -2859,6 +2876,27 @@ GROUP BY doc_id
 """
 
 
+def dup_span_stats(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """(doc_id, n_spans, n_dup) for x_dup_spans — exposed as the
+    shared core so the hypothesis property test exercises THIS code
+    path (not a reimplementation) against the pure-Python reference."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            shingle_digests(shingles(tokens(F.col("text")), k=k))
+        ).alias("d"),
+    )
+    occ = (
+        sh.groupBy("doc_id", "d")
+        .agg(F.count("*").alias("c"))
+        .withColumn("nd", F.count("*").over(Window.partitionBy("d")))
+    )
+    dup_c = F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))
+    return occ.groupBy("doc_id").agg(
+        F.sum("c").alias("n_spans"), F.sum(dup_c).alias("n_dup")
+    )
+
+
 @query("x_dup_spans", oracle=_DUP_SPANS_ORACLE)
 def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span fraction: the share of a doc's
@@ -2881,32 +2919,13 @@ def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c > 1, nd = 1) deliberately does NOT count as duplication; the
     x_repetition query owns that signal."""
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
+    return dup_span_stats(docs).select(
         "doc_id",
-        F.explode(
-            shingle_digests(shingles(tokens(F.col("text")), k=_SPAN_K))
-        ).alias("d"),
-    )
-    occ = (
-        sh.groupBy("doc_id", "d")
-        .agg(F.count("*").alias("c"))
-        .withColumn("nd", F.count("*").over(Window.partitionBy("d")))
-    )
-    dup_c = F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))
-    return (
-        occ.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_spans"),
-            F.sum(dup_c).alias("n_dup"),
-        )
-        .select(
-            "doc_id",
-            "n_spans",
-            "n_dup",
-            F.round(
-                F.col("n_dup").cast("double") / F.col("n_spans"), 6
-            ).alias("dup_frac"),
-        )
+        "n_spans",
+        "n_dup",
+        F.round(F.col("n_dup").cast("double") / F.col("n_spans"), 6).alias(
+            "dup_frac"
+        ),
     )
 
 
@@ -2914,25 +2933,8 @@ _KNN_K = 3
 
 
 def _knn_graph_oracle() -> str:
-    def plane_sql(p: int) -> str:
-        vals = ", ".join(str(v) for v in _ND_PLANES[p])
-        return f"CAST([{vals}] AS DOUBLE[])"
-
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(e, {plane_sql(p)}) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(len(_ND_PLANES))
-    )
     return f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), b_all AS (
-  SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v
-), b AS (
-  SELECT vec_id, e, bucket FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b_all)
-  WHERE bsz <= {_LSH_BUCKET_CAP}
-), scored AS (
+{_emb_bucket_cte()}, scored AS (
   SELECT a.vec_id, x.vec_id AS neighbor_id,
     list_dot_product(a.e, x.e) /
     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(x.e, x.e))) AS score
@@ -2961,17 +2963,7 @@ def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort, never all-pairs. At 10^9 vectors the bucket
     count scales with n (more planes), holding per-bucket pair counts
     flat — the same K-is-the-lever argument as SemDeDup's cell size."""
-    emb = table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id",
-        F.col("embedding").alias("e"),
-        lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
-    )
-    b = artifact(
-        spark,
-        f"{sf_dir}:emb_lsh_buckets",
-        lambda: cap_buckets(materialize(bucketed), ["bucket"], _LSH_BUCKET_CAP),
-    )
+    b = _emb_lsh_buckets(spark, sf_dir)
     a = b.alias("a")
     x = b.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -32,9 +32,9 @@ def main() -> None:
     t_all = time.perf_counter()
     for name in names:
         t0 = time.perf_counter()
-        rows = QUERIES[name](spark, sf_dir).limit(3).collect()
+        rows = QUERIES[name](spark, sf_dir).limit(2).collect()
         dt = time.perf_counter() - t0
-        head = "; ".join(str(tuple(r)) for r in rows[:2]) or "(empty)"
+        head = "; ".join(str(tuple(r)) for r in rows) or "(empty)"
         print(f"{name:>12} {dt:6.2f}s  {head[:100]}")
     print(f"total {time.perf_counter() - t_all:.1f}s over {len(names)} queries")
 

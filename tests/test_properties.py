@@ -264,30 +264,20 @@ def test_char_entropy_matches_python(spark, batch):
 @given(texts)
 @settings(**SETTINGS)
 def test_dup_spans_fraction_matches_python(spark, batch):
-    """x_dup_spans' shuffle pipeline (occurrence counts ⋈ digest
-    spread) must equal the direct python definition: the share of a
-    doc's k-gram spans that occur in >= 2 distinct docs."""
+    """x_dup_spans's SHARED production core (dup_span_stats) must
+    equal the direct python definition: the share of a doc's k-gram
+    spans that occur in >= 2 distinct docs."""
     from collections import Counter
+
+    from async_event_streams_spark.queries.llm import dup_span_stats
 
     K = 5
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(batch)], "doc_id long, text string"
     )
-    sh = df.select(
-        "doc_id",
-        F.explode(shingle_digests(shingles(tokens(F.col("text")), k=K))).alias(
-            "d"
-        ),
-    )
-    occ = sh.groupBy("doc_id", "d").agg(F.count("*").alias("c"))
-    spread = occ.groupBy("d").agg(F.count("*").alias("nd"))
-    dup_c = F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))
     got = {
         r.doc_id: (r.n_spans, r.n_dup)
-        for r in occ.join(spread, "d")
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_spans"), F.sum(dup_c).alias("n_dup"))
-        .collect()
+        for r in dup_span_stats(df, k=K).collect()
     }
     spans = {
         i: py_shingles(py_tokens(s), k=K) for i, s in enumerate(batch)
