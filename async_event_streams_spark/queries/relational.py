@@ -2154,3 +2154,141 @@ def c_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse maintenance patterns (round 5): CDC merge, SCD2 intervals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_merge_upsert",
+    oracle=(
+        "WITH target AS ("
+        "  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c "
+        "  FROM customer WHERE c_nationkey < 20), "
+        "source AS ("
+        "  SELECT o_custkey, "
+        "  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "  AS delta_c FROM orders "
+        "  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "  GROUP BY o_custkey) "
+        "SELECT COALESCE(c_custkey, o_custkey) AS c_custkey, "
+        "CAST(COALESCE(bal_c, 0) + COALESCE(delta_c, 0) AS BIGINT) "
+        "AS new_bal_c, "
+        "CASE WHEN c_custkey IS NULL THEN 'insert' "
+        "     WHEN o_custkey IS NULL THEN 'keep' "
+        "     ELSE 'update' END AS op "
+        "FROM target FULL OUTER JOIN source ON c_custkey = o_custkey"
+    ),
+)
+def c_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC upsert expressed on plain DataFrames: a target
+    snapshot (partial customer balance table) merged with a change
+    source (1997 order totals per customer) — matched rows update,
+    source-only rows insert, target-only rows pass through. This is
+    the maintenance pattern every warehouse table-format (Delta/
+    Iceberg/Hudi MERGE) compiles to underneath: a keyed FULL OUTER
+    join + COALESCE, here in exact integer cents so the differential
+    can't drift.
+
+    Shape at scale: the change source pre-aggregates to one row per
+    key BEFORE the join (map-side combined), so the outer join moves
+    |target| + |distinct keys| rows on one key-partitioned exchange —
+    and on a bucketed target table (tables.py writers) the join would
+    be exchange-free on the target side."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    target = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 20)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+    )
+    source = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "delta_c"
+            )
+        )
+    )
+    op = (
+        F.when(F.col("c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("o_custkey").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+    )
+    return target.join(
+        source, F.col("c_custkey") == F.col("o_custkey"), "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("c_custkey"),
+        (
+            F.coalesce(F.col("bal_c"), F.lit(0))
+            + F.coalesce(F.col("delta_c"), F.lit(0))
+        ).alias("new_bal_c"),
+        op.alias("op"),
+    )
+
+
+@query(
+    "c_scd2_intervals",
+    oracle=(
+        "WITH ordered AS ("
+        "  SELECT user_id, event_type, ts, event_id, "
+        "  LAG(event_type) OVER w AS prev_type "
+        "  FROM events WINDOW w AS "
+        "  (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "starts AS ("
+        "  SELECT user_id, event_type, ts AS valid_from, event_id "
+        "  FROM ordered "
+        "  WHERE prev_type IS NULL OR event_type <> prev_type) "
+        "SELECT user_id, event_type, valid_from, "
+        "LEAD(valid_from) OVER w2 AS valid_to, "
+        "CAST(LEAD(valid_from) OVER w2 IS NULL AS BOOLEAN) AS is_current "
+        "FROM starts WINDOW w2 AS "
+        "(PARTITION BY user_id ORDER BY valid_from, event_id)"
+    ),
+)
+def c_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log: per
+    user, collapse consecutive repeats of event_type and emit validity
+    intervals [valid_from, valid_to) with an is_current flag on the
+    open interval — the standard dimension-history table every
+    warehouse derives from CDC streams.
+
+    Shape at scale: two window passes over ONE user-keyed exchange
+    (the second window re-sorts locally within unchanged partitions —
+    Catalyst plans no second Exchange); change detection is
+    LAG-compare, interval close is LEAD. The unique event_id
+    tie-break makes same-timestamp orderings engine-identical."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

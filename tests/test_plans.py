@@ -507,3 +507,24 @@ def test_knn_graph_bucketed_equi_join_with_group_limit(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_scd2_two_windows_one_exchange(spark, sf_dir):
+    """Both SCD2 window passes are keyed on user_id: the LEAD window
+    must reuse the LAG window's partitioning (one Exchange total —
+    a second exchange would double the event log's shuffle cost)."""
+    plan = plan_of(spark, sf_dir, "c_scd2_intervals")
+    assert op_count(plan, "Exchange") <= 1, plan
+
+
+def test_merge_upsert_source_preaggregates_before_join(spark, sf_dir):
+    """The CDC source must collapse to one row per key BEFORE the full
+    outer join (partial+final HashAggregate under the join, never raw
+    order rows into it)."""
+    plan = plan_of(spark, sf_dir, "c_merge_upsert")
+    assert "FULL OUTER" in plan.upper() or "FullOuter" in plan
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    assert join_pos != -1, plan
+    assert plan.count("HashAggregate") >= 2, plan
