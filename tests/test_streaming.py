@@ -157,3 +157,96 @@ def test_determinism_under_repartition(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert value_hash(base) == value_hash(repart)
+
+
+def test_scd2_stream_converges_to_batch(spark, sf_dir, topic_root):
+    """The streaming SCD2 pipe's CLOSED intervals must equal the batch
+    c_scd2_intervals rows with non-null valid_to on the same events —
+    across two waves (cross-batch state carries the open interval over
+    the micro-batch boundary)."""
+    from async_event_streams_spark.streaming import scd2_intervals_stream
+
+    n = 400
+    src = _events_sample(spark, sf_dir, n).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # the registered batch query reads the full events table; the
+    # coherence comparison needs its plan applied to exactly the
+    # streamed subset
+    batch_closed = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to)
+        for r in _scd2_batch_on(src).filter(
+            F.col("valid_to").isNotNull()
+        ).collect()
+    }
+
+    # event_type/ts/event_id are envelope-reserved names on the topic
+    # layer; carry the payload under neutral names and alias back.
+    t = Topic(
+        spark,
+        "scd2",
+        "user_id long, etype string, ets timestamp, eid long",
+        topic_root,
+        TopicRegistry(),
+    )
+    stream = t.subscribe().select(
+        "user_id",
+        F.col("etype").alias("event_type"),
+        F.col("ets").alias("ts"),
+        F.col("eid").alias("event_id"),
+    )
+    query, tbl = run_stream_to_memory(
+        scd2_intervals_stream(stream), output_mode="append"
+    )
+    t.attach_query(query)
+    try:
+        rows = [
+            {
+                "user_id": r.user_id,
+                "etype": r.event_type,
+                "ets": r.ts,
+                "eid": r.event_id,
+            }
+            for r in src.orderBy("ts", "event_id").collect()
+        ]
+        t.post(rows[: n // 2])
+        t.send(rows[n // 2 :])
+        got = {
+            (r.user_id, r.event_type, r.valid_from, r.valid_to)
+            for r in spark.sql(f"SELECT * FROM {tbl}").collect()
+        }
+        assert got == batch_closed
+    finally:
+        t.close()
+
+
+def _scd2_batch_on(src):
+    """The c_scd2_intervals plan applied to an arbitrary events frame
+    (the registered query reads the full table; the coherence test
+    needs it over the streamed subset)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        src.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
