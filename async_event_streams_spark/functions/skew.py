@@ -77,3 +77,44 @@ def salted_agg(
     )
     combined = partial.groupBy(*keys).agg(*combine_cols)
     return combined.select(*keys, *final_cols)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: salt the FACT side randomly, REPLICATE the
+    dim side once per salt, join on (keys + salt). A hot join key's
+    fact rows spread across n_salts tasks instead of funneling into
+    one reducer; results equal the unsalted join exactly (every fact
+    row still meets every matching dim row exactly once, in the salt
+    replica it drew).
+
+    When to reach for this instead of AQE's skew-join splitting
+    (enabled in session.py): AQE splits a skewed SHUFFLE join at
+    runtime, but (a) broadcast-ineligible dims joined under
+    deterministic hot keys still skew the map side's write path, and
+    (b) AQE can't split a partition whose single KEY is hot when the
+    downstream operator (e.g. a grouped aggregate on the same key)
+    re-coalesces it — salting re-keys the data itself, so every
+    operator downstream of the join inherits the spread. Cost:
+    |dim| × n_salts replicated rows — only sane for dimension-sized
+    right sides (for fact×fact skew, prefer AQE).
+
+    `how` supports inner/left joins (the fact side keeps exactly its
+    row multiplicity; right/full would duplicate unmatched dim rows
+    per salt replica and are rejected)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}"
+        )
+    salt = (F.rand(seed=0) * n_salts).cast("int")
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).alias("__salt")
+    fact_s = fact.withColumn("__salt", salt)
+    dim_s = dim.select("*", salts)
+    return fact_s.join(dim_s, [*keys, "__salt"], how).drop("__salt")

@@ -102,3 +102,38 @@ def test_artifact_memo_builds_once_and_is_session_scoped(spark):
     # the memo pins the session object (id-reuse safety)
     assert _ARTIFACTS[(id(spark), "test:memo")][0] is spark
     _ARTIFACTS.pop((id(spark), "test:memo"), None)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must equal the unsalted join exactly on a corpus
+    with one pathologically hot key (90% of fact rows), for inner and
+    left joins including unmatched fact keys."""
+    from async_event_streams_spark.functions.skew import salted_join
+
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    for how in ("inner", "left"):
+        plain = {
+            tuple(r) for r in fact.join(dim, ["k"], how).collect()
+        }
+        salted = {
+            tuple(r)
+            for r in salted_join(fact, dim, ["k"], n_salts=8, how=how).collect()
+        }
+        assert salted == plain, how
+    # row MULTIPLICITY also preserved (sets hide dup-count bugs)
+    assert (
+        salted_join(fact, dim, ["k"], n_salts=8).count()
+        == fact.join(dim, ["k"]).count()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], how="full")
