@@ -1218,7 +1218,10 @@ FROM ranked WHERE rnk <= 5
 
 
 def ivfpq_encode(
-    v: DataFrame, centroids: list[list[float]], codebooks: list
+    v: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """One scan -> (vec_id, cell, c0..cM-1): the IVF coarse cell AND
     the M PQ sub-codes, every argmax an in-scan literal expression
@@ -1252,7 +1255,9 @@ def ivfpq_encode(
             )
             .drop(f"_s{j}")
         )
-    return out.select("vec_id", "cell", *[f"c{j}" for j in range(_PQ_M)])
+    return out.select(
+        "vec_id", *keep, "cell", *[f"c{j}" for j in range(_PQ_M)]
+    )
 
 
 @query("x_ann_ivfpq", oracle=_ivfpq_oracle())

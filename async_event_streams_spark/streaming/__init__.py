@@ -21,9 +21,11 @@ from .neardedup import (  # noqa: F401
 from .state import compact_state, state_dirs  # noqa: F401
 from .ann import (  # noqa: F401
     ivf_index_pipe,
+    ivfpq_index_pipe,
     load_index_centroids,
     load_pq_codebooks,
     pq_index_pipe,
+    read_ivfpq_index,
     read_pq_codes,
     search_ivf_index,
 )

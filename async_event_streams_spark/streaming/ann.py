@@ -419,3 +419,138 @@ def read_pq_codes(spark: SparkSession, state_dir: str) -> DataFrame:
         key=lambda c: int(c[1:]),
     )
     return df.select("vec_id", *codes)
+
+
+def ivfpq_index_pipe(
+    source,
+    state_dir: str,
+    centroids: list[list[float]],
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    name: str = "ivfpq-index",
+    compact_every: int | None = None,
+    retrain_on_compact: bool = False,
+    retrain_seed: int = 42,
+):
+    """Maintain the COMPOSED IVF×PQ index over a stream of embeddings —
+    the streaming twin of `x_ann_ivfpq` (queries/llm.py): each
+    micro-batch runs the one-scan `ivfpq_encode` (coarse cell + M
+    sub-codes, zero exchanges) and appends (vec_id, e, cell, c0..cM-1)
+    rows to the batch-versioned index. This is the deployable
+    10^9-vector architecture kept CURRENT incrementally: neither the
+    IVF pipe (fat rows per cell) nor the PQ pipe (scan-all codes)
+    alone is what a growing corpus serves queries from.
+
+    With `retrain_on_compact`, each compaction retrains BOTH quantizer
+    levels on everything indexed so far — coarse centroids first, then
+    per-subspace codebooks — and re-encodes every dir under the new
+    pair in one pass; cells and codes are only meaningful under the
+    quantizers that produced them, so both json files publish AFTER
+    the re-encode (readers never see new quantizers with old rows).
+    Same rename-aside swap + `_sweep_retrain` crash healing as the
+    single-level pipes; `_centroids.json` + `_codebooks.json` persist
+    the live pair across restarts."""
+    from ..queries.llm import ivfpq_encode
+    from ..topics.pipe import pipe
+    from ..util import materialize
+
+    reject_partitioned_source(source, "ivfpq_index_pipe")
+    os.makedirs(state_dir, exist_ok=True)
+    _sweep_retrain(state_dir)
+    saved_c = load_index_centroids(state_dir)
+    saved_b = load_pq_codebooks(state_dir)
+    live = {
+        "centroids": saved_c
+        if saved_c is not None
+        else [list(map(float, c)) for c in centroids],
+        "cbs": saved_b
+        if saved_b is not None
+        else [[list(map(float, c)) for c in cb] for cb in codebooks],
+    }
+    if saved_c is None:
+        _save_centroids(state_dir, live["centroids"])
+    if saved_b is None:
+        _save_codebooks(state_dir, live["cbs"])
+
+    def retrain(spark, batch_id: int) -> None:
+        import shutil
+
+        from ..functions.similarity import train_ivf_centroids
+
+        dirs = state_dirs(state_dir, batch_id)
+        if not dirs:
+            return
+        idx = spark.read.parquet(*dirs)
+        new_cents = train_ivf_centroids(
+            idx, "e", k=len(live["centroids"]), seed=retrain_seed
+        )
+        sub_dim = len(live["cbs"][0][0])
+        new_cbs = []
+        for j in range(len(live["cbs"])):
+            sub = idx.select(F.slice("e", sub_dim * j + 1, sub_dim).alias("se"))
+            new_cbs.append(
+                [
+                    list(map(float, c))
+                    for c in train_ivf_centroids(
+                        sub, "se", k=len(live["cbs"][j]), seed=retrain_seed
+                    )
+                ]
+            )
+        for d in dirs:
+            tmp = d + ".retrain.tmp"
+            old = d + ".retrain.old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            src = spark.read.parquet(d).select("vec_id", "e")
+            (
+                ivfpq_encode(src, new_cents, new_cbs, keep=("e",))
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old)
+        live["centroids"] = new_cents
+        live["cbs"] = new_cbs
+        _save_centroids(state_dir, new_cents)
+        _save_codebooks(state_dir, new_cbs)
+
+    def index_batch(df, batch_id: int):
+        spark = df.sparkSession
+        reject_stale_state(state_dir, batch_id, "ivfpq_index_pipe")
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            merged = compact_state(spark, state_dir, upto_batch=batch_id)
+            if retrain_on_compact and merged > 1:
+                retrain(spark, batch_id)
+        v = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+        )
+        enc = materialize(
+            ivfpq_encode(v, live["centroids"], live["cbs"], keep=("e",))
+        )
+        (
+            enc.write.mode("overwrite")  # replay-safe: batch N owns it
+            .parquet(os.path.join(state_dir, f"batch={batch_id}"))
+        )
+        return enc.drop("e")
+
+    return pipe(source, fn=index_batch, sink_fn=lambda df, b: None, name=name)
+
+
+def read_ivfpq_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Everything indexed so far: (vec_id, cell, c0..cM-1) — the
+    cell-restricted compressed table ADC scoring probes (columnar
+    projection leaves the ride-along full vectors unread)."""
+    import re
+
+    dirs = state_dirs(state_dir)
+    if not dirs:
+        raise ValueError(f"no index under {state_dir}")
+    df = spark.read.parquet(*dirs)
+    codes = sorted(
+        (c for c in df.columns if re.fullmatch(r"c\d+", c)),
+        key=lambda c: int(c[1:]),
+    )
+    return df.select("vec_id", "cell", *codes)

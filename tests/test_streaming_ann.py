@@ -373,3 +373,110 @@ def test_reject_stale_state_guard(tmp_path):
     reject_stale_state(root, 4, "t")  # later batch over later dirs: fine
     with _pytest.raises(ValueError, match="fresh checkpoint"):
         reject_stale_state(root, 0, "t")
+
+
+def test_streaming_ivfpq_index_equals_batch(spark, sf_dir, topic_root):
+    """The composed IVF×PQ streaming index must equal one-shot batch
+    ivfpq_encode over the same vectors — across waves, a compaction
+    that retrains BOTH quantizer levels, and a restart that must pick
+    up the persisted (centroids, codebooks) pair."""
+    from async_event_streams_spark.queries.llm import (
+        _IVF_K,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        ivfpq_encode,
+    )
+    from async_event_streams_spark.streaming import (
+        ivfpq_index_pipe,
+        load_index_centroids,
+        load_pq_codebooks,
+        read_ivfpq_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.orderBy("vec_id").limit(35).collect()
+    cents = [list(r.embedding) for r in rows[:_IVF_K]]
+    full = [list(r.embedding) for r in rows[:_PQ_K]]
+    cbs = [
+        [c[_PQ_SUB * j : _PQ_SUB * (j + 1)] for c in full]
+        for j in range(_PQ_M)
+    ]
+
+    def rows_of(df):
+        return {
+            r.vec_id: (r.cell, tuple(r[f"c{j}"] for j in range(_PQ_M)))
+            for r in df.collect()
+        }
+
+    def vdf(rs):
+        return spark.createDataFrame(
+            [(r.vec_id, list(r.embedding)) for r in rs],
+            "vec_id long, e array<double>",
+        )
+
+    reg = TopicRegistry()
+    vecs = Topic(
+        spark, "ivfpq_vecs", "vec_id long, embedding array<double>",
+        topic_root, reg,
+    )
+    sdir = f"{topic_root}/ivfpq-state"
+    h = ivfpq_index_pipe(
+        vecs, sdir, cents, cbs, name="ivfpq-pipe",
+        compact_every=2, retrain_on_compact=True,
+    )
+    try:
+        for lo in range(0, 20, 10):  # waves 1-2: constructor quantizers
+            vecs.send(
+                [
+                    {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                    for r in rows[lo : lo + 10]
+                ],
+                barrier="chain",
+            )
+        assert rows_of(read_ivfpq_index(spark, sdir)) == rows_of(
+            ivfpq_encode(vdf(rows[:20]), cents, cbs)
+        )
+
+        # wave 3 crosses compact_every=2: both quantizer levels retrain
+        # and the whole table re-encodes under the new pair
+        vecs.send(
+            [
+                {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                for r in rows[20:30]
+            ],
+            barrier="chain",
+        )
+        tc = load_index_centroids(sdir)
+        tb = load_pq_codebooks(sdir)
+        assert tc is not None and tc != cents
+        assert tb is not None and tb != cbs
+        assert rows_of(read_ivfpq_index(spark, sdir)) == rows_of(
+            ivfpq_encode(vdf(rows[:30]), tc, tb)
+        )
+        h.stop()
+
+        # restart with the STALE constructor quantizers: the pipe must
+        # encode under the persisted trained pair instead
+        h2 = ivfpq_index_pipe(
+            vecs, sdir, cents, cbs, name="ivfpq-pipe",
+            compact_every=None, retrain_on_compact=False,
+        )
+        try:
+            vecs.send(
+                [
+                    {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                    for r in rows[30:35]
+                ],
+                barrier="chain",
+            )
+            assert rows_of(read_ivfpq_index(spark, sdir)) == rows_of(
+                ivfpq_encode(vdf(rows), tc, tb)
+            )
+        finally:
+            h2.stop()
+    finally:
+        h.stop()
+        vecs.close()
