@@ -28,4 +28,5 @@ from .ann import (  # noqa: F401
     read_ivfpq_index,
     read_pq_codes,
     search_ivf_index,
+    search_ivfpq_index,
 )

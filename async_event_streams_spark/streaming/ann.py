@@ -554,3 +554,110 @@ def read_ivfpq_index(spark: SparkSession, state_dir: str) -> DataFrame:
         key=lambda c: int(c[1:]),
     )
     return df.select("vec_id", "cell", *codes)
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    state_dir: str,
+    queries_df: DataFrame,
+    probes: int = 4,
+    k: int = 5,
+    shortlist: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """Serve top-k from the incrementally-maintained IVF×PQ index —
+    the full composed read path of the batch x_ann_ivfpq, against
+    `ivfpq_index_pipe` state: rank the query's `probes` nearest cells
+    (broadcast centroid table), ADC-score the PQ CODES inside probed
+    cells via M broadcast codebook joins (full vectors stay unread —
+    columnar projection), shortlist, then exact-re-rank only the
+    shortlist's full vectors. Uses the index's PERSISTED quantizers
+    (the only pair its rows are meaningful under). Tie discipline
+    matches x_ann_ivfpq (9 dp ranking keys, neighbor_id ties)."""
+    centroids = load_index_centroids(state_dir)
+    cbs = load_pq_codebooks(state_dir)
+    if centroids is None or cbs is None:
+        raise ValueError(f"no persisted quantizers under {state_dir}")
+    dirs = state_dirs(state_dir)
+    if not dirs:
+        raise ValueError(f"no index under {state_dir}")
+    m = len(cbs)
+    sub_dim = len(cbs[0][0])
+    raw = spark.read.parquet(*dirs)
+    codes = raw.select("vec_id", "cell", *[f"c{j}" for j in range(m)])
+    cent = spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(centroids)],
+        "centroid_id int, ce array<double>",
+    )
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cs"), 9).desc(), F.col("centroid_id")
+    )
+    probes_df = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qe",
+            "centroid_id",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / F.sqrt(dot(F.col("ce"), F.col("ce")))
+            ).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= probes)
+        .select("query_id", "qe", F.col("centroid_id").alias("cell"))
+    )
+    scored = F.broadcast(probes_df).join(codes, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    num = None
+    den2 = None
+    for j in range(m):
+        cbj = spark.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(cbs[j])],
+            f"c{j} int, ce{j} array<double>",
+        )
+        scored = scored.join(F.broadcast(cbj), f"c{j}")
+        qs = F.slice("qe", sub_dim * j + 1, sub_dim)
+        term = dot(qs, F.col(f"ce{j}"))
+        n2 = dot(F.col(f"ce{j}"), F.col(f"ce{j}"))
+        num = term if num is None else num + term
+        den2 = n2 if den2 is None else den2 + n2
+    adc = scored.withColumn(
+        "ascore", num / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(den2))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("ascore"), 9).desc(), F.col("vec_id")
+    )
+    short = (
+        adc.withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"))
+    )
+    full = raw.select(F.col("vec_id").alias("neighbor_id"), "e")
+    exact = F.broadcast(short).join(full, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("qe"), F.col("e"))
+            / (
+                F.sqrt(dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(dot(F.col("e"), F.col("e")))
+            )
+        ).alias("score"),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "rnk", F.round("score", 6).alias("score")
+        )
+    )

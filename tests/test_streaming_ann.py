@@ -480,3 +480,95 @@ def test_streaming_ivfpq_index_equals_batch(spark, sf_dir, topic_root):
     finally:
         h.stop()
         vecs.close()
+
+
+def test_search_ivfpq_degenerates_to_ivf_search_with_wide_shortlist(
+    spark, sf_dir, topic_root
+):
+    """Serving equivalence: with an unbounded shortlist the composed
+    read path (cell probe → ADC → exact re-rank) must equal
+    search_ivf_index exactly — the ADC stage only ever PRUNES; the
+    exact re-rank restores true cosine order over whatever survives.
+    With a tight shortlist, results must still be true-cosine-ranked
+    and hit ≥0.8 recall@5 against the unbounded answer."""
+    from async_event_streams_spark.queries.llm import (
+        _IVF_K,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+    )
+    from async_event_streams_spark.streaming import (
+        ivf_index_pipe,
+        ivfpq_index_pipe,
+        search_ivf_index,
+        search_ivfpq_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.orderBy("vec_id").limit(40).collect()
+    cents = [list(r.embedding) for r in rows[:_IVF_K]]
+    full = [list(r.embedding) for r in rows[:_PQ_K]]
+    cbs = [
+        [c[_PQ_SUB * j : _PQ_SUB * (j + 1)] for c in full]
+        for j in range(_PQ_M)
+    ]
+    payload = [
+        {"vec_id": r.vec_id, "embedding": list(r.embedding)} for r in rows
+    ]
+
+    reg = TopicRegistry()
+    v1 = Topic(
+        spark, "sivf_vecs", "vec_id long, embedding array<double>",
+        topic_root, reg,
+    )
+    v2 = Topic(
+        spark, "sivfpq_vecs", "vec_id long, embedding array<double>",
+        topic_root, reg,
+    )
+    d1, d2 = f"{topic_root}/sivf", f"{topic_root}/sivfpq"
+    h1 = ivf_index_pipe(v1, d1, cents, name="sivf-pipe")
+    h2 = ivfpq_index_pipe(v2, d2, cents, cbs, name="sivfpq-pipe")
+    try:
+        v1.send(payload, barrier="chain")
+        v2.send(payload, barrier="chain")
+        queries = spark.createDataFrame(
+            [(r.vec_id, list(r.embedding)) for r in rows[:6]],
+            "query_id long, embedding array<double>",
+        )
+        want = {
+            (r.query_id, r.neighbor_id, r.rnk, r.score)
+            for r in search_ivf_index(
+                spark, d1, queries, probes=3, k=5
+            ).collect()
+        }
+        wide = {
+            (r.query_id, r.neighbor_id, r.rnk, r.score)
+            for r in search_ivfpq_index(
+                spark, d2, queries, probes=3, k=5, shortlist=10_000
+            ).collect()
+        }
+        assert wide == want
+
+        tight = search_ivfpq_index(
+            spark, d2, queries, probes=3, k=5, shortlist=8
+        ).collect()
+        per_q = {}
+        for r in tight:
+            per_q.setdefault(r.query_id, []).append(r)
+        want_ids = {}
+        for q, n, rnk, s in want:
+            want_ids.setdefault(q, set()).add(n)
+        hits = total = 0
+        for q, rs in per_q.items():
+            scores = [r.score for r in sorted(rs, key=lambda r: r.rnk)]
+            assert scores == sorted(scores, reverse=True), q
+            total += len(rs)
+            hits += sum(1 for r in rs if r.neighbor_id in want_ids[q])
+        assert total and hits / total >= 0.8, (hits, total)
+    finally:
+        h1.stop()
+        h2.stop()
+        v1.close()
+        v2.close()
