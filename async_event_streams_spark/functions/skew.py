@@ -95,14 +95,14 @@ def salted_join(
 
     When to reach for this instead of AQE's skew-join splitting
     (enabled in session.py): AQE splits a skewed SHUFFLE join at
-    runtime, but (a) broadcast-ineligible dims joined under
-    deterministic hot keys still skew the map side's write path, and
-    (b) AQE can't split a partition whose single KEY is hot when the
-    downstream operator (e.g. a grouped aggregate on the same key)
-    re-coalesces it — salting re-keys the data itself, so every
-    operator downstream of the join inherits the spread. Cost:
-    |dim| × n_salts replicated rows — only sane for dimension-sized
-    right sides (for fact×fact skew, prefer AQE).
+    runtime, but a broadcast-ineligible dim joined under a
+    deterministic hot key still funnels that key's rows through one
+    task's shuffle write; salting spreads the JOIN work itself. It
+    does NOT protect a downstream groupBy on the same bare key (the
+    salt is dropped on return, so that aggregate re-shuffles on the
+    unsalted key) — for grouped-aggregate skew use `salted_agg`.
+    Cost: |dim| × n_salts replicated rows — only sane for
+    dimension-sized right sides (for fact×fact skew, prefer AQE).
 
     `how` supports inner/left joins (the fact side keeps exactly its
     row multiplicity; right/full would duplicate unmatched dim rows
@@ -111,6 +111,12 @@ def salted_join(
         raise ValueError(
             f"salted_join supports inner/left joins, got {how!r}"
         )
+    for side, df in (("fact", fact), ("dim", dim)):
+        if "__salt" in df.columns:
+            raise ValueError(
+                f"salted_join: {side} side already has a __salt column "
+                "(reserved) — rename or drop it first"
+            )
     salt = (F.rand(seed=0) * n_salts).cast("int")
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))

@@ -845,7 +845,11 @@ def _ivf_centroids_for(v: DataFrame, sf_dir: str) -> list[list[float]]:
     return cents
 
 
-def ivf_assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def ivf_assign(
+    v: DataFrame,
+    centroids: list[list[float]],
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Nearest-centroid assignment computed IN THE SCAN: `ivf_cell`
     embeds the K centroids as plan literals and evaluates the rounded
     argmax per row, so assignment adds zero exchanges — the earlier
@@ -866,6 +870,7 @@ def ivf_assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
         .select(
             "vec_id",
             "e",
+            *keep,
             F.expr("CAST(array_position(_s, array_max(_s)) - 1 AS INT)").alias(
                 "cell"
             ),
@@ -1046,9 +1051,10 @@ def pq_encode(
     which stores vectors beside codes for retraining) — still in the
     same scan, never a join."""
     out = v
+    sub_dim = len(codebooks[0][0])
     for j, cb in enumerate(codebooks):
         arr = pq_sub_scores_sql(
-            "e", cb, offset=_PQ_SUB * j, round_dp=9, assume_double=True
+            "e", cb, offset=sub_dim * j, round_dp=9, assume_double=True
         )
         out = (
             out.withColumn(f"_s{j}", F.expr(arr))
@@ -1227,7 +1233,10 @@ def ivfpq_encode(
     the M PQ sub-codes, every argmax an in-scan literal expression
     (ivf_scores_sql / pq_sub_scores_sql) — the N-row side is never
     exchanged to be indexed, same contract as ivf_assign/pq_encode and
-    plan-asserted in tests/test_plans.py."""
+    plan-asserted in tests/test_plans.py. M and the subspace width are
+    DERIVED from `codebooks` (like pq_encode) so retrained codebooks
+    of any geometry encode consistently; `keep` passes input columns
+    through to the output."""
     out = (
         v.withColumn(
             "_sc",
@@ -1241,9 +1250,10 @@ def ivfpq_encode(
         )
         .drop("_sc")
     )
+    sub_dim = len(codebooks[0][0])
     for j, cb in enumerate(codebooks):
         arr = pq_sub_scores_sql(
-            "e", cb, offset=_PQ_SUB * j, round_dp=9, assume_double=True
+            "e", cb, offset=sub_dim * j, round_dp=9, assume_double=True
         )
         out = (
             out.withColumn(f"_s{j}", F.expr(arr))
@@ -1256,7 +1266,7 @@ def ivfpq_encode(
             .drop(f"_s{j}")
         )
     return out.select(
-        "vec_id", *keep, "cell", *[f"c{j}" for j in range(_PQ_M)]
+        "vec_id", *keep, "cell", *[f"c{j}" for j in range(len(codebooks))]
     )
 
 

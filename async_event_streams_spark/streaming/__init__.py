@@ -23,6 +23,7 @@ from .ann import (  # noqa: F401
     ivf_index_pipe,
     ivfpq_index_pipe,
     load_index_centroids,
+    load_ivfpq_quantizers,
     load_pq_codebooks,
     pq_index_pipe,
     read_ivfpq_index,

@@ -96,6 +96,87 @@ def _sweep_retrain(state_dir: str) -> None:
             os.rename(old, d)
 
 
+def _reencode_dirs(spark, dirs, encode_fn) -> None:
+    """THE authoritative rename-aside swap (single copy — all three
+    pipes' retrains ride it, so the ordering `_sweep_retrain`'s
+    crash-healing contract depends on lives in one place): write
+    `d.retrain.tmp` complete → rename `d` aside → promote tmp → delete
+    old last. `encode_fn(spark, d)` returns the re-encoded frame for
+    dir `d` (and must PRESERVE the `__batch` lineage column when
+    present — latest-wins dedup depends on it)."""
+    import shutil
+
+    for d in dirs:
+        tmp = d + ".retrain.tmp"
+        old = d + ".retrain.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        encode_fn(spark, d).write.mode("overwrite").parquet(tmp)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+
+
+def _retrain_src(spark, d: str) -> DataFrame:
+    """A state dir's rows ready for re-encoding: (vec_id, e) plus the
+    `__batch` lineage column when the dir carries it."""
+    df = spark.read.parquet(d)
+    cols = ["vec_id", "e"] + (["__batch"] if "__batch" in df.columns else [])
+    return df.select(*cols)
+
+
+def _keep_of(df: DataFrame) -> tuple[str, ...]:
+    return ("e", "__batch") if "__batch" in df.columns else ("e",)
+
+
+def _latest_rows(df: DataFrame) -> DataFrame:
+    """Latest-wins per vec_id: a producer that re-sends an id in a
+    later micro-batch UPDATES it — without this, both rows would score
+    in search and occupy two result ranks. Keyed by the `__batch`
+    column the pipes stamp at index time (compaction preserves it);
+    rows within ONE batch are assumed unique per id (producer
+    contract). Legacy dirs without the column pass through unchanged."""
+    if "__batch" not in df.columns:
+        return df
+    w = Window.partitionBy("vec_id").orderBy(F.col("__batch").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__batch")
+    )
+
+
+def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    dirs = state_dirs(state_dir)
+    if not dirs:
+        raise ValueError(f"no index under {state_dir}")
+    return _latest_rows(spark.read.parquet(*dirs))
+
+
+def _probe_cells(q: DataFrame, cent: DataFrame, probes: int) -> DataFrame:
+    """(query_id, qe) × broadcast centroid table → the query's `probes`
+    nearest cells as (query_id, qe, cell); tie discipline ROUND(cs,9)
+    DESC, centroid_id ASC — shared by both search paths."""
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cs"), 9).desc(), F.col("centroid_id")
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qe",
+            "centroid_id",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / F.sqrt(dot(F.col("ce"), F.col("ce")))
+            ).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= probes)
+        .select("query_id", "qe", F.col("centroid_id").alias("cell"))
+    )
+
+
 def ivf_index_pipe(
     source,
     state_dir: str,
@@ -141,8 +222,6 @@ def ivf_index_pipe(
         _save_centroids(state_dir, live["centroids"])
 
     def retrain(spark, batch_id: int) -> None:
-        import shutil
-
         from ..functions.similarity import train_ivf_centroids
 
         dirs = state_dirs(state_dir, batch_id)
@@ -153,24 +232,16 @@ def ivf_index_pipe(
             idx, "e", k=len(live["centroids"]), seed=retrain_seed
         )
         # reassign everything indexed so far, THEN publish the new
-        # centroids — readers never see new centroids with old cells.
-        # Swap discipline: the live dir is renamed ASIDE (atomic), the
-        # complete tmp renamed in (atomic), and only then is the old
-        # copy deleted — no window where the dir's vectors exist nowhere
-        # on disk; _sweep_retrain heals any crash between the steps.
-        for d in dirs:
-            tmp = d + ".retrain.tmp"
-            old = d + ".retrain.old"
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
-            (
-                ivf_assign(spark.read.parquet(d).select("vec_id", "e"), new)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            os.rename(d, old)
-            os.rename(tmp, d)
-            shutil.rmtree(old)
+        # centroids — readers never see new centroids with old cells
+        # (the rows-before-json crash window that remains is the
+        # documented single-file caveat: back the state with a
+        # transactional table at cluster scale).
+        def reassign(sp, d):
+            src = _retrain_src(sp, d)
+            keep = tuple(c for c in ("__batch",) if c in src.columns)
+            return ivf_assign(src, new, keep=keep)
+
+        _reencode_dirs(spark, dirs, reassign)
         live["centroids"] = new
         _save_centroids(state_dir, new)
 
@@ -185,7 +256,11 @@ def ivf_index_pipe(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("e"),
         )
-        assigned = materialize(ivf_assign(v, live["centroids"]))
+        assigned = materialize(
+            ivf_assign(v, live["centroids"]).withColumn(
+                "__batch", F.lit(batch_id)
+            )
+        )
         (
             assigned.write.mode("overwrite")  # replay-safe: batch N owns it
             .parquet(os.path.join(state_dir, f"batch={batch_id}"))
@@ -216,10 +291,7 @@ def search_ivf_index(
         centroids = load_index_centroids(state_dir)
         if centroids is None:
             raise ValueError(f"no persisted centroids under {state_dir}")
-    dirs = state_dirs(state_dir)
-    if not dirs:
-        raise ValueError(f"no index under {state_dir}")
-    index = spark.read.parquet(*dirs)
+    index = _read_state(spark, state_dir)  # latest-wins on re-sent ids
     cent = spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(centroids)],
         "centroid_id int, ce array<double>",
@@ -228,21 +300,7 @@ def search_ivf_index(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qe"),
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cs"), 9).desc(), F.col("centroid_id")
-    )
-    probes_df = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qe",
-            "centroid_id",
-            (dot(F.col("qe"), F.col("ce")) / F.sqrt(dot(F.col("ce"), F.col("ce")))).alias("cs"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= probes)
-        .select("query_id", "qe", F.col("centroid_id").alias("cell"))
-    )
+    probes_df = _probe_cells(q, cent, probes)
     scored = (
         F.broadcast(probes_df)
         .join(index, "cell")
@@ -345,8 +403,6 @@ def pq_index_pipe(
         _save_codebooks(state_dir, live["cbs"])
 
     def retrain(spark, batch_id: int) -> None:
-        import shutil
-
         from ..functions.similarity import train_ivf_centroids
 
         dirs = state_dirs(state_dir, batch_id)
@@ -363,24 +419,15 @@ def pq_index_pipe(
                 )
             )
         live_new = [[list(map(float, c)) for c in cb] for cb in new]
+
         # re-encode everything indexed so far, THEN publish the new
-        # codebooks — readers never see new codebooks with old codes.
-        # Same swap discipline as the IVF retrain: rename aside,
-        # promote, delete old last; _sweep_retrain heals any tear.
-        for d in dirs:
-            tmp = d + ".retrain.tmp"
-            old = d + ".retrain.old"
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
-            src = spark.read.parquet(d).select("vec_id", "e")
-            (
-                pq_encode(src, live_new, keep=("e",))
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            os.rename(d, old)
-            os.rename(tmp, d)
-            shutil.rmtree(old)
+        # codebooks — readers never see new codebooks with old codes
+        # (shared swap: _reencode_dirs).
+        def recode(sp, d):
+            src = _retrain_src(sp, d)
+            return pq_encode(src, live_new, keep=_keep_of(src))
+
+        _reencode_dirs(spark, dirs, recode)
         live["cbs"] = live_new
         _save_codebooks(state_dir, live_new)
 
@@ -395,12 +442,16 @@ def pq_index_pipe(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("e"),
         )
-        coded = materialize(pq_encode(v, live["cbs"], keep=("e",)))
+        coded = materialize(
+            pq_encode(v, live["cbs"], keep=("e",)).withColumn(
+                "__batch", F.lit(batch_id)
+            )
+        )
         (
             coded.write.mode("overwrite")  # replay-safe: batch N owns it
             .parquet(os.path.join(state_dir, f"batch={batch_id}"))
         )
-        return coded.drop("e")
+        return coded.drop("e", "__batch")
 
     return pipe(source, fn=index_batch, sink_fn=lambda df, b: None, name=name)
 
@@ -408,17 +459,52 @@ def pq_index_pipe(
 def read_pq_codes(spark: SparkSession, state_dir: str) -> DataFrame:
     """Everything indexed so far, codes only (columnar projection — the
     compressed read path ADC scoring consumes)."""
-    dirs = state_dirs(state_dir)
-    if not dirs:
-        raise ValueError(f"no index under {state_dir}")
+    return _read_codes(spark, state_dir, include_cell=False)
+
+
+def _read_codes(
+    spark: SparkSession, state_dir: str, include_cell: bool
+) -> DataFrame:
     import re
 
-    df = spark.read.parquet(*dirs)
+    df = _read_state(spark, state_dir)  # latest-wins on re-sent ids
     codes = sorted(
         (c for c in df.columns if re.fullmatch(r"c\d+", c)),
         key=lambda c: int(c[1:]),
     )
-    return df.select("vec_id", *codes)
+    cell = ["cell"] if include_cell else []
+    return df.select("vec_id", *cell, *codes)
+
+
+_IVFPQ_QUANT_FILE = "_ivfpq_quantizers.json"
+
+
+def load_ivfpq_quantizers(
+    state_dir: str,
+) -> tuple[list[list[float]], list] | None:
+    """The composed index's CURRENT (centroids, codebooks) pair,
+    persisted as ONE json so the two quantizer levels can never tear
+    apart on disk (a crash between two separate files could publish
+    new centroids beside stale codebooks — strictly worse than either
+    single-level pipe's one-file window). Rows are only meaningful
+    under the pair that produced them."""
+    import json
+
+    try:
+        with open(os.path.join(state_dir, _IVFPQ_QUANT_FILE)) as f:
+            d = json.load(f)
+        return d["centroids"], d["codebooks"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _save_ivfpq_quantizers(state_dir: str, cents, cbs) -> None:
+    import json
+
+    tmp = os.path.join(state_dir, _IVFPQ_QUANT_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"centroids": cents, "codebooks": cbs}, f)
+    os.replace(tmp, os.path.join(state_dir, _IVFPQ_QUANT_FILE))
 
 
 def ivfpq_index_pipe(
@@ -449,8 +535,9 @@ def ivfpq_index_pipe(
     quantizers that produced them, so both json files publish AFTER
     the re-encode (readers never see new quantizers with old rows).
     Same rename-aside swap + `_sweep_retrain` crash healing as the
-    single-level pipes; `_centroids.json` + `_codebooks.json` persist
-    the live pair across restarts."""
+    single-level pipes; the live pair persists in ONE
+    `_ivfpq_quantizers.json` (a single os.replace — the two levels
+    can never tear apart on disk) across restarts."""
     from ..queries.llm import ivfpq_encode
     from ..topics.pipe import pipe
     from ..util import materialize
@@ -458,24 +545,17 @@ def ivfpq_index_pipe(
     reject_partitioned_source(source, "ivfpq_index_pipe")
     os.makedirs(state_dir, exist_ok=True)
     _sweep_retrain(state_dir)
-    saved_c = load_index_centroids(state_dir)
-    saved_b = load_pq_codebooks(state_dir)
-    live = {
-        "centroids": saved_c
-        if saved_c is not None
-        else [list(map(float, c)) for c in centroids],
-        "cbs": saved_b
-        if saved_b is not None
-        else [[list(map(float, c)) for c in cb] for cb in codebooks],
-    }
-    if saved_c is None:
-        _save_centroids(state_dir, live["centroids"])
-    if saved_b is None:
-        _save_codebooks(state_dir, live["cbs"])
+    saved = load_ivfpq_quantizers(state_dir)
+    if saved is not None:
+        live = {"centroids": saved[0], "cbs": saved[1]}
+    else:
+        live = {
+            "centroids": [list(map(float, c)) for c in centroids],
+            "cbs": [[list(map(float, c)) for c in cb] for cb in codebooks],
+        }
+        _save_ivfpq_quantizers(state_dir, live["centroids"], live["cbs"])
 
     def retrain(spark, batch_id: int) -> None:
-        import shutil
-
         from ..functions.similarity import train_ivf_centroids
 
         dirs = state_dirs(state_dir, batch_id)
@@ -497,24 +577,16 @@ def ivfpq_index_pipe(
                     )
                 ]
             )
-        for d in dirs:
-            tmp = d + ".retrain.tmp"
-            old = d + ".retrain.old"
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
-            src = spark.read.parquet(d).select("vec_id", "e")
-            (
-                ivfpq_encode(src, new_cents, new_cbs, keep=("e",))
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            os.rename(d, old)
-            os.rename(tmp, d)
-            shutil.rmtree(old)
+        def recode(sp, d):
+            src = _retrain_src(sp, d)
+            return ivfpq_encode(src, new_cents, new_cbs, keep=_keep_of(src))
+
+        _reencode_dirs(spark, dirs, recode)
         live["centroids"] = new_cents
         live["cbs"] = new_cbs
-        _save_centroids(state_dir, new_cents)
-        _save_codebooks(state_dir, new_cbs)
+        # ONE atomic replace publishes the pair together — no window
+        # where new centroids sit beside stale codebooks.
+        _save_ivfpq_quantizers(state_dir, new_cents, new_cbs)
 
     def index_batch(df, batch_id: int):
         spark = df.sparkSession
@@ -528,13 +600,15 @@ def ivfpq_index_pipe(
             F.col(vec_col).cast("array<double>").alias("e"),
         )
         enc = materialize(
-            ivfpq_encode(v, live["centroids"], live["cbs"], keep=("e",))
+            ivfpq_encode(
+                v, live["centroids"], live["cbs"], keep=("e",)
+            ).withColumn("__batch", F.lit(batch_id))
         )
         (
             enc.write.mode("overwrite")  # replay-safe: batch N owns it
             .parquet(os.path.join(state_dir, f"batch={batch_id}"))
         )
-        return enc.drop("e")
+        return enc.drop("e", "__batch")
 
     return pipe(source, fn=index_batch, sink_fn=lambda df, b: None, name=name)
 
@@ -542,18 +616,9 @@ def ivfpq_index_pipe(
 def read_ivfpq_index(spark: SparkSession, state_dir: str) -> DataFrame:
     """Everything indexed so far: (vec_id, cell, c0..cM-1) — the
     cell-restricted compressed table ADC scoring probes (columnar
-    projection leaves the ride-along full vectors unread)."""
-    import re
-
-    dirs = state_dirs(state_dir)
-    if not dirs:
-        raise ValueError(f"no index under {state_dir}")
-    df = spark.read.parquet(*dirs)
-    codes = sorted(
-        (c for c in df.columns if re.fullmatch(r"c\d+", c)),
-        key=lambda c: int(c[1:]),
-    )
-    return df.select("vec_id", "cell", *codes)
+    projection leaves the ride-along full vectors unread);
+    latest-wins on re-sent ids."""
+    return _read_codes(spark, state_dir, include_cell=True)
 
 
 def search_ivfpq_index(
@@ -575,16 +640,13 @@ def search_ivfpq_index(
     shortlist's full vectors. Uses the index's PERSISTED quantizers
     (the only pair its rows are meaningful under). Tie discipline
     matches x_ann_ivfpq (9 dp ranking keys, neighbor_id ties)."""
-    centroids = load_index_centroids(state_dir)
-    cbs = load_pq_codebooks(state_dir)
-    if centroids is None or cbs is None:
+    pair = load_ivfpq_quantizers(state_dir)
+    if pair is None:
         raise ValueError(f"no persisted quantizers under {state_dir}")
-    dirs = state_dirs(state_dir)
-    if not dirs:
-        raise ValueError(f"no index under {state_dir}")
+    centroids, cbs = pair
     m = len(cbs)
     sub_dim = len(cbs[0][0])
-    raw = spark.read.parquet(*dirs)
+    raw = _read_state(spark, state_dir)  # latest-wins on re-sent ids
     codes = raw.select("vec_id", "cell", *[f"c{j}" for j in range(m)])
     cent = spark.createDataFrame(
         [(i, list(map(float, c))) for i, c in enumerate(centroids)],
@@ -594,24 +656,7 @@ def search_ivfpq_index(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qe"),
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cs"), 9).desc(), F.col("centroid_id")
-    )
-    probes_df = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qe",
-            "centroid_id",
-            (
-                dot(F.col("qe"), F.col("ce"))
-                / F.sqrt(dot(F.col("ce"), F.col("ce")))
-            ).alias("cs"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= probes)
-        .select("query_id", "qe", F.col("centroid_id").alias("cell"))
-    )
+    probes_df = _probe_cells(q, cent, probes)
     scored = F.broadcast(probes_df).join(codes, "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )

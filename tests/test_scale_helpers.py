@@ -137,3 +137,16 @@ def test_salted_join_equals_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], how="full")
+
+
+def test_salted_join_rejects_reserved_salt_column(spark):
+    from async_event_streams_spark.functions.skew import salted_join
+
+    fact = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1).alias("__salt")
+    )
+    dim = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(fact, dim, ["k"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(dim, fact, ["k"])

@@ -389,8 +389,7 @@ def test_streaming_ivfpq_index_equals_batch(spark, sf_dir, topic_root):
     )
     from async_event_streams_spark.streaming import (
         ivfpq_index_pipe,
-        load_index_centroids,
-        load_pq_codebooks,
+        load_ivfpq_quantizers,
         read_ivfpq_index,
     )
 
@@ -449,10 +448,10 @@ def test_streaming_ivfpq_index_equals_batch(spark, sf_dir, topic_root):
             ],
             barrier="chain",
         )
-        tc = load_index_centroids(sdir)
-        tb = load_pq_codebooks(sdir)
-        assert tc is not None and tc != cents
-        assert tb is not None and tb != cbs
+        pair = load_ivfpq_quantizers(sdir)
+        assert pair is not None
+        tc, tb = pair
+        assert tc != cents and tb != cbs
         assert rows_of(read_ivfpq_index(spark, sdir)) == rows_of(
             ivfpq_encode(vdf(rows[:30]), tc, tb)
         )
@@ -572,3 +571,55 @@ def test_search_ivfpq_degenerates_to_ivf_search_with_wide_shortlist(
         h2.stop()
         v1.close()
         v2.close()
+
+
+def test_resent_vector_updates_index_latest_wins(spark, sf_dir, topic_root):
+    """A producer re-sending a vec_id in a later micro-batch UPDATES
+    it: read/search paths must return the id once, scored under its
+    newest embedding — not twice occupying two result ranks (the
+    append-only batch=N layout holds both rows; dedup is the read
+    contract, keyed by the stamped __batch column)."""
+    from async_event_streams_spark.streaming import (
+        ivf_index_pipe,
+        search_ivf_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.orderBy("vec_id").limit(12).collect()
+    cents = [list(r.embedding) for r in rows[:4]]
+    reg = TopicRegistry()
+    vecs = Topic(
+        spark, "upd_vecs", "vec_id long, embedding array<double>",
+        topic_root, reg,
+    )
+    sdir = f"{topic_root}/upd-state"
+    h = ivf_index_pipe(vecs, sdir, cents, name="upd-pipe")
+    try:
+        vecs.send(
+            [
+                {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                for r in rows[:10]
+            ],
+            barrier="chain",
+        )
+        # re-send id 5 with vector 11's embedding in a later batch
+        updated = list(rows[11].embedding)
+        vecs.send([{"vec_id": 5, "embedding": updated}], barrier="chain")
+
+        idx = spark.read.parquet(*state_dirs(sdir))
+        assert idx.filter(F.col("vec_id") == 5).count() == 2  # raw layout
+
+        q = spark.createDataFrame(
+            [(999, updated)], "query_id long, embedding array<double>"
+        )
+        res = search_ivf_index(spark, sdir, q, probes=4, k=10).collect()
+        fives = [r for r in res if r.neighbor_id == 5]
+        assert len(fives) == 1  # once, not twice
+        # scored under the NEW embedding: cosine(updated, updated) = 1
+        assert abs(fives[0].score - 1.0) < 1e-6
+        assert fives[0].rnk == 1
+    finally:
+        h.stop()
+        vecs.close()
