@@ -2292,3 +2292,123 @@ def c_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "c_funnel_steps",
+    oracle=(
+        "WITH s1 AS ("
+        "  SELECT user_id, MIN(ts) AS t1 FROM events "
+        "  WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS ("
+        "  SELECT e.user_id, MIN(e.ts) AS t2 "
+        "  FROM events e JOIN s1 ON e.user_id = s1.user_id "
+        "  WHERE e.event_type = 'click' AND e.ts > s1.t1 "
+        "  GROUP BY e.user_id), "
+        "s3 AS ("
+        "  SELECT e.user_id, MIN(e.ts) AS t3 "
+        "  FROM events e JOIN s2 ON e.user_id = s2.user_id "
+        "  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 "
+        "  GROUP BY e.user_id) "
+        "SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view, "
+        "CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click, "
+        "CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase, "
+        "CAST(ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) / "
+        "(SELECT COUNT(*) FROM s1), 6) AS DOUBLE) AS conversion"
+    ),
+)
+def c_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): the product-
+    analytics staple — each step counts users whose step event happens
+    STRICTLY AFTER their previous step's first occurrence, not merely
+    users who did both.
+
+    Plan shape: three user-keyed aggregations, each joined to the
+    previous step's (user, t) frame on the SAME user_id key — every
+    exchange is user-keyed, so AQE reuses one co-partitioning down the
+    chain and the step frames shrink monotonically (funnel property).
+    The final 1-row count is a broadcast-scalar reduce. Timestamp
+    comparisons are exact (no arithmetic)."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count("*").alias("n_view"))
+    n2 = s2.agg(F.count("*").alias("n_click"))
+    n3 = s3.agg(F.count("*").alias("n_purchase"))
+    return (
+        n1.join(F.broadcast(n2))
+        .join(F.broadcast(n3))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(
+                F.col("n_purchase").cast("double") / F.col("n_view"), 6
+            ).alias("conversion"),
+        )
+    )
+
+
+@query(
+    "c_retention_cohorts",
+    oracle=(
+        "WITH uw AS ("
+        "  SELECT DISTINCT user_id, "
+        "  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events), "
+        "first AS ("
+        "  SELECT user_id, MIN(week) AS cohort_week FROM uw "
+        "  GROUP BY user_id) "
+        "SELECT cohort_week, "
+        "CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) "
+        "AS week_offset, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users "
+        "FROM uw JOIN first USING (user_id) "
+        "GROUP BY cohort_week, week_offset "
+        "ORDER BY cohort_week, week_offset"
+    ),
+)
+def c_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-active week,
+    counted in each later week they return — the growth-analytics
+    report every event warehouse serves.
+
+    Plan shape: one distinct (user, week) collapse (the only
+    fact-sized exchange), a per-user MIN for the cohort, a user-keyed
+    join back (co-partitioned with the distinct), and a tiny
+    |cohorts| x |offsets| aggregate. Both engines truncate weeks to
+    ISO Monday, so bucket boundaries agree exactly; the offset is
+    exact integer day arithmetic / 7."""
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
