@@ -2696,8 +2696,14 @@ def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5 additions: corpus statistics and funnel observability
 # ---------------------------------------------------------------------------
 
+# Empty documents are EXCLUDED on both sides by contract: the engines
+# disagree on splitting '' (Spark split('','') -> [] drops the doc;
+# DuckDB string_split('','') -> [''] would emit a zero-entropy row),
+# so the filter pins one semantic instead of leaving a latent
+# divergence for corpora with empty texts.
 _ENTROPY_ORACLE = """
-WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents WHERE length(text) > 0),
 k AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS k FROM c GROUP BY doc_id, ch),
 e AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
              SUM(k * log2(k)) AS klog
@@ -2725,7 +2731,7 @@ def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|alphabet|) length-of-replace probes per row (zero fan-out);
     the explode form is kept because real corpora have open
     alphabets."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     k = (
         docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
         .groupBy("doc_id", "ch")

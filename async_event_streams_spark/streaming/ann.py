@@ -117,16 +117,31 @@ def _reencode_dirs(spark, dirs, encode_fn) -> None:
         shutil.rmtree(old)
 
 
+def _read_dirs(spark, dirs) -> DataFrame:
+    """State-dir read with schema merge: a resumed pre-__batch index
+    mixes legacy and stamped files, and without mergeSchema the picked
+    footer could hide the stamp (breaking latest-wins) — merged, the
+    legacy rows read as null __batch and sort OLDEST (nulls-last under
+    the desc dedup order), which is exactly their semantics."""
+    if isinstance(dirs, str):
+        dirs = [dirs]
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+
 def _retrain_src(spark, d: str) -> DataFrame:
     """A state dir's rows ready for re-encoding: (vec_id, e) plus the
     `__batch` lineage column when the dir carries it."""
-    df = spark.read.parquet(d)
+    df = _read_dirs(spark, d)
     cols = ["vec_id", "e"] + (["__batch"] if "__batch" in df.columns else [])
     return df.select(*cols)
 
 
-def _keep_of(df: DataFrame) -> tuple[str, ...]:
-    return ("e", "__batch") if "__batch" in df.columns else ("e",)
+def _keep_of(df: DataFrame, with_e: bool = True) -> tuple[str, ...]:
+    """Columns a re-encode must pass through: the `__batch` lineage
+    stamp when present, plus `e` unless the encoder already emits it
+    (ivf_assign always selects e itself — with_e=False there)."""
+    keep = ("e",) if with_e else ()
+    return keep + (("__batch",) if "__batch" in df.columns else ())
 
 
 def _latest_rows(df: DataFrame) -> DataFrame:
@@ -150,7 +165,7 @@ def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     dirs = state_dirs(state_dir)
     if not dirs:
         raise ValueError(f"no index under {state_dir}")
-    return _latest_rows(spark.read.parquet(*dirs))
+    return _latest_rows(_read_dirs(spark, dirs))
 
 
 def _probe_cells(q: DataFrame, cent: DataFrame, probes: int) -> DataFrame:
@@ -227,7 +242,9 @@ def ivf_index_pipe(
         dirs = state_dirs(state_dir, batch_id)
         if not dirs:
             return
-        idx = spark.read.parquet(*dirs)
+        # train on LATEST rows only — superseded versions of re-sent
+        # ids are dead vectors and would drift the centroids
+        idx = _latest_rows(_read_dirs(spark, dirs))
         new = train_ivf_centroids(
             idx, "e", k=len(live["centroids"]), seed=retrain_seed
         )
@@ -238,8 +255,7 @@ def ivf_index_pipe(
         # transactional table at cluster scale).
         def reassign(sp, d):
             src = _retrain_src(sp, d)
-            keep = tuple(c for c in ("__batch",) if c in src.columns)
-            return ivf_assign(src, new, keep=keep)
+            return ivf_assign(src, new, keep=_keep_of(src, with_e=False))
 
         _reencode_dirs(spark, dirs, reassign)
         live["centroids"] = new
@@ -386,7 +402,7 @@ def pq_index_pipe(
     path. Live codebooks persist in `_codebooks.json`; restart picks
     them up, so incremental encoding stays consistent with what the
     index holds."""
-    from ..queries.llm import _PQ_SUB, pq_encode
+    from ..queries.llm import pq_encode
     from ..topics.pipe import pipe
     from ..util import materialize
 
@@ -408,7 +424,7 @@ def pq_index_pipe(
         dirs = state_dirs(state_dir, batch_id)
         if not dirs:
             return
-        idx = spark.read.parquet(*dirs)
+        idx = _latest_rows(_read_dirs(spark, dirs))  # train on latest only
         sub_dim = len(live["cbs"][0][0])
         new = []
         for j in range(len(live["cbs"])):
@@ -561,7 +577,7 @@ def ivfpq_index_pipe(
         dirs = state_dirs(state_dir, batch_id)
         if not dirs:
             return
-        idx = spark.read.parquet(*dirs)
+        idx = _latest_rows(_read_dirs(spark, dirs))  # train on latest only
         new_cents = train_ivf_centroids(
             idx, "e", k=len(live["centroids"]), seed=retrain_seed
         )
@@ -646,7 +662,12 @@ def search_ivfpq_index(
     centroids, cbs = pair
     m = len(cbs)
     sub_dim = len(cbs[0][0])
-    raw = _read_state(spark, state_dir)  # latest-wins on re-sent ids
+    from ..util import materialize
+
+    # Pin before branching: raw feeds both the ADC code table and the
+    # exact re-rank; unpinned, the full state scan + dedup window
+    # would run twice per search (the q11/q15/q22 discipline).
+    raw = materialize(_read_state(spark, state_dir))
     codes = raw.select("vec_id", "cell", *[f"c{j}" for j in range(m)])
     cent = spark.createDataFrame(
         [(i, list(map(float, c))) for i, c in enumerate(centroids)],

@@ -60,10 +60,16 @@ def scd2_intervals_stream(df: DataFrame) -> DataFrame:
         out_type: list[str] = []
         out_from: list[int] = []
         out_to: list[int] = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concat ALL Arrow chunks before sorting: a >maxRecordsPerBatch
+        # key group arrives as several DataFrames in arbitrary relative
+        # order, and sorting each chunk alone would make the FIFO
+        # watermark below mis-drop later-chunk events (the
+        # _sessionize_compat pattern in stateful.py).
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             ts_us = _us(pdf["ts"])
             for t_us, eid, etype in zip(
                 ts_us, pdf["event_id"], pdf["event_type"]

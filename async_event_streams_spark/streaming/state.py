@@ -93,7 +93,15 @@ def compact_state(spark, state_dir: str, upto_batch: int) -> int:
     lo = int(_BATCH_DIR_RE.match(os.path.basename(dirs[0])).group(1))
     tmp = os.path.join(state_dir, f".compact-{lo}.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+    # mergeSchema: ANN state dirs may mix legacy and __batch-stamped
+    # files; a single-footer schema pick would silently DROP the stamp
+    # from the merged dir, permanently erasing latest-wins lineage.
+    (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*dirs)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
     for d in dirs:
         shutil.rmtree(d)
     os.rename(tmp, os.path.join(state_dir, f"batch={lo}"))

@@ -231,7 +231,9 @@ def test_char_entropy_matches_python(spark, batch):
     import math
     from collections import Counter
 
-    batch = [s for s in batch if s]  # empty text has no chars on either side
+    # empty texts are excluded by x_char_entropy's contract (the two
+    # engines split '' differently; the query filters length > 0)
+    batch = [s for s in batch if s]
     if not batch:
         return
     df = spark.createDataFrame(
