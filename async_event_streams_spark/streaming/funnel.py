@@ -1,0 +1,95 @@
+"""Streaming funnel tracking: the incremental twin of the batch
+`c_funnel_steps` query (queries/relational.py).
+
+Each user's funnel progress is ONE state tuple (the first-occurrence
+timestamp of every completed step); an event advances the user at most
+one stage per the strictly-after rule (step k counts only when it
+happens after the user's step k-1 first-occurrence). The pipe emits a
+row whenever a user ADVANCES — downstream, a running
+`groupBy(stage).count()` is the live funnel dashboard, and the final
+per-user stage equals the batch query's step membership exactly
+(asserted in tests/test_streaming.py).
+
+Same per-key FIFO/ordering contract and chunk handling as
+streaming/scd2.py: all Arrow chunks are concatenated before sorting,
+and rows at-or-behind the key's last-seen (ts, event_id) are dropped
+defensively. State is O(keys): three int64 timestamps per user.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int, reached_at timestamp"
+# t1/t2/t3 = first view / first strictly-later click / first strictly-
+# later purchase, as int64 micros; 0 = step not reached. Plus the
+# last-seen watermark pair for the defensive out-of-order drop.
+FUNNEL_STATE_SCHEMA = (
+    "t1_us long, t2_us long, t3_us long, last_us long, last_eid long"
+)
+
+_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stage_stream(df: DataFrame) -> DataFrame:
+    """(user_id, event_type, ts, event_id) stream → one append row per
+    stage ADVANCE: (user_id, stage 1..3, reached_at). A user's rows
+    are strictly increasing in stage; the latest row is their current
+    funnel position."""
+
+    def update(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2, t3, last_us, last_eid = (
+            state.get if state.exists else (0, 0, 0, -1, -1)
+        )
+        out_stage: list[int] = []
+        out_at: list[int] = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for t_us, eid, etype in zip(
+                ts_us, pdf["event_id"], pdf["event_type"]
+            ):
+                t_us, eid = int(t_us), int(eid)
+                if (t_us, eid) <= (last_us, last_eid):
+                    continue  # per-key FIFO contract violation: drop
+                last_us, last_eid = t_us, eid
+                if etype == _STEPS[0] and t1 == 0:
+                    t1 = t_us
+                    out_stage.append(1)
+                    out_at.append(t_us)
+                elif etype == _STEPS[1] and t2 == 0 and t1 and t_us > t1:
+                    t2 = t_us
+                    out_stage.append(2)
+                    out_at.append(t_us)
+                elif etype == _STEPS[2] and t3 == 0 and t2 and t_us > t2:
+                    t3 = t_us
+                    out_stage.append(3)
+                    out_at.append(t_us)
+        state.update((t1, t2, t3, last_us, last_eid))
+        if not out_stage:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_stage),
+                "stage": out_stage,
+                "reached_at": pd.to_datetime(out_at, unit="us"),
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -250,3 +250,80 @@ def _scd2_batch_on(src):
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     )
+
+
+def test_funnel_stream_converges_to_batch(spark, sf_dir, topic_root):
+    """The streaming funnel's final per-user stage must equal the
+    batch c_funnel_steps step memberships on the same (time-ordered)
+    events, across two waves — stage state carries over the
+    micro-batch boundary; rows are strictly stage-increasing."""
+    from async_event_streams_spark.streaming import funnel_stage_stream
+
+    n = 600
+    src = _events_sample(spark, sf_dir, n).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # batch memberships (the c_funnel_steps CTE chain, on this subset)
+    s1 = (
+        src.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        src.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        src.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    batch_stage = {r.user_id: 1 for r in s1.collect()}
+    batch_stage.update({r.user_id: 2 for r in s2.collect()})
+    batch_stage.update({r.user_id: 3 for r in s3.collect()})
+
+    t = Topic(
+        spark,
+        "funnel",
+        "user_id long, etype string, ets timestamp, eid long",
+        topic_root,
+        TopicRegistry(),
+    )
+    stream = t.subscribe().select(
+        "user_id",
+        F.col("etype").alias("event_type"),
+        F.col("ets").alias("ts"),
+        F.col("eid").alias("event_id"),
+    )
+    query, tbl = run_stream_to_memory(
+        funnel_stage_stream(stream), output_mode="append"
+    )
+    t.attach_query(query)
+    try:
+        rows = [
+            {
+                "user_id": r.user_id,
+                "etype": r.event_type,
+                "ets": r.ts,
+                "eid": r.event_id,
+            }
+            for r in src.orderBy("ts", "event_id").collect()
+        ]
+        t.post(rows[: n // 2])
+        t.send(rows[n // 2 :])
+        got_rows = spark.sql(f"SELECT * FROM {tbl}").collect()
+        per_user = {}
+        for r in got_rows:
+            per_user.setdefault(r.user_id, []).append(r.stage)
+        got_stage = {}
+        for u, stages in per_user.items():
+            assert stages == sorted(set(stages)), (u, stages)  # strict
+            got_stage[u] = max(stages)
+        assert got_stage == batch_stage
+    finally:
+        t.close()
