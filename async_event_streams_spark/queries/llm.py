@@ -2792,9 +2792,11 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join, not a shuffle join. Docs with <2 tokens have no grams
     and drop out (mirrored by unnest of the empty list)."""
     docs = table(spark, sf_dir, "documents")
+    # bound-tokens pattern (see dup_span_stats): the gram stream is
+    # consumed twice (vocab + probe), so the saving doubles
     grams = docs.select(
-        "doc_id", F.explode(shingles(tokens(F.col("text")), k=2)).alias("gram")
-    )
+        "doc_id", tokens(F.col("text")).alias("__t")
+    ).select("doc_id", F.explode(shingles(F.col("__t"), k=2)).alias("gram"))
     vocab = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("n"))
@@ -2901,11 +2903,12 @@ def dup_span_stats(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
     """(doc_id, n_spans, n_dup) for x_dup_spans — exposed as the
     shared core so the hypothesis property test exercises THIS code
     path (not a reimplementation) against the pure-Python reference."""
-    sh = docs.select(
+    # Tokens are BOUND to a projected column before the shingle chain:
+    # inlined, the split regex re-evaluates inside each zip_with pass
+    # (measured 0.63 vs 0.44 s for the k=5 chain at sf0.1).
+    sh = docs.select("doc_id", tokens(F.col("text")).alias("__t")).select(
         "doc_id",
-        F.explode(
-            shingle_digests(shingles(tokens(F.col("text")), k=k))
-        ).alias("d"),
+        F.explode(shingle_digests(shingles(F.col("__t"), k=k))).alias("d"),
     )
     occ = (
         sh.groupBy("doc_id", "d")
