@@ -2085,10 +2085,14 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag join — the full training side never shuffles; grams stay
     hashed (md5, 32 bytes) so the broadcast is compact."""
     docs = table(spark, sf_dir, "documents")
+    # bound-tokens pattern (see dup_span_stats) — at k=13 the chain is
+    # 12 zip_with passes, each re-evaluating an inlined split regex
     grams = docs.select(
+        "doc_id", tokens(F.col("text")).alias("__t")
+    ).select(
         "doc_id",
         F.explode(
-            F.transform(shingles(tokens(F.col("text")), k=_DECON_K), F.md5)
+            F.transform(shingles(F.col("__t"), k=_DECON_K), F.md5)
         ).alias("g"),
     )
     is_bench = F.col("doc_id") % _DECON_MOD == 0
