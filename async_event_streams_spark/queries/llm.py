@@ -3016,3 +3016,156 @@ def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_K)
         .select("vec_id", "neighbor_id", "rnk", F.round("score", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 diagnostics: sketch fidelity and corpus shape
+# ---------------------------------------------------------------------------
+
+_FID_MOD = 29  # deterministic sample: all-pairs cost is (n_docs/29)^2
+
+_FIDELITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+           WHERE doc_id % {_FID_MOD} = 0),
+s AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh,
+        list_transform({_SQL_SHINGLES}, s -> md5(s)) AS hs
+      FROM t),
+sig AS (SELECT doc_id, sh,
+        {_sql_minhash(0)} AS h0, {_sql_minhash(1)} AS h1,
+        {_sql_minhash(2)} AS h2, {_sql_minhash(3)} AS h3
+        FROM s WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+      / (len(a.sh) + len(b.sh)
+         - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS true_j,
+    (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END
+     + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END
+     + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END
+     + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) / 4.0 AS est_j
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(ROUND(AVG(ABS(est_j - true_j)), 6) AS DOUBLE) AS mean_abs_err,
+  CAST(ROUND(AVG(true_j), 6) AS DOUBLE) AS mean_true,
+  CAST(ROUND(AVG(est_j), 6) AS DOUBLE) AS mean_est
+FROM pairs
+"""
+
+
+@query("x_minhash_fidelity", oracle=_FIDELITY_ORACLE)
+def x_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-fidelity report: mean |minhash-estimated − true| Jaccard
+    over all pairs of a deterministic 1/7th document sample — the
+    honest-approximation dashboard a production near-dup pipeline
+    publishes next to its dedup numbers (a 4-component minhash
+    estimates Jaccard on a {{0, ¼, ½, ¾, 1}} grid; this query measures
+    what that coarseness costs on THIS corpus).
+
+    Scale shape: the all-pairs comparison is quadratic BY DESIGN and
+    therefore runs on a bounded deterministic sample, never the corpus
+    (sample² pairs; the corpus-wide machinery stays LSH). Signatures
+    ride the same md5 slices as x_dedup_minhash, so the estimate
+    measured here is exactly the estimator the LSH bands threshold."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _FID_MOD == 0
+    )
+    base = docs.select(
+        "doc_id", tokens(F.col("text")).alias("__t")
+    ).select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("__t"))).alias("sh"),
+        shingle_digests(shingles(F.col("__t"))).alias("hs"),
+    )
+    sig = base.filter(F.size("sh") > 0).select(
+        "doc_id",
+        "sh",
+        *[minhash_component(F.col("hs"), k).alias(f"h{k}") for k in range(4)],
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sha"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(4)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("shb"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(4)],
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    true_j = inter.cast("double") / (
+        F.size("sha") + F.size("shb") - inter
+    )
+    est_j = (
+        sum(
+            F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(4)
+        )
+        / F.lit(4.0)
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(true_j.alias("true_j"), est_j.alias("est_j"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("est_j") - F.col("true_j"))), 6).alias(
+                "mean_abs_err"
+            ),
+            F.round(F.avg("true_j"), 6).alias("mean_true"),
+            F.round(F.avg("est_j"), 6).alias("mean_est"),
+        )
+    )
+
+
+_ZIPF_TOP = 1000
+
+_ZIPF_ORACLE = f"""
+WITH t AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY term),
+top AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk
+  FROM g ORDER BY n DESC, term LIMIT {_ZIPF_TOP}),
+xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+       FROM top)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+  CAST(ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+       / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS DOUBLE)
+  AS zipf_slope
+FROM xy
+"""
+
+
+@query("x_zipf_slope", oracle=_ZIPF_ORACLE)
+def x_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shape diagnostic: the OLS slope of log-frequency vs
+    log-rank over the top-1000 terms — natural-language corpora fit
+    Zipf's law with slope ≈ −1; a flat slope flags synthetic/templated
+    text and a cliff flags boilerplate floods (the eyeball check every
+    corpus intake does, as a number).
+
+    Scale shape: term counts are ONE partial-agg shuffle; the top-k is
+    TakeOrderedAndProject (never a full vocabulary sort) and the rank
+    window runs on the ≤{_ZIPF_TOP}-row result. The regression is a
+    closed-form single aggregate of four running sums — no MLlib, no
+    iteration."""
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    top = g.orderBy(F.col("n").desc(), "term").limit(_ZIPF_TOP)
+    w = Window.orderBy(F.col("n").desc(), "term")
+    xy = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    k = F.count("*")
+    return xy.agg(
+        F.count("*").alias("n_terms"),
+        F.round(
+            (k * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (k * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("zipf_slope"),
+    )
