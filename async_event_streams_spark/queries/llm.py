@@ -3022,11 +3022,16 @@ def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5 diagnostics: sketch fidelity and corpus shape
 # ---------------------------------------------------------------------------
 
-_FID_MOD = 29  # deterministic sample: all-pairs cost is (n_docs/29)^2
+_FID_MOD = 29
+# ABSOLUTE doc-id cap on the sample: a purely modular sample grows
+# WITH the corpus, and all-pairs on a proportional sample is still
+# quadratic in corpus size — the cap bounds it to <=  _FID_CAP/29
+# docs (~518 pairs^0.5) at ANY scale.
+_FID_CAP = 15000
 
 _FIDELITY_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-           WHERE doc_id % {_FID_MOD} = 0),
+           WHERE doc_id % {_FID_MOD} = 0 AND doc_id < {_FID_CAP}),
 s AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh,
         list_transform({_SQL_SHINGLES}, s -> md5(s)) AS hs
       FROM t),
@@ -3063,12 +3068,15 @@ def x_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     what that coarseness costs on THIS corpus).
 
     Scale shape: the all-pairs comparison is quadratic BY DESIGN and
-    therefore runs on a bounded deterministic sample, never the corpus
-    (sample² pairs; the corpus-wide machinery stays LSH). Signatures
+    therefore runs on a deterministic sample with an ABSOLUTE doc-id
+    cap — a modular sample alone grows with the corpus and its
+    all-pairs would still be quadratic at 100 TB; the cap holds the
+    pair count flat at any scale (the corpus-wide machinery stays
+    LSH). Signatures
     ride the same md5 slices as x_dedup_minhash, so the estimate
     measured here is exactly the estimator the LSH bands threshold."""
     docs = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % _FID_MOD == 0
+        (F.col("doc_id") % _FID_MOD == 0) & (F.col("doc_id") < _FID_CAP)
     )
     base = docs.select(
         "doc_id", tokens(F.col("text")).alias("__t")
