@@ -2412,3 +2412,97 @@ def c_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "c_histogram",
+    oracle=(
+        "WITH b AS ("
+        "  SELECT LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        "  // 2500000, 19) AS bucket FROM orders) "
+        "SELECT CAST(bucket AS INTEGER) AS bucket, "
+        "CAST(bucket * 25000 AS BIGINT) AS bucket_lo, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM b GROUP BY bucket ORDER BY bucket"
+    ),
+)
+def c_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (20 x 25k buckets, top
+    bucket clamps the tail) — the profiling staple. Buckets are
+    computed by INTEGER division over exact cents, so a value sitting
+    on a bucket edge can't flip sides on a float-rounding difference
+    (width_bucket over doubles would be the boundary hazard — and
+    DuckDB has no width_bucket to mirror anyway). One partial-agg
+    shuffle over <=20 groups."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucket = F.least(F.floor(cents / 2500000).cast("long"), F.lit(19))
+    return (
+        table(spark, sf_dir, "orders")
+        .select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("long") * 25000).alias("bucket_lo"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "c_date_spine",
+    oracle=(
+        "WITH bounds AS ("
+        "  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, "
+        "  CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders), "
+        "spine AS ("
+        "  SELECT CAST(unnest(generate_series(lo, hi, "
+        "  INTERVAL 1 DAY)) AS DATE) AS day FROM bounds), "
+        "daily AS ("
+        "  SELECT CAST(o_orderdate AS DATE) AS day, "
+        "  CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        "  WHERE o_orderpriority = '1-URGENT' GROUP BY day) "
+        "SELECT CAST(spine.day AS TIMESTAMP) AS day, "
+        "CAST(COALESCE(daily.n, 0) AS BIGINT) "
+        "AS n_urgent FROM spine LEFT JOIN daily USING (day) "
+        "ORDER BY day"
+    ),
+)
+def c_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: urgent-order counts for EVERY calendar day
+    in the data's range, zero rows included — the reporting pattern
+    (dbt's date_spine) that keeps dashboards from silently skipping
+    empty days.
+
+    Shape at scale: the spine derives from a 1-row min/max aggregate
+    (broadcast), explodes to |days| rows — thousands, not fact-sized —
+    and the daily counts are one partial-agg shuffle; the gap-fill
+    LEFT join is spine-sized. The day key is DATE-truncated in both
+    engines (no timezone arithmetic — source timestamps are naive)."""
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(daily, "day", "left_outer")
+        .select(
+            # TIMESTAMP output: pandas reads DuckDB's date spine as
+            # datetime64 while Spark DATE arrives as objects — one
+            # explicit cast keeps the dtype-strict compare honest
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_urgent"),
+        )
+        .orderBy("day")
+    )
