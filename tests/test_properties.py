@@ -294,3 +294,57 @@ def test_dup_spans_fraction_matches_python(spark, batch):
             continue
         n_dup = sum(1 for g in ss if len(docs_of[g]) >= 2)
         assert got[i] == (len(ss), n_dup), (i, got[i], (len(ss), n_dup))
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value="0.01", max_value="99.99", places=2
+        ).map(float),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_q17_cents_rewrite_equals_double_threshold(qtys):
+    """c_tpch_q17's membership test (2·qty_c·n < Σqty_c in integer
+    cents) must equal the spec's double form (qty < 0.5·avg) for every
+    2-dp quantity list — including sums where double rounding would
+    make the naive comparison ambiguous."""
+    from fractions import Fraction
+
+    cents = [round(q * 100) for q in qtys]
+    n, s = len(cents), sum(cents)
+    for q_c in cents:
+        got = 2 * q_c * n < s
+        # exact rational ground truth: qty < 0.5 * (sum/n)
+        want = Fraction(q_c, 100) < Fraction(1, 2) * Fraction(s, 100 * n)
+        assert got == want, (q_c, n, s)
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value="-999.99", max_value="9999.99", places=2
+        ).map(float),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_q22_cents_rewrite_equals_double_threshold(bals):
+    """c_tpch_q22's above-average test (bal_c·n > Σ over POSITIVE
+    balances) must equal the spec's double form (bal > avg of positive
+    balances) exactly — negative balances excluded from the threshold
+    but still tested against it."""
+    from fractions import Fraction
+
+    cents = [round(b * 100) for b in bals]
+    pos = [c for c in cents if c > 0]
+    if not pos:
+        return
+    n, s = len(pos), sum(pos)
+    for b_c in cents:
+        got = b_c * n > s
+        want = Fraction(b_c, 100) > Fraction(s, 100 * n)
+        assert got == want, (b_c, n, s)
