@@ -2085,8 +2085,8 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag join — the full training side never shuffles; grams stay
     hashed (md5, 32 bytes) so the broadcast is compact."""
     docs = table(spark, sf_dir, "documents")
-    # bound-tokens pattern (see dup_span_stats) — at k=13 the chain is
-    # 12 zip_with passes, each re-evaluating an inlined split regex
+    # bound-tokens pattern (see dup_span_stats): the k=4 chain is 3
+    # zip_with passes, each re-evaluating an inlined split regex
     grams = docs.select(
         "doc_id", tokens(F.col("text")).alias("__t")
     ).select(
@@ -3061,7 +3061,8 @@ FROM pairs
 @query("x_minhash_fidelity", oracle=_FIDELITY_ORACLE)
 def x_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-fidelity report: mean |minhash-estimated − true| Jaccard
-    over all pairs of a deterministic 1/7th document sample — the
+    over all pairs of a deterministic 1/29th (id-capped) document
+    sample — the
     honest-approximation dashboard a production near-dup pipeline
     publishes next to its dedup numbers (a 4-component minhash
     estimates Jaccard on a {{0, ¼, ½, ¾, 1}} grid; this query measures
@@ -3078,17 +3079,28 @@ def x_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % _FID_MOD == 0) & (F.col("doc_id") < _FID_CAP)
     )
-    base = docs.select(
-        "doc_id", tokens(F.col("text")).alias("__t")
-    ).select(
-        "doc_id",
-        F.array_distinct(shingles(F.col("__t"))).alias("sh"),
-        shingle_digests(shingles(F.col("__t"))).alias("hs"),
+    base = (
+        docs.select("doc_id", tokens(F.col("text")).alias("__t"))
+        .select("doc_id", shingles(F.col("__t")).alias("__sh"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.col("__sh")).alias("sh"),
+            shingle_digests(F.col("__sh")).alias("hs"),
+        )
     )
-    sig = base.filter(F.size("sh") > 0).select(
-        "doc_id",
-        "sh",
-        *[minhash_component(F.col("hs"), k).alias(f"h{k}") for k in range(4)],
+    # Pinned before the self-join: both pair sides reuse the computed
+    # signatures instead of re-running the tokenize/shingle/md5/minhash
+    # lineage per branch (the self-join discipline util.materialize
+    # documents).
+    sig = materialize(
+        base.filter(F.size("sh") > 0).select(
+            "doc_id",
+            "sh",
+            *[
+                minhash_component(F.col("hs"), k).alias(f"h{k}")
+                for k in range(4)
+            ],
+        )
     )
     a = sig.select(
         F.col("doc_id").alias("doc_a"),

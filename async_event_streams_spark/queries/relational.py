@@ -2434,8 +2434,13 @@ def c_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (width_bucket over doubles would be the boundary hazard — and
     DuckDB has no width_bucket to mirror anyway). One partial-agg
     shuffle over <=20 groups."""
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    bucket = F.least(F.floor(cents / 2500000).cast("long"), F.lit(19))
+    # integral DIV (not double /-then-floor): a double quotient of
+    # >2^53-cent values could land across an integer boundary from the
+    # oracle's exact // — the very hazard this query exists to avoid
+    bucket = F.least(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 2500000"),
+        F.lit(19).cast("long"),
+    )
     return (
         table(spark, sf_dir, "orders")
         .select(bucket.cast("int").alias("bucket"))

@@ -25,10 +25,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .keyed import UNSET_US, ordered_events, ts_us
+
+# Stateful update closures from this module are shipped to Python
+# workers; register by value so a driver running outside the repo root
+# doesn't need the package importable on executors (see keyed.py).
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+
 FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int, reached_at timestamp"
 # t1/t2/t3 = first view / first strictly-later click / first strictly-
-# later purchase, as int64 micros; 0 = step not reached. Plus the
-# last-seen watermark pair for the defensive out-of-order drop.
+# later purchase, as int64 micros; UNSET_US = step not reached (a far-
+# negative sentinel — epoch-0 and pre-epoch timestamps are ordinary
+# values, not accidental sentinels). Plus the last-seen watermark pair
+# for the defensive out-of-order drop.
 FUNNEL_STATE_SCHEMA = (
     "t1_us long, t2_us long, t3_us long, last_us long, last_eid long"
 )
@@ -46,32 +63,40 @@ def funnel_stage_stream(df: DataFrame) -> DataFrame:
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         t1, t2, t3, last_us, last_eid = (
-            state.get if state.exists else (0, 0, 0, -1, -1)
+            state.get
+            if state.exists
+            else (UNSET_US, UNSET_US, UNSET_US, UNSET_US, -1)
         )
         out_stage: list[int] = []
         out_at: list[int] = []
-        chunks = [pdf for pdf in pdf_iter if len(pdf)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "event_id"]
-            )
-            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
+        if pdf is not None:
             for t_us, eid, etype in zip(
-                ts_us, pdf["event_id"], pdf["event_type"]
+                ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"]
             ):
                 t_us, eid = int(t_us), int(eid)
                 if (t_us, eid) <= (last_us, last_eid):
                     continue  # per-key FIFO contract violation: drop
                 last_us, last_eid = t_us, eid
-                if etype == _STEPS[0] and t1 == 0:
+                if etype == _STEPS[0] and t1 == UNSET_US:
                     t1 = t_us
                     out_stage.append(1)
                     out_at.append(t_us)
-                elif etype == _STEPS[1] and t2 == 0 and t1 and t_us > t1:
+                elif (
+                    etype == _STEPS[1]
+                    and t2 == UNSET_US
+                    and t1 != UNSET_US
+                    and t_us > t1
+                ):
                     t2 = t_us
                     out_stage.append(2)
                     out_at.append(t_us)
-                elif etype == _STEPS[2] and t3 == 0 and t2 and t_us > t2:
+                elif (
+                    etype == _STEPS[2]
+                    and t3 == UNSET_US
+                    and t2 != UNSET_US
+                    and t_us > t2
+                ):
                     t3 = t_us
                     out_stage.append(3)
                     out_at.append(t_us)

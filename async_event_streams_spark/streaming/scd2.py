@@ -30,6 +30,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .keyed import UNSET_US, ordered_events, ts_us
+
+# Stateful update closures from this module are shipped to Python
+# workers; register by value so a driver running outside the repo root
+# doesn't need the package importable on executors (see keyed.py).
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+
 SCD2_OUTPUT_SCHEMA = (
     "user_id long, event_type string, valid_from timestamp, "
     "valid_to timestamp"
@@ -39,10 +54,6 @@ SCD2_OUTPUT_SCHEMA = (
 SCD2_STATE_SCHEMA = (
     "cur_type string, from_us long, last_us long, last_eid long"
 )
-
-
-def _us(series: pd.Series) -> pd.Series:
-    return series.astype("datetime64[us]").astype("int64")
 
 
 def scd2_intervals_stream(df: DataFrame) -> DataFrame:
@@ -55,24 +66,15 @@ def scd2_intervals_stream(df: DataFrame) -> DataFrame:
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         cur_type, from_us, last_us, last_eid = (
-            state.get if state.exists else (None, 0, -1, -1)
+            state.get if state.exists else (None, UNSET_US, UNSET_US, -1)
         )
         out_type: list[str] = []
         out_from: list[int] = []
         out_to: list[int] = []
-        # Concat ALL Arrow chunks before sorting: a >maxRecordsPerBatch
-        # key group arrives as several DataFrames in arbitrary relative
-        # order, and sorting each chunk alone would make the FIFO
-        # watermark below mis-drop later-chunk events (the
-        # _sessionize_compat pattern in stateful.py).
-        chunks = [pdf for pdf in pdf_iter if len(pdf)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "event_id"]
-            )
-            ts_us = _us(pdf["ts"])
+        pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
+        if pdf is not None:
             for t_us, eid, etype in zip(
-                ts_us, pdf["event_id"], pdf["event_type"]
+                ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"]
             ):
                 t_us, eid = int(t_us), int(eid)
                 if (t_us, eid) <= (last_us, last_eid):

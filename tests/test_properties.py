@@ -297,54 +297,58 @@ def test_dup_spans_fraction_matches_python(spark, batch):
 
 
 @given(
-    st.lists(
-        st.decimals(
-            min_value="0.01", max_value="99.99", places=2
-        ).map(float),
-        min_size=1,
-        max_size=40,
-    )
+    st.decimals(min_value="-99999999.99", max_value="99999999.99", places=2),
 )
-@settings(**SETTINGS)
-def test_q17_cents_rewrite_equals_double_threshold(qtys):
-    """c_tpch_q17's membership test (2·qty_c·n < Σqty_c in integer
-    cents) must equal the spec's double form (qty < 0.5·avg) for every
-    2-dp quantity list — including sums where double rounding would
-    make the naive comparison ambiguous."""
+@settings(max_examples=50, deadline=None)
+def test_cents_recovery_is_exact_for_2dp_doubles(d):
+    """THE assumption under every integer-cents rewrite (q1 scaled-long
+    sums, q17/q20/q22 membership tests, histogram buckets): for any
+    2-decimal value stored as its nearest double, round(value*100)
+    recovers the EXACT cent count. If double drift ever exceeded half
+    a cent, every cents-based comparison would diverge from the
+    decimal spec — this pins the encoding, not an algebraic identity."""
     from fractions import Fraction
 
-    cents = [round(q * 100) for q in qtys]
-    n, s = len(cents), sum(cents)
-    for q_c in cents:
-        got = 2 * q_c * n < s
-        # exact rational ground truth: qty < 0.5 * (sum/n)
-        want = Fraction(q_c, 100) < Fraction(1, 2) * Fraction(s, 100 * n)
-        assert got == want, (q_c, n, s)
+    v = float(d)  # nearest double to the 2-dp decimal
+    exact_cents = int(Fraction(str(d)) * 100)
+    prod = v * 100
+    assert abs(prod - exact_cents) < 0.5, (d, prod)
+    assert round(prod) == exact_cents, (d, prod)
 
 
 @given(
     st.lists(
-        st.decimals(
-            min_value="-999.99", max_value="9999.99", places=2
-        ).map(float),
+        st.decimals(min_value="0.01", max_value="99.99", places=2).map(str),
         min_size=1,
-        max_size=40,
+        max_size=30,
     )
 )
 @settings(**SETTINGS)
-def test_q22_cents_rewrite_equals_double_threshold(bals):
-    """c_tpch_q22's above-average test (bal_c·n > Σ over POSITIVE
-    balances) must equal the spec's double form (bal > avg of positive
-    balances) exactly — negative balances excluded from the threshold
-    but still tested against it."""
+def test_q17_membership_on_spark_equals_rational_reference(spark, qty_strs):
+    """c_tpch_q17's PRODUCTION membership pipeline (round(qty*100) →
+    long, window counts/sums, 2·qty_c·n < Σ) run through Spark must
+    select exactly the rows the spec's exact-rational definition
+    (qty < ½·avg) selects — including boundary lists where a double
+    avg would be ambiguous."""
     from fractions import Fraction
 
-    cents = [round(b * 100) for b in bals]
-    pos = [c for c in cents if c > 0]
-    if not pos:
-        return
-    n, s = len(pos), sum(pos)
-    for b_c in cents:
-        got = b_c * n > s
-        want = Fraction(b_c, 100) > Fraction(s, 100 * n)
-        assert got == want, (b_c, n, s)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(i, float(q)) for i, q in enumerate(qty_strs)]
+    df = spark.createDataFrame(rows, "i long, qty double")
+    w = Window.partitionBy(F.lit(1))
+    got = {
+        r.i
+        for r in df.withColumn(
+            "qty_c", F.round(F.col("qty") * 100).cast("long")
+        )
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("s", F.sum("qty_c").over(w))
+        .filter(F.lit(2) * F.col("qty_c") * F.col("n") < F.col("s"))
+        .collect()
+    }
+    fr = [Fraction(q) for q in qty_strs]
+    avg = sum(fr) / len(fr)
+    want = {i for i, q in enumerate(fr) if q < Fraction(1, 2) * avg}
+    assert got == want, (qty_strs, got, want)
