@@ -3189,3 +3189,103 @@ def x_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+_OVL_K = 8
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT source, md5(unnest({_sql_shingles_k(_OVL_K)})) AS d
+  FROM t),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g
+  GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM g a JOIN g b ON a.d = b.d AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT src_a, src_b, n_shared,
+  CAST(ROUND(CAST(n_shared AS DOUBLE)
+       / (pa.n_grams + pb.n_grams - n_shared), 6) AS DOUBLE) AS overlap_j
+FROM shared
+JOIN per_src pa ON pa.source = src_a
+JOIN per_src pb ON pb.source = src_b
+ORDER BY n_shared DESC, src_a, src_b
+"""
+
+
+@query("x_source_overlap", oracle=_SOURCE_OVERLAP_ORACLE)
+def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many distinct 8-gram spans they share (plus the
+    Jaccard of their gram sets) — the forensics report that surfaces
+    mirror sites, syndicated boilerplate, and scraped-from-each-other
+    feeds BEFORE per-document dedup ever runs.
+
+    Shape at scale: ONE corpus exchange collapses the gram stream
+    straight to a row per gram holding its sorted source SET
+    (collect_set dedupes, so no separate DISTINCT pass; fan-in bounded
+    by |sources|, a catalog-sized dimension) — and pairs come from a
+    local HOF expansion of that set, so no corpus-sized frame is ever
+    self-joined (the self-join formulation re-shuffled 1.25M rows and
+    measured ~15% slower per call even before its extra exchange).
+    Both consumers (pair expansion + per-source totals) ride the
+    PINNED |grams|-row set table; ≤ |sources|²/2 pairs per gram,
+    never corpus²."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select("source", tokens(F.col("text")).alias("__t")).select(
+        "source",
+        F.explode(
+            shingle_digests(shingles(F.col("__t"), k=_OVL_K))
+        ).alias("d"),
+    )
+    bysrc = materialize(
+        g.groupBy("d").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    )
+    per_src = (
+        bysrc.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    shared = (
+        bysrc.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "b -> struct(a AS src_a, b AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pa = F.broadcast(
+        per_src.select(
+            F.col("source").alias("src_a"), F.col("n_grams").alias("na")
+        )
+    )
+    pb = F.broadcast(
+        per_src.select(
+            F.col("source").alias("src_b"), F.col("n_grams").alias("nb")
+        )
+    )
+    return (
+        shared.join(pa, "src_a")
+        .join(pb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("overlap_j"),
+        )
+        .orderBy(F.col("n_shared").desc(), "src_a", "src_b")
+    )
