@@ -623,3 +623,114 @@ def test_resent_vector_updates_index_latest_wins(spark, sf_dir, topic_root):
     finally:
         h.stop()
         vecs.close()
+
+
+def test_ivfpq_rows_before_json_crash_heals_on_next_retrain(
+    spark, sf_dir, topic_root
+):
+    """The documented single-file caveat: a crash AFTER the retrain's
+    re-encode loop but BEFORE the quantizer-pair publish leaves rows
+    encoded under quantizers the json doesn't hold. The contract is
+    forward-healing: the NEXT compaction+retrain re-encodes every dir
+    under a freshly-trained pair and publishes it — after which the
+    whole index must again equal batch ivfpq_encode under the
+    persisted pair."""
+    from async_event_streams_spark.queries.llm import (
+        _IVF_K,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        ivfpq_encode,
+    )
+    from async_event_streams_spark.streaming import (
+        ivfpq_index_pipe,
+        load_ivfpq_quantizers,
+        read_ivfpq_index,
+    )
+    from async_event_streams_spark.streaming.ann import _read_dirs
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.orderBy("vec_id").limit(30).collect()
+    cents = [list(r.embedding) for r in rows[:_IVF_K]]
+    full = [list(r.embedding) for r in rows[:_PQ_K]]
+    cbs = [
+        [c[_PQ_SUB * j : _PQ_SUB * (j + 1)] for c in full]
+        for j in range(_PQ_M)
+    ]
+    reg = TopicRegistry()
+    vecs = Topic(
+        spark, "tear_vecs", "vec_id long, embedding array<double>",
+        topic_root, reg,
+    )
+    sdir = f"{topic_root}/tear-state"
+    h = ivfpq_index_pipe(vecs, sdir, cents, cbs, name="tear-pipe")
+    try:
+        vecs.send(
+            [
+                {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                for r in rows[:10]
+            ],
+            barrier="chain",
+        )
+        h.stop()
+
+        # SIMULATE the crash window: re-encode the existing dirs under
+        # a DIFFERENT pair (shifted centroids/codebooks) but do NOT
+        # publish it — rows now disagree with the persisted json.
+        import os
+
+        from async_event_streams_spark.streaming import state_dirs
+
+        other_cents = [list(reversed(c)) for c in cents]
+        other_cbs = [[list(reversed(c)) for c in cb] for cb in cbs]
+        for d in state_dirs(sdir):
+            src = _read_dirs(spark, d).select("vec_id", "e", "__batch")
+            tmp = d + ".rewrite"
+            ivfpq_encode(
+                src, other_cents, other_cbs, keep=("e", "__batch")
+            ).write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            shutil.rmtree(d)
+            os.rename(tmp, d)
+        persisted = load_ivfpq_quantizers(sdir)
+        assert persisted is not None  # json still holds the OLD pair
+
+        # restart; the next waves cross compact_every -> retrain, which
+        # must re-encode EVERYTHING under a fresh pair and publish it
+        h2 = ivfpq_index_pipe(
+            vecs, sdir, cents, cbs, name="tear-pipe",
+            compact_every=2, retrain_on_compact=True,
+        )
+        try:
+            for lo in (10, 20):
+                vecs.send(
+                    [
+                        {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                        for r in rows[lo : lo + 10]
+                    ],
+                    barrier="chain",
+                )
+            pair = load_ivfpq_quantizers(sdir)
+            assert pair is not None
+            tc, tb = pair
+            v30 = spark.createDataFrame(
+                [(r.vec_id, list(r.embedding)) for r in rows],
+                "vec_id long, e array<double>",
+            )
+            got = {
+                r.vec_id: (r.cell, tuple(r[f"c{j}"] for j in range(_PQ_M)))
+                for r in read_ivfpq_index(spark, sdir).collect()
+            }
+            want = {
+                r.vec_id: (r.cell, tuple(r[f"c{j}"] for j in range(_PQ_M)))
+                for r in ivfpq_encode(v30, tc, tb).collect()
+            }
+            assert got == want  # healed: one consistent pair everywhere
+        finally:
+            h2.stop()
+    finally:
+        h.stop()
+        vecs.close()
