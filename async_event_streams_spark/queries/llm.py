@@ -3289,3 +3289,100 @@ def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_shared").desc(), "src_a", "src_b")
     )
+
+
+def _pipeline_report_oracle() -> str:
+    from ..pipelines import (
+        LSH_BUCKET_CAP,
+        NEAR_DUP_JACCARD,
+        QUALITY_MAX_PUNCT_RATIO,
+        QUALITY_MIN_TOKENS,
+    )
+
+    return f"""
+WITH input AS (SELECT doc_id, text FROM documents),
+q AS (
+  SELECT doc_id, text FROM input
+  WHERE len({_SQL_TOKS}) >= {QUALITY_MIN_TOKENS}
+  AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      / length(text) <= {QUALITY_MAX_PUNCT_RATIO}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+e AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM e),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+dg AS (SELECT doc_id, list_distinct(shingles) AS s,
+       {_SQL_DIGESTS} AS hs FROM sh),
+sig AS (SELECT doc_id, s,
+  {_sql_minhash(0)} AS h0, {_sql_minhash(1)} AS h1,
+  {_sql_minhash(2)} AS h2, {_sql_minhash(3)} AS h3
+FROM dg),
+bands_all AS (
+  SELECT doc_id, s, 0 AS bi, h0 || h1 AS bk FROM sig
+  UNION ALL
+  SELECT doc_id, s, 1 AS bi, h2 || h3 AS bk FROM sig
+),
+bands AS (
+  SELECT doc_id, s, bi, bk FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bi, bk) AS bsz
+    FROM bands_all) WHERE bsz <= {LSH_BUCKET_CAP}
+),
+dup AS (
+  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+    / (len(a.s) + len(b.s)
+       - len(list_filter(a.s, x -> list_contains(b.s, x))))
+    >= {NEAR_DUP_JACCARD}),
+f AS (SELECT e.doc_id FROM e LEFT JOIN dup ON e.doc_id = dup.doc_id
+      WHERE dup.doc_id IS NULL)
+SELECT CAST((SELECT COUNT(*) FROM input) AS BIGINT) AS n_input,
+  CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_quality,
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_after_exact,
+  CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_final,
+  CAST(ROUND(CAST((SELECT COUNT(*) FROM f) AS DOUBLE)
+       / (SELECT COUNT(*) FROM input), 6) AS DOUBLE) AS retention
+"""
+
+
+@query("x_pipeline_report", oracle=_pipeline_report_oracle())
+def x_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline as one oracle-checked query:
+    quality gates → exact dedup → LSH near-dedup (pipelines.py's
+    actual stage functions, not a reimplementation — the oracle twins
+    the full composition, so stage ORDERING and inter-stage contracts
+    are differential-tested, not just each stage alone). Output is the
+    per-stage survivor funnel every pipeline run logs.
+
+    Scale shape is the pipeline's own (its module docstring): pruning
+    first, sketch equi-joins, pinned multi-branch intermediates,
+    nothing driver-side. The four counts are 1-row aggregates joined
+    by broadcast."""
+    from ..pipelines import dedup_exact, dedup_near, quality_filter
+
+    docs = table(spark, sf_dir, "documents")
+    # Each stage is PINNED before fan-out (it feeds both its
+    # successor and its own count branch). Measured cost is dominated
+    # by dedup_near itself, not the fan-out — this is the honest
+    # price of running the REAL composition; a cheaper report would
+    # no longer be differential-testing the pipeline.
+    q = materialize(quality_filter(docs))
+    e = materialize(dedup_exact(q))
+    f = dedup_near(e)
+    n_input = docs.agg(F.count("*").alias("n_input"))
+    n_quality = q.agg(F.count("*").alias("n_quality"))
+    n_exact = e.agg(F.count("*").alias("n_after_exact"))
+    n_final = f.agg(F.count("*").alias("n_final"))
+    return (
+        n_input.join(F.broadcast(n_quality))
+        .join(F.broadcast(n_exact))
+        .join(F.broadcast(n_final))
+        .select(
+            "n_input",
+            "n_quality",
+            "n_after_exact",
+            "n_final",
+            F.round(
+                F.col("n_final").cast("double") / F.col("n_input"), 6
+            ).alias("retention"),
+        )
+    )
