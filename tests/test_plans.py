@@ -528,3 +528,22 @@ def test_merge_upsert_source_preaggregates_before_join(spark, sf_dir):
         join_pos = plan.find("ShuffledHashJoin")
     assert join_pos != -1, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_date_spine_no_fact_sized_spine(spark, sf_dir):
+    """The calendar spine must derive from a 1-row bounds aggregate
+    (explode of a sequence), never a fact-table distinct — and the
+    gap-fill join must not be a cartesian product."""
+    plan = plan_of(spark, sf_dir, "c_date_spine")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the sequence explode
+    # two aggregates (bounds + daily) and the spine-sized join
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_histogram_single_exchange(spark, sf_dir):
+    """20-bucket histogram: one partial-agg shuffle over the bucketed
+    scan (plus the tiny ordered output), nothing else."""
+    plan = plan_of(spark, sf_dir, "c_histogram")
+    assert op_count(plan, "Exchange") <= 2, plan
+    assert "Join" not in plan
