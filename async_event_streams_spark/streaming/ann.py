@@ -149,11 +149,17 @@ def _latest_rows(df: DataFrame) -> DataFrame:
     later micro-batch UPDATES it — without this, both rows would score
     in search and occupy two result ranks. Keyed by the `__batch`
     column the pipes stamp at index time (compaction preserves it);
-    rows within ONE batch are assumed unique per id (producer
-    contract). Legacy dirs without the column pass through unchanged."""
+    rows within ONE batch are unique per id by producer contract, but a
+    violation must not dedup NONDETERMINISTICALLY — a stable payload
+    hash breaks the tie, so repeated reads of the same state always
+    keep the same row. Legacy dirs without the column pass through
+    unchanged."""
     if "__batch" not in df.columns:
         return df
-    w = Window.partitionBy("vec_id").orderBy(F.col("__batch").desc())
+    payload = [c for c in df.columns if c not in ("vec_id", "__batch")]
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__batch").desc(), F.xxhash64(*payload).desc()
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -44,11 +44,11 @@ def ts_us(series: pd.Series) -> pd.Series:
 
 def ordered_events(
     pdf_iter: Iterator[pd.DataFrame],
-    sort_cols: list[str] = ["ts", "event_id"],
+    sort_cols: tuple[str, ...] = ("ts", "event_id"),
 ) -> pd.DataFrame | None:
     """All of a key's chunks, concatenated then sorted once; None when
     the trigger delivered no rows (timeout/empty batch)."""
     chunks = [pdf for pdf in pdf_iter if len(pdf)]
     if not chunks:
         return None
-    return pd.concat(chunks, ignore_index=True).sort_values(sort_cols)
+    return pd.concat(chunks, ignore_index=True).sort_values(list(sort_cols))

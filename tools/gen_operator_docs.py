@@ -13,7 +13,8 @@ import inspect
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from async_event_streams_spark.queries import (  # noqa: E402
     ORACLES,
@@ -39,7 +40,7 @@ def main() -> None:
     for name in sorted(QUERIES):
         fn = QUERIES[name]
         try:
-            src_file = os.path.relpath(inspect.getsourcefile(fn), "/root/repo")
+            src_file = os.path.relpath(inspect.getsourcefile(fn), REPO)
             line = inspect.getsourcelines(fn)[1]
             where = f"{src_file}:{line}"
         except (OSError, TypeError):
@@ -64,8 +65,8 @@ def main() -> None:
         *rows,
         "",
     ]
-    os.makedirs("/root/repo/docs", exist_ok=True)
-    with open("/root/repo/docs/OPERATORS.md", "w") as f:
+    os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
+    with open(os.path.join(REPO, "docs", "OPERATORS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote docs/OPERATORS.md ({len(rows)} operators)")
 
