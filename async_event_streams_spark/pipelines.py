@@ -27,6 +27,22 @@ LSH_BUCKET_CAP = 64
 logger = logging.getLogger(__name__)
 
 
+def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Optional stage 0 for markup-bearing corpora: replace ``text``
+    with the main text extracted from ``html_col`` (functions/extract.py
+    block heuristics — script/style dropped, blocks kept by word count
+    and link density). Pages with no body copy are dropped here, before
+    any downstream stage hashes them. Pure per-row expressions: pushes
+    into the scan projection, zero shuffles."""
+    from .functions.extract import extract_main_text
+
+    return (
+        pages.withColumn("text", extract_main_text(F.col(html_col)))
+        .filter(F.length("text") > 0)
+        .drop(html_col)
+    )
+
+
 def quality_filter(docs: DataFrame) -> DataFrame:
     """Cheap quality gates first — they prune before any hashing."""
     toks = tokens(F.col("text"))

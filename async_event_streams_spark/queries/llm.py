@@ -3386,3 +3386,70 @@ def x_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: markup -> main-text extraction (stage 0)
+# ---------------------------------------------------------------------------
+
+from ..functions import extract as _ex  # noqa: E402  (section-local import)
+
+_EXTRACT_ORACLE = f"""
+WITH pages AS (SELECT doc_id, {_ex.sql_synth_html()} AS html FROM documents),
+blk AS (SELECT doc_id, {_ex.sql_page_block_stats('html')} AS bl FROM pages),
+k AS (SELECT doc_id, len(bl) AS n_blocks,
+        list_filter(bl, t -> {_ex.sql_keep_stat('t')}) AS kept FROM blk),
+m AS (SELECT doc_id, n_blocks, len(kept) AS n_kept,
+        array_to_string(list_transform(kept, t -> t['s']), ' ') AS main FROM k)
+SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+  CAST(n_kept AS BIGINT) AS n_kept,
+  CAST({_ex.sql_word_count('main')} AS BIGINT) AS n_words_main,
+  md5(main) AS main_md5
+FROM m
+"""
+
+
+@query("x_extract_text", oracle=_EXTRACT_ORACLE)
+def x_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup -> main-text extraction, every web pipeline's stage 0:
+    drop <script>/<style> payloads, split the page into blocks at
+    closing block tags, keep blocks by CONTENT heuristics (word count
+    >= 10, link-text chars x3 < visible chars) rather than tag names —
+    nav bars, footers, and ad inserts die on link density / brevity,
+    the trafilatura-style rule that transfers to unseen layouts. The
+    corpus has no markup column, so pages are synthesized
+    DETERMINISTICALLY around each document (functions/extract.py) and
+    the oracle replays both synthesis and extraction from the same
+    constants.
+
+    Scale shape: pure per-row regexp + higher-order array expressions
+    — whole-stage codegen, ZERO shuffles at any corpus size; the
+    extracted text is emitted as an md5 so the compare stays compact.
+    No reference analog (driver mandate extension)."""
+    docs = table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", _ex.synth_html(F.col("text"), F.col("doc_id")).alias("html")
+    )
+    blk = pages.select(
+        "doc_id", _ex.page_block_stats(F.col("html")).alias("bl")
+    )
+    k = blk.select(
+        "doc_id",
+        F.size("bl").cast("long").alias("n_blocks"),
+        F.filter("bl", _ex.keep_stat).alias("kept"),
+    )
+    m = k.select(
+        "doc_id",
+        "n_blocks",
+        F.size("kept").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform("kept", lambda t: t["s"]), " "
+        ).alias("main"),
+    )
+    return m.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        _ex.word_count(F.col("main")).cast("long").alias("n_words_main"),
+        F.md5(F.col("main").cast("binary")).alias("main_md5"),
+    )
