@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.bpe import encode_vocab, sql_bpe_ctes
 from ..functions.graph import connected_components
 from ..functions.similarity import (
     cosine,
@@ -1572,26 +1573,136 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
+def _bpe_doc_tokens(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, *extra_cols: str
+) -> DataFrame:
+    """Per-doc REAL BPE token counts: explode words, encode each
+    DISTINCT word once with the pretrained merge table
+    (functions/bpe.py), broadcast the tiny word cache back onto the
+    word stream, sum per doc. This is the production tokenizer-cache
+    shape (Heaps' law: vocabulary ≪ corpus): the distinct-word
+    aggregation and the per-doc sum are the only shuffles, both slim
+    and partial-agg friendly; the 24 merge passes run |vocab| times,
+    not |corpus| times. The encoded cache is a session ARTIFACT keyed
+    on sf_dir — the several BPE consumers (token_count, bpe_tokens,
+    pack_sequences, domain_mix) build it once and broadcast-reuse it,
+    exactly how a production job ships one tokenizer to every
+    executor."""
+    words = docs.select(
+        "doc_id", *extra_cols, F.explode(tokens(F.col("text"))).alias("word")
+    )
+    enc = artifact(
+        spark,
+        f"{sf_dir}:bpe_vocab",
+        lambda: encode_vocab(
+            table(spark, sf_dir, "documents").select(
+                F.explode(tokens(F.col("text"))).alias("word")
+            )
+        ),
+    )
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id", *extra_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("bpe_len").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _sql_bpe_doc_tokens(extra: str = "") -> str:
+    """DuckDB twin of _bpe_doc_tokens as chained CTEs ending in
+    `bpe_doc(doc_id{extra}, n_words, n_tokens)`; `extra` is a
+    leading-comma column list (e.g. ", source, lang")."""
+    return f"""w AS (SELECT doc_id{extra}, unnest({_SQL_TOKS}) AS word FROM documents),
+vocab AS (SELECT DISTINCT word FROM w),
+{sql_bpe_ctes("vocab")},
+bpe_doc AS (
+  SELECT doc_id{extra}, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(bpe_len) AS BIGINT) AS n_tokens
+  FROM w JOIN bpe_enc USING (word) GROUP BY doc_id{extra})"""
+
+
 @query(
     "x_token_count",
     oracle=f"""
-SELECT doc_id,
-  CAST(len({_SQL_TOKS}) AS INTEGER) AS ws_tokens,
-  CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS bpe_tokens,
-  CAST(length(text) AS INTEGER) AS n_chars
-FROM documents
-""",
+WITH w AS (
+  SELECT doc_id,
+    CAST(len({_SQL_TOKS}) AS INTEGER) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS seg_tokens,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    unnest({_SQL_TOKS}) AS word
+  FROM documents
+),
+vocab AS (SELECT DISTINCT word FROM w),
+{{BPE_CTES}}
+SELECT doc_id, ws_tokens, seg_tokens,
+  CAST(SUM(bpe_len) AS INTEGER) AS bpe_tokens, n_chars
+FROM w JOIN bpe_enc USING (word)
+GROUP BY doc_id, ws_tokens, seg_tokens, n_chars
+""".replace("{BPE_CTES}", sql_bpe_ctes("vocab")),
 )
 def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace tokens and a BPE-ish regex
-    segmentation (letter runs / digit runs / single punctuation) — the
-    cheap pre-tokenizer count an LLM-data pipeline budgets with."""
+    """Token counting three ways: whitespace tokens, the cheap regex
+    pre-segmentation (letter runs / digit runs / single punctuation),
+    and REAL BPE (pretrained merge table replayed by both engines —
+    functions/bpe.py) so budgets match what a trainer's tokenizer
+    actually sees. The per-row counters ride THROUGH the word explode
+    as extra grouping keys instead of joining the corpus back to the
+    per-doc BPE sums — one scan, one slim partial-agg shuffle, no
+    doc_id re-shuffle join (the join shape probed 8.0× at 100×; this
+    one 3×-ish like its siblings)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
+    t = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("ws_tokens"),
-        F.regexp_count("text", F.lit(_BPE_RE)).alias("bpe_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("seg_tokens"),
         F.length("text").alias("n_chars"),
+        "text",
+    )
+    return (
+        _bpe_doc_tokens(spark, sf_dir, t, "ws_tokens", "seg_tokens", "n_chars")
+        .select(
+            "doc_id",
+            "ws_tokens",
+            "seg_tokens",
+            F.col("n_tokens").cast("int").alias("bpe_tokens"),
+            "n_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_bpe_tokens",
+    oracle=f"""
+WITH {_sql_bpe_doc_tokens()}
+SELECT doc_id, n_words, n_tokens AS n_bpe_tokens,
+  ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6) AS tokens_per_word
+FROM bpe_doc
+""",
+)
+def x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document REAL BPE accounting: word and subword-token counts
+    plus the fertility ratio (tokens per word — the statistic tokenizer
+    evaluations report). Encoding replays the pretrained merge table
+    (tools/train_bpe.py → functions/bpe.py) identically in both engines
+    as rank-ordered left-to-right merge passes, equivalence to the
+    canonical lowest-rank-first encoder property-tested in
+    tests/test_bpe.py. Scale shape: encode once per DISTINCT word
+    (vocabulary ≪ corpus), broadcast the word cache, one slim partial-
+    agg shuffle per stage — the 24-pass fold never touches corpus-sized
+    data. No reference analog (driver mandate extension)."""
+    docs = table(spark, sf_dir, "documents")
+    return _bpe_doc_tokens(spark, sf_dir, docs).select(
+        "doc_id",
+        "n_words",
+        F.col("n_tokens").alias("n_bpe_tokens"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("tokens_per_word"),
     )
 
 
@@ -2355,14 +2466,12 @@ _PACK_BUDGET = 512  # tokens per packed training sequence
 @query(
     "x_pack_sequences",
     oracle=f"""
-WITH t AS (
-  SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
-),
+WITH {_sql_bpe_doc_tokens()},
 c AS (
   SELECT doc_id, n_tokens,
     SUM(n_tokens) OVER (ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
-  FROM t
+  FROM bpe_doc
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(start // {_PACK_BUDGET} AS BIGINT) AS seq_id,
@@ -2375,17 +2484,18 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     order fill fixed token budgets; each doc gets the sequence id and
     intra-sequence offset where it starts (docs may straddle a
     boundary — the packer that never pads more than the final
-    sequence). The global running sum is the scalable two-phase
-    prefix-sum (functions/order.py) — range-partitioned local sums
-    plus a broadcast per-partition offset table — NOT a
-    single-partition SUM() OVER (ORDER BY ...), which is the classic
-    plan that dies at 100 TB."""
+    sequence). Budgets count REAL BPE tokens (broadcast word cache,
+    _bpe_doc_tokens) so a packed sequence holds what the trainer's
+    tokenizer would emit, not a regex approximation. The global
+    running sum is the scalable two-phase prefix-sum
+    (functions/order.py) — range-partitioned local sums plus a
+    broadcast per-partition offset table — NOT a single-partition
+    SUM() OVER (ORDER BY ...), which is the classic plan that dies at
+    100 TB."""
     from ..functions.order import global_running_sum
 
     docs = table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
-    )
+    t = _bpe_doc_tokens(spark, sf_dir, docs).select("doc_id", "n_tokens")
     c = global_running_sum(t, ["doc_id"], "n_tokens", "cum")
     start = F.col("cum") - F.col("n_tokens")
     return c.select(
@@ -2656,12 +2766,11 @@ def x_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOMAIN_MIX_ORACLE = f"""
-WITH t AS (
-  SELECT source, lang, len({_SQL_TOKS}) AS n_toks FROM documents
-), g AS (
+WITH {_sql_bpe_doc_tokens(", source, lang")},
+g AS (
   SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
-  FROM t GROUP BY source, lang
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM bpe_doc GROUP BY source, lang
 )
 SELECT source, lang, n_docs, n_tokens,
   ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_frac
@@ -2671,18 +2780,22 @@ FROM g
 
 @query("x_domain_mix", oracle=_DOMAIN_MIX_ORACLE)
 def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus mixture report: docs and tokens per (source, lang) with
-    each cell's token share — the table a training-data recipe is
-    tuned against (and the input to temperature sampling). ONE
-    partial-agg shuffle collapses the corpus to |sources|x|langs| rows;
-    the share denominator is a broadcast scalar, not a window over the
-    corpus."""
+    """Corpus mixture report: docs and REAL BPE tokens per (source,
+    lang) with each cell's token share — the table a training-data
+    recipe is tuned against (and the input to temperature sampling);
+    counting trainer-visible tokens is what makes the shares budget-
+    true. Token counts ride the broadcast word cache
+    (_bpe_doc_tokens); ONE further partial-agg shuffle collapses the
+    per-doc rows to |sources|x|langs|; the share denominator is a
+    broadcast scalar, not a window over the corpus."""
     docs = table(spark, sf_dir, "documents")
-    g = docs.select(
-        "source", "lang", F.size(tokens(F.col("text"))).alias("n_toks")
-    ).groupBy("source", "lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_toks").cast("long").alias("n_tokens"),
+    g = (
+        _bpe_doc_tokens(spark, sf_dir, docs, "source", "lang")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
     )
     total = g.agg(F.sum("n_tokens").alias("__total"))
     return g.crossJoin(F.broadcast(total)).select(
@@ -2960,19 +3073,27 @@ def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 3
 
 
-def _knn_graph_oracle() -> str:
-    return f"""
-{_emb_bucket_cte()}, scored AS (
+def _knn_edges_cte() -> str:
+    """Shared DuckDB CTEs ending in `knn(vec_id, neighbor_id, rnk,
+    score)` — the oracle twin of the kNN edge list both x_knn_graph
+    and its consumers stand on."""
+    return f"""{_emb_bucket_cte()}, scored AS (
   SELECT a.vec_id, x.vec_id AS neighbor_id,
     list_dot_product(a.e, x.e) /
     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(x.e, x.e))) AS score
   FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
-)
-SELECT vec_id, neighbor_id, rnk, ROUND(score, 6) AS score FROM (
-  SELECT vec_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
-    PARTITION BY vec_id ORDER BY ROUND(score, 9) DESC, neighbor_id)
-    AS INTEGER) AS rnk
-  FROM scored) WHERE rnk <= {_KNN_K}
+), knn AS MATERIALIZED (
+  SELECT vec_id, neighbor_id, rnk, ROUND(score, 6) AS score FROM (
+    SELECT vec_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY ROUND(score, 9) DESC, neighbor_id)
+      AS INTEGER) AS rnk
+    FROM scored) WHERE rnk <= {_KNN_K})"""
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+{_knn_edges_cte()}
+SELECT vec_id, neighbor_id, rnk, score FROM knn
 """
 
 
@@ -3016,6 +3137,97 @@ def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_K)
         .select("vec_id", "neighbor_id", "rnk", F.round("score", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: kNN-graph consumer — k-center diversity sample
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy farthest-first: c0 seeds at min(vec_id); each
+    stage picks the vector with the LOWEST max-similarity to the
+    current centers over its outgoing kNN edges (no edge = coverage 0),
+    ties to the smallest vec_id. Every stage CTE is AS MATERIALIZED:
+    c{{i}} is referenced three times by stage i+1 (join, NOT IN, union)
+    and inlining would re-evaluate the whole chain 3^K times."""
+    parts = [
+        _knn_edges_cte(),
+        ",\nc0 AS MATERIALIZED "
+        "(SELECT MIN(vec_id) AS vec_id, 0 AS pick, 0.0 AS cov FROM v)",
+    ]
+    for i in range(1, _KCENTER_K):
+        prev = f"c{i - 1}"
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT x.vec_id, ROUND(COALESCE(m.cov, 0), 6) AS cov FROM v x
+  LEFT JOIN (SELECT e.vec_id, MAX(e.score) AS cov
+             FROM knn e JOIN {prev} c ON e.neighbor_id = c.vec_id
+             GROUP BY e.vec_id) m ON x.vec_id = m.vec_id
+  WHERE x.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY COALESCE(m.cov, 0) ASC, x.vec_id ASC LIMIT 1),
+c{i} AS MATERIALIZED (SELECT * FROM {prev}
+         UNION ALL SELECT vec_id, {i}, cov FROM p{i})""")
+    parts.append(
+        f"\nSELECT CAST(pick AS INTEGER) AS pick, vec_id, "
+        f"CAST(cov AS DOUBLE) AS cov FROM c{_KCENTER_K - 1}"
+    )
+    return "".join(parts)
+
+
+@query("x_kcenter_sample", oracle=_kcenter_oracle())
+def x_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity/coverage sampling on the kNN substrate: greedy
+    k-center (farthest-first traversal, Gonzalez 1985) over
+    x_knn_graph's edge list — pick the vector least covered by the
+    current centers (coverage = max cosine over its OUTGOING kNN edges
+    to a center; no edge = 0), K=8 times from a min-vec_id seed. The
+    2-approximation every coreset/diverse-eval-set selection starts
+    from, and the first operator that CONSUMES the kNN edge artifact
+    rather than just building it.
+
+    Scale shape: k-center greedy is inherently K-sequential (each pick
+    depends on all previous), so the loop is K bounded rounds, each a
+    LINEAR pass over the pinned edge artifact — a broadcast join onto
+    the ≤K-row center table, a partial-agg max per vector, and a
+    TakeOrdered(1) argmin; the only driver traffic is one (vec_id,
+    cov) row per round (the codebook-seed precedent). Nothing
+    quadratic, nothing corpus-sized ever collects."""
+    edges = artifact(
+        spark, f"{sf_dir}:knn_edges", lambda: x_knn_graph(spark, sf_dir)
+    )
+    v = materialize(table(spark, sf_dir, "embeddings").select("vec_id"))
+    seed = v.agg(F.min("vec_id")).first()[0]
+    picks: list[tuple[int, int, float]] = [(0, int(seed), 0.0)]
+    chosen: list[int] = [int(seed)]
+    for i in range(1, _KCENTER_K):
+        centers = spark.createDataFrame(
+            [(c,) for c in chosen], "center long"
+        )
+        cov = (
+            edges.join(
+                F.broadcast(centers),
+                F.col("neighbor_id") == F.col("center"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("score").alias("cov"))
+        )
+        row = (
+            v.join(cov, "vec_id", "left")
+            .filter(~F.col("vec_id").isin(chosen))
+            .select(
+                "vec_id",
+                F.round(F.coalesce("cov", F.lit(0.0)), 6).alias("cov"),
+            )
+            .orderBy(F.col("cov").asc(), F.col("vec_id").asc())
+            .limit(1)
+            .first()
+        )
+        picks.append((i, int(row.vec_id), float(row.cov)))
+        chosen.append(int(row.vec_id))
+    return spark.createDataFrame(picks, "pick int, vec_id long, cov double")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,101 @@
+"""Real-BPE encoder (functions/bpe.py): the rank-ordered merge-pass
+implementation both engines run must equal the canonical
+lowest-rank-first encoder, and pack budgets must match a pure-Python
+reference end to end."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.functions.bpe import (
+    MERGES,
+    encode_reference,
+    encode_vocab,
+    sql_bpe_ctes,
+)
+from async_event_streams_spark.queries import QUERIES
+from async_event_streams_spark.tables import table
+
+
+def encode_rank_passes(word: str) -> list[str]:
+    """Pure-Python twin of the engines' algorithm: one left-to-right
+    pass per merge, in rank order."""
+    toks = list(word)
+    for l, r in MERGES:
+        out: list[str] = []
+        for t in toks:
+            if out and out[-1] == l and t == r:
+                out[-1] = l + r
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=14))
+@settings(max_examples=300, deadline=None)
+def test_rank_passes_equal_canonical(word):
+    # The load-bearing claim in functions/bpe.py: applying merges in
+    # rank order (one pass each) equals the canonical lowest-rank-first
+    # loop, because no merge can create an earlier-rank pair.
+    assert encode_rank_passes(word) == encode_reference(word)
+
+
+TRICKY = [
+    "erer",  # overlapping rank-0 pairs: leftmost-nonoverlap discipline
+    "ererer",
+    "iin",  # pair preceded by its own left token
+    "inin",
+    "sparkspark",  # full-word merges adjacent
+    "wwindow",  # merged token preceded by its own first char
+    "columnn",
+    "tatata",
+    "a",  # single char: no pairs at all
+]
+
+
+def test_spark_encoder_matches_reference(spark, sf_dir):
+    corpus_vocab = [
+        r.word
+        for r in table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .distinct()
+        .collect()
+    ]
+    words = sorted(set(TRICKY) | set(corpus_vocab))
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r.word: r.bpe_len for r in encode_vocab(df).collect()}
+    assert got == {w: len(encode_reference(w)) for w in words}
+
+
+def test_duckdb_encoder_matches_reference():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vocab(word VARCHAR)")
+    con.executemany("INSERT INTO vocab VALUES (?)", [(w,) for w in TRICKY])
+    sql = f"WITH {sql_bpe_ctes('vocab')} SELECT word, bpe_len FROM bpe_enc"
+    got = dict(con.execute(sql).fetchall())
+    assert got == {w: len(encode_reference(w)) for w in TRICKY}
+
+
+def test_pack_budgets_match_python_reference(spark, sf_dir):
+    """x_pack_sequences end to end against a pure-Python replay: per-doc
+    reference BPE counts -> prefix sum -> budget division."""
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    budget = 512
+    expect = {}
+    cum = 0
+    for doc_id in sorted(docs):
+        n = sum(len(encode_reference(w)) for w in docs[doc_id].split())
+        expect[doc_id] = (n, cum // budget, cum % budget)
+        cum += n
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+        for r in QUERIES["x_pack_sequences"](spark, sf_dir).collect()
+    }
+    assert got == expect
