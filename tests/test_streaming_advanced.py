@@ -717,3 +717,110 @@ def test_windowed_pipe_equals_batch_twin_on_corpus(spark, sf_dir, topic_root):
         h.stop()
         docs.close()
         uniq.close()
+
+
+def test_composed_pipeline_stream_equals_batch(spark, topic_root):
+    """VERDICT r5 item 4: the full training-data pipeline — quality
+    gate → exact dedup → horizon-bounded near-dedup — run as ONE pipe
+    topology (three chained topics), not stage-by-stage. After every
+    wave the ACCUMULATED per-stage survivor sets must equal the batch
+    composition (x_pipeline_report's actual stage functions) over
+    everything published so far, and the equality must survive a full
+    stop/restart of all three pipes mid-stream (checkpoints + state
+    dirs + txn replay). The horizon is wider than the test's event-time
+    span, so the windowed stage's contract coincides with the batch
+    dedup_near it twins."""
+    from async_event_streams_spark.pipelines import (
+        dedup_exact,
+        dedup_near,
+        quality_filter,
+    )
+    from async_event_streams_spark.streaming import (
+        exact_dedup_pipe,
+        windowed_minhash_dedup_pipe,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    other = "completely different words about spark streaming engines here now always"
+    third = "unrelated third topic sentence with its own tokens entirely fresh"
+    texts = {
+        0: base,
+        1: "too short",  # fails quality: < 10 tokens
+        2: base + " extra",  # near-dup of 0
+        3: other,
+        4: base,  # exact dup of 0
+        5: "!!!! ???? .... ;;;; aaaa bbbb cccc dddd eeee ffff gggg",
+        # ^ 11 tokens but punct-heavy: fails the punct-ratio gate
+        6: other + " indeed",  # near-dup of 3
+        7: third,
+        8: third,  # exact dup of 7
+    }
+    waves = [[0, 1, 2], [3, 4, 5], [6, 7, 8]]
+
+    schema = "doc_id long, text string, et long"
+    reg = TopicRegistry()
+    docs = Topic(spark, "cp_docs", schema, topic_root, reg)
+    q = Topic(spark, "cp_q", schema, topic_root, reg)
+    e = Topic(spark, "cp_e", schema, topic_root, reg)
+    fin = Topic(spark, "cp_fin", schema, topic_root, reg)
+
+    def make_pipes():
+        h1 = pipe(
+            docs,
+            fn=lambda df: quality_filter(df).drop("n_tokens"),
+            target=q,
+            name="cp-quality",
+        )
+        h2 = exact_dedup_pipe(
+            q, e, state_dir=f"{topic_root}/cp-estate", name="cp-exact"
+        )
+        h3 = windowed_minhash_dedup_pipe(
+            e,
+            fin,
+            state_dir=f"{topic_root}/cp-nstate",
+            horizon_sec=10_000,
+            name="cp-near",
+        )
+        return [h1, h2, h3]
+
+    def batch_funnel(ids):
+        bdf = spark.createDataFrame(
+            [(i, texts[i], i) for i in ids], schema
+        )
+        sq = quality_filter(bdf)
+        se = dedup_exact(sq)
+        sf = dedup_near(se)
+        return tuple(
+            sorted(r.doc_id for r in s.select("doc_id").collect())
+            for s in (sq, se, sf)
+        )
+
+    handles = make_pipes()
+    published: list[int] = []
+    try:
+        for wi, wave in enumerate(waves):
+            if wi == 2:  # full-chain restart before the last wave;
+                for h in handles:  # doc 6 arrives while the chain is down
+                    h.stop()
+                docs.post([{"doc_id": 6, "text": texts[6], "et": 6}])
+                wave = wave[1:]
+                handles = make_pipes()
+            docs.send(
+                [{"doc_id": i, "text": texts[i], "et": i} for i in wave],
+                barrier="chain",
+            )
+            published.extend(waves[wi])
+            want_q, want_e, want_f = batch_funnel(published)
+            got = tuple(
+                sorted(r.doc_id for r in t.batch_df().select("doc_id").collect())
+                for t in (q, e, fin)
+            )
+            assert got == (want_q, want_e, want_f), (wi, got)
+        # the expected funnel, explicitly: quality drops 1 & 5, exact
+        # drops 4 & 8, near-dup drops 2 & 6
+        assert got == ([0, 2, 3, 4, 6, 7, 8], [0, 2, 3, 6, 7], [0, 3, 7])
+    finally:
+        for h in handles:
+            h.stop()
+        for t in (docs, q, e, fin):
+            t.close()
