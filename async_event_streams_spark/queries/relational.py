@@ -2110,6 +2110,56 @@ def c_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_sessionize_bucketed",
+    # Same oracle SQL as c_sessionize_gaps ON PURPOSE: the oracle states
+    # the simple semantics (one lag+cumsum window); the Spark side is
+    # the skew-resistant two-phase implementation, so the differential
+    # check proves bucket-and-stitch ≡ the plain sessionizer.
+    oracle=(
+        "WITH e AS ("
+        "  SELECT user_id, event_id, ts,"
+        "    CASE WHEN lag(ts) OVER w IS NULL"
+        "          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1"
+        "         ELSE 0 END AS new_s"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        "), s AS ("
+        "  SELECT user_id, ts,"
+        "    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "      ROWS UNBOUNDED PRECEDING) AS session_id"
+        "  FROM e)"
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(MIN(ts) AS TIMESTAMP) AS session_start, "
+        "CAST(MAX(ts) AS TIMESTAMP) AS session_end "
+        "FROM s GROUP BY user_id, session_id"
+    ),
+)
+def c_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant sessionization (functions/sessionize.py): the
+    same output contract as c_sessionize_gaps — per-user running
+    session numbering, per-session rollup — computed as bucket-and-
+    stitch so no window partition ever holds more than one (user,
+    time-bucket) of data. This is the zipfian-key answer the r6 skew
+    probe demanded: the plain shape serializes a 30%-hot user through
+    one task (2.3× at local[32], worse with more executors); here the
+    corpus-sized exchanges are keyed (user_id, bucket) and the only
+    user-keyed window runs over the tiny per-bucket summary. See the
+    module docstring for the offset-telescoping argument and
+    tools/skew_probe.py for the measured comparison."""
+    from ..functions.sessionize import sessionize_bucketed
+
+    ev = table(spark, sf_dir, "events")
+    out = sessionize_bucketed(ev)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
+@query(
     "c_time_rollup",
     oracle=(
         "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, "

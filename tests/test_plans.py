@@ -547,3 +547,21 @@ def test_histogram_single_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "c_histogram")
     assert op_count(plan, "Exchange") <= 2, plan
     assert "Join" not in plan
+
+
+def test_extract_text_zero_exchanges(spark, sf_dir):
+    """Markup extraction is pure per-row regexp/HOF work: the plan must
+    carry NO shuffle of any kind — synthesis, block split, heuristics
+    and the md5 all ride the scan projection."""
+    plan = plan_of(spark, sf_dir, "x_extract_text")
+    assert "Exchange" not in plan
+
+
+def test_bpe_word_cache_joins_broadcast(spark, sf_dir):
+    """The BPE word cache (encode-distinct-once) must fan out by
+    BROADCAST join — a corpus-sized shuffle join on `word` would mean
+    the tokenizer table stopped being the small side."""
+    plan = plan_of(spark, sf_dir, "x_bpe_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
