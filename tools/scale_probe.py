@@ -88,6 +88,15 @@ PROBE_QUERIES = [
     "c_tpch_q11",
     "x_char_entropy",
     "x_ngram_novelty",
+    # r6 additions: extraction is zero-shuffle per-row work, the BPE
+    # family rides the broadcast word cache, kcenter is K bounded
+    # rounds over the pinned edge artifact, bucketed sessionization is
+    # the skew-lane answer (also probed by tools/skew_probe.py)
+    "x_extract_text",
+    "x_bpe_tokens",
+    "x_token_count",
+    "x_kcenter_sample",
+    "c_sessionize_bucketed",
 ]
 
 KEY_STRIDE = 100_000_000
