@@ -720,19 +720,24 @@ def test_windowed_pipe_equals_batch_twin_on_corpus(spark, sf_dir, topic_root):
 
 
 def test_composed_pipeline_stream_equals_batch(spark, topic_root):
-    """VERDICT r5 item 4: the full training-data pipeline — quality
-    gate → exact dedup → horizon-bounded near-dedup — run as ONE pipe
-    topology (three chained topics), not stage-by-stage. After every
-    wave the ACCUMULATED per-stage survivor sets must equal the batch
-    composition (x_pipeline_report's actual stage functions) over
-    everything published so far, and the equality must survive a full
-    stop/restart of all three pipes mid-stream (checkpoints + state
-    dirs + txn replay). The horizon is wider than the test's event-time
-    span, so the windowed stage's contract coincides with the batch
-    dedup_near it twins."""
+    """VERDICT r5 item 4, extended with the r6 stage 0: the full
+    training-data pipeline — markup extraction → quality gate → exact
+    dedup → horizon-bounded near-dedup — run as ONE pipe topology
+    (four chained topics), not stage-by-stage. After every wave the
+    ACCUMULATED per-stage survivor sets must equal the batch
+    composition (x_pipeline_report's actual stage functions, plus
+    pipelines.extract_text) over everything published so far, and the
+    equality must survive a full stop/restart of all pipes mid-stream
+    (checkpoints + state dirs + txn replay). The horizon is wider than
+    the test's event-time span, so the windowed stage's contract
+    coincides with the batch dedup_near it twins."""
+    from pyspark.sql import functions as SF
+
+    from async_event_streams_spark.functions.extract import synth_html
     from async_event_streams_spark.pipelines import (
         dedup_exact,
         dedup_near,
+        extract_text,
         quality_filter,
     )
     from async_event_streams_spark.streaming import (
@@ -745,28 +750,44 @@ def test_composed_pipeline_stream_equals_batch(spark, topic_root):
     third = "unrelated third topic sentence with its own tokens entirely fresh"
     texts = {
         0: base,
-        1: "too short",  # fails quality: < 10 tokens
+        1: "too short",  # < 10 words: its only paragraph dies at EXTRACTION
         2: base + " extra",  # near-dup of 0
         3: other,
         4: base,  # exact dup of 0
         5: "!!!! ???? .... ;;;; aaaa bbbb cccc dddd eeee ffff gggg",
-        # ^ 11 tokens but punct-heavy: fails the punct-ratio gate
+        # ^ extraction keeps it (11 words, no links) but the quality
+        #   punct-ratio gate kills it
         6: other + " indeed",  # near-dup of 3
         7: third,
         8: third,  # exact dup of 7
     }
     waves = [[0, 1, 2], [3, 4, 5], [6, 7, 8]]
+    # deterministic pages around each text — the SAME synthesizer the
+    # oracle-checked x_extract_text uses
+    html = {
+        r.doc_id: r.h
+        for r in spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        .select("doc_id", synth_html(SF.col("text"), SF.col("doc_id")).alias("h"))
+        .collect()
+    }
 
-    schema = "doc_id long, text string, et long"
+    page_schema = "doc_id long, html string, et long"
+    doc_schema = "doc_id long, text string, et long"
     reg = TopicRegistry()
-    docs = Topic(spark, "cp_docs", schema, topic_root, reg)
-    q = Topic(spark, "cp_q", schema, topic_root, reg)
-    e = Topic(spark, "cp_e", schema, topic_root, reg)
-    fin = Topic(spark, "cp_fin", schema, topic_root, reg)
+    docs = Topic(spark, "cp_docs", page_schema, topic_root, reg)
+    x = Topic(spark, "cp_x", doc_schema, topic_root, reg)
+    q = Topic(spark, "cp_q", doc_schema, topic_root, reg)
+    e = Topic(spark, "cp_e", doc_schema, topic_root, reg)
+    fin = Topic(spark, "cp_fin", doc_schema, topic_root, reg)
 
     def make_pipes():
+        # NB: wrap — pipe() feeds a two-parameter fn the batch_id, and
+        # extract_text's second parameter is html_col
+        h0 = pipe(docs, fn=lambda df: extract_text(df), target=x, name="cp-extract")
         h1 = pipe(
-            docs,
+            x,
             fn=lambda df: quality_filter(df).drop("n_tokens"),
             target=q,
             name="cp-quality",
@@ -781,18 +802,19 @@ def test_composed_pipeline_stream_equals_batch(spark, topic_root):
             horizon_sec=10_000,
             name="cp-near",
         )
-        return [h1, h2, h3]
+        return [h0, h1, h2, h3]
 
     def batch_funnel(ids):
-        bdf = spark.createDataFrame(
-            [(i, texts[i], i) for i in ids], schema
+        pages = spark.createDataFrame(
+            [(i, html[i], i) for i in ids], page_schema
         )
-        sq = quality_filter(bdf)
+        sx = extract_text(pages)
+        sq = quality_filter(sx)
         se = dedup_exact(sq)
-        sf = dedup_near(se)
+        sf_ = dedup_near(se)
         return tuple(
             sorted(r.doc_id for r in s.select("doc_id").collect())
-            for s in (sq, se, sf)
+            for s in (sx, sq, se, sf_)
         )
 
     handles = make_pipes()
@@ -802,25 +824,35 @@ def test_composed_pipeline_stream_equals_batch(spark, topic_root):
             if wi == 2:  # full-chain restart before the last wave;
                 for h in handles:  # doc 6 arrives while the chain is down
                     h.stop()
-                docs.post([{"doc_id": 6, "text": texts[6], "et": 6}])
+                docs.post([{"doc_id": 6, "html": html[6], "et": 6}])
                 wave = wave[1:]
                 handles = make_pipes()
             docs.send(
-                [{"doc_id": i, "text": texts[i], "et": i} for i in wave],
+                [{"doc_id": i, "html": html[i], "et": i} for i in wave],
                 barrier="chain",
             )
             published.extend(waves[wi])
-            want_q, want_e, want_f = batch_funnel(published)
+            want = batch_funnel(published)
             got = tuple(
                 sorted(r.doc_id for r in t.batch_df().select("doc_id").collect())
-                for t in (q, e, fin)
+                for t in (x, q, e, fin)
             )
-            assert got == (want_q, want_e, want_f), (wi, got)
-        # the expected funnel, explicitly: quality drops 1 & 5, exact
-        # drops 4 & 8, near-dup drops 2 & 6
-        assert got == ([0, 2, 3, 4, 6, 7, 8], [0, 2, 3, 6, 7], [0, 3, 7])
+            assert got == want, (wi, got, want)
+        # the expected funnel, explicitly: extraction drops 1 (no body
+        # copy), quality drops 5 (punct), exact drops 4 & 8, near-dup
+        # drops 2 & 6
+        assert got == (
+            [0, 2, 3, 4, 5, 6, 7, 8],
+            [0, 2, 3, 4, 6, 7, 8],
+            [0, 2, 3, 6, 7],
+            [0, 3, 7],
+        )
+        # the extracted text that flowed through the chain is the
+        # original body copy, verbatim (markup fully boiled off)
+        flowed = {r.doc_id: r.text for r in fin.batch_df().collect()}
+        assert flowed == {0: base, 3: other, 7: third}
     finally:
         for h in handles:
             h.stop()
-        for t in (docs, q, e, fin):
+        for t in (docs, x, q, e, fin):
             t.close()
