@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..util import materialize
+
 DEFAULT_GAP_SEC = 1800
 DEFAULT_BUCKET_SEC = 3600
 
@@ -65,11 +67,18 @@ def sessionize_bucketed(
     w_local = Window.partitionBy("user_id", "__b").orderBy("ts", "event_id")
     gap = sec("ts") - F.lag(sec("ts")).over(w_local)
     new_s = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
-    loc = e.withColumn(
-        "__ls",
-        F.sum(new_s).over(
-            w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    # PINNED: `loc` feeds two plan branches (the summary aggregation
+    # and the final events join); unpinned, ReusedExchange dedups only
+    # the shuffle write and the corpus-sized window sort runs TWICE —
+    # the repo's recurrent double-compute flaw (x_dup_spans, q11).
+    # On a cluster this role is a written intermediate table.
+    loc = materialize(
+        e.withColumn(
+            "__ls",
+            F.sum(new_s).over(
+                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     )
     summ = loc.groupBy("user_id", "__b").agg(
         F.min(sec("ts")).alias("__first"),

@@ -1588,16 +1588,21 @@ def _bpe_doc_tokens(
     pack_sequences, domain_mix) build it once and broadcast-reuse it,
     exactly how a production job ships one tokenizer to every
     executor."""
+    # Empty words are excluded by contract ON BOTH SIDES: splitting an
+    # empty/whitespace-only text yields word '' (Spark) and DuckDB's
+    # list_reduce hard-errors on the empty char array it produces,
+    # while Spark's seeded fold would count it as 1 token — filtering
+    # pins one semantic instead of leaving a latent engine divergence.
     words = docs.select(
         "doc_id", *extra_cols, F.explode(tokens(F.col("text"))).alias("word")
-    )
+    ).filter(F.length("word") > 0)
     enc = artifact(
         spark,
         f"{sf_dir}:bpe_vocab",
         lambda: encode_vocab(
-            table(spark, sf_dir, "documents").select(
-                F.explode(tokens(F.col("text"))).alias("word")
-            )
+            table(spark, sf_dir, "documents")
+            .select(F.explode(tokens(F.col("text"))).alias("word"))
+            .filter(F.length("word") > 0)
         ),
     )
     return (
@@ -1614,7 +1619,8 @@ def _sql_bpe_doc_tokens(extra: str = "") -> str:
     """DuckDB twin of _bpe_doc_tokens as chained CTEs ending in
     `bpe_doc(doc_id{extra}, n_words, n_tokens)`; `extra` is a
     leading-comma column list (e.g. ", source, lang")."""
-    return f"""w AS (SELECT doc_id{extra}, unnest({_SQL_TOKS}) AS word FROM documents),
+    return f"""w0 AS (SELECT doc_id{extra}, unnest({_SQL_TOKS}) AS word FROM documents),
+w AS (SELECT * FROM w0 WHERE len(word) > 0),
 vocab AS (SELECT DISTINCT word FROM w),
 {sql_bpe_ctes("vocab")},
 bpe_doc AS (
@@ -1626,7 +1632,7 @@ bpe_doc AS (
 @query(
     "x_token_count",
     oracle=f"""
-WITH w AS (
+WITH w0 AS (
   SELECT doc_id,
     CAST(len({_SQL_TOKS}) AS INTEGER) AS ws_tokens,
     CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS seg_tokens,
@@ -1634,6 +1640,7 @@ WITH w AS (
     unnest({_SQL_TOKS}) AS word
   FROM documents
 ),
+w AS (SELECT * FROM w0 WHERE len(word) > 0),
 vocab AS (SELECT DISTINCT word FROM w),
 {{BPE_CTES}}
 SELECT doc_id, ws_tokens, seg_tokens,
@@ -3237,6 +3244,8 @@ def _kcenter_rounds(spark: SparkSession, edges: DataFrame, v: DataFrame) -> Data
             .limit(1)
             .first()
         )
+        if row is None:  # fewer than K vectors: stop, matching the
+            break  # oracle's empty-pick stages (c_i = c_{i-1})
         picks.append((i, int(row.vec_id), float(row.cov)))
         chosen.append(int(row.vec_id))
     return spark.createDataFrame(picks, "pick int, vec_id long, cov double")
