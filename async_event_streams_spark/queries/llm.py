@@ -3206,9 +3206,15 @@ def x_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}:knn_edges", lambda: x_knn_graph(spark, sf_dir)
     )
     v = materialize(table(spark, sf_dir, "embeddings").select("vec_id"))
+    # Force the corpus-sized builds (kNN bucket self-join + window)
+    # to run NOW, with AQE still on — artifact()/materialize() are
+    # lazy, so without this the heavy build would execute inside the
+    # de-AQE'd block below (r6 ADVICE item 1).
+    edges.count()
     # The K rounds are tiny jobs over pinned inputs; AQE's per-stage
     # re-planning only adds latency to them (measured 3.8 → 3.1 s for
-    # the whole loop at sf0.1). Restored afterwards.
+    # the whole loop at sf0.1). Restored afterwards. (Single-driver
+    # contract: no concurrent query shares this session mid-toggle.)
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -3218,24 +3224,31 @@ def x_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcenter_rounds(spark: SparkSession, edges: DataFrame, v: DataFrame) -> DataFrame:
+    """Greedy rounds with INCREMENTAL coverage (r6 verdict item 4):
+    only the ONE new center changes coverage per round, and the edge
+    list holds at most one edge per (vector, center) pair — so the
+    round's delta is a groupBy-free filtered broadcast of the new
+    center's in-edges, folded into a pinned running-max frame
+    (greatest skips nulls; null = never covered, 0 at selection time,
+    matching the oracle's COALESCE). Each round is ONE shuffle-free
+    linear pass + TakeOrdered(1) instead of re-joining all |centers|
+    and re-aggregating — and the per-round localCheckpoint keeps the
+    coverage lineage flat across K rounds."""
     seed = v.agg(F.min("vec_id")).first()[0]
     picks: list[tuple[int, int, float]] = [(0, int(seed), 0.0)]
     chosen: list[int] = [int(seed)]
+    state = v.select("vec_id", F.lit(None).cast("double").alias("cov"))
     for i in range(1, _KCENTER_K):
-        centers = spark.createDataFrame(
-            [(c,) for c in chosen], "center long"
-        )
-        cov = (
-            edges.join(
-                F.broadcast(centers),
-                F.col("neighbor_id") == F.col("center"),
+        delta = edges.filter(
+            F.col("neighbor_id") == F.lit(chosen[-1])
+        ).select("vec_id", F.col("score").alias("new_cov"))
+        state = materialize(
+            state.join(F.broadcast(delta), "vec_id", "left").select(
+                "vec_id", F.greatest("cov", "new_cov").alias("cov")
             )
-            .groupBy("vec_id")
-            .agg(F.max("score").alias("cov"))
         )
         row = (
-            v.join(cov, "vec_id", "left")
-            .filter(~F.col("vec_id").isin(chosen))
+            state.filter(~F.col("vec_id").isin(chosen))
             .select(
                 "vec_id",
                 F.round(F.coalesce("cov", F.lit(0.0)), 6).alias("cov"),
@@ -3249,6 +3262,118 @@ def _kcenter_rounds(spark: SparkSession, edges: DataFrame, v: DataFrame) -> Data
         picks.append((i, int(row.vec_id), float(row.cov)))
         chosen.append(int(row.vec_id))
     return spark.createDataFrame(picks, "pick int, vec_id long, cov double")
+
+
+# ---------------------------------------------------------------------------
+# Round-7: kNN-graph consumer #2 — label-propagation communities
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation: l0 seeds every vector
+    with its own id; each round every vector adopts the label with the
+    highest total incident edge weight among its OUTGOING kNN
+    neighbors' labels (weights in exact integer micro-units so the
+    argmax never rides a float tie), smallest label on ties, keeping
+    its current label when it has no edges. Every stage CTE is AS
+    MATERIALIZED — l{i} is referenced twice by round i+1 (neighbor
+    join + carry-forward) and inlining would re-evaluate the chain
+    2^K times (the x_kcenter_sample lesson)."""
+    parts = [
+        _knn_edges_cte(),
+        ",\nl0 AS MATERIALIZED (SELECT vec_id, vec_id AS label FROM v)",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        prev = f"l{i - 1}"
+        parts.append(f""",
+n{i} AS MATERIALIZED (
+  SELECT e.vec_id, l.label,
+    SUM(CAST(ROUND(e.score * 1000000) AS BIGINT)) AS w
+  FROM knn e JOIN {prev} l ON e.neighbor_id = l.vec_id
+  GROUP BY e.vec_id, l.label),
+b{i} AS MATERIALIZED (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY w DESC, label ASC) AS rn
+    FROM n{i}) WHERE rn = 1),
+l{i} AS MATERIALIZED (
+  SELECT p.vec_id, COALESCE(b.label, p.label) AS label
+  FROM {prev} p LEFT JOIN b{i} b ON p.vec_id = b.vec_id)""")
+    parts.append(
+        f"\nSELECT vec_id, label AS community FROM l{_LPA_ROUNDS}"
+    )
+    return "".join(parts)
+
+
+@query("x_knn_communities", oracle=_lpa_oracle())
+def x_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure on the kNN substrate: K rounds of
+    synchronous, deterministic label propagation over x_knn_graph's
+    edge list — every vector starts as its own community and each
+    round adopts the label carrying the highest summed edge weight
+    among its outgoing kNN neighbors (ties to the smallest label;
+    isolated vectors keep their own). The second operator CONSUMING
+    the shared kNN edge artifact (after x_kcenter_sample's diversity
+    pick) and the standard corpus-curation companion to it: k-center
+    spreads a sample ACROSS structure, label propagation NAMES the
+    structure (topical clusters to cap, stratify, or decontaminate
+    by).
+
+    Scale shape: K bounded ROUNDS, each one edges⋈labels equi-join on
+    neighbor_id + a partial-agg (vec_id, label) weight sum + a
+    WindowGroupLimit argmax per vector + a left-join carry-forward —
+    all vec_id-keyed exchanges over the pinned edge artifact; no
+    all-pairs anywhere, nothing ever collects to the driver (the loop
+    is pure DataFrame composition, K is a constant). Hot in-degree is
+    bounded by the LSH bucket cap upstream. Weight comparisons happen
+    in exact integer micro-units (scores are pre-rounded to 1e-6), so
+    the per-vector argmax is engine-deterministic — the float-tie
+    discipline every membership decision in this repo follows."""
+    edges = artifact(
+        spark, f"{sf_dir}:knn_edges", lambda: x_knn_graph(spark, sf_dir)
+    )
+    # PINNED: the micro-unit edge list feeds one join per round;
+    # unpinned, every round would recompute the bucket self-join.
+    e = materialize(
+        edges.select(
+            "vec_id",
+            "neighbor_id",
+            F.round(F.col("score") * 1000000).cast("long").alias("w"),
+        )
+    )
+    labels = materialize(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("vec_id").alias("label")
+        )
+    )
+    for _ in range(_LPA_ROUNDS):
+        labels = materialize(_lpa_round(e, labels))
+    return labels.select("vec_id", F.col("label").alias("community"))
+
+
+def _lpa_round(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round as a DataFrame transform (exposed so
+    tests/test_plans.py can audit the per-round physical plan, which
+    the pinned round boundaries otherwise hide behind RDD scans)."""
+    w_best = Window.partitionBy("vec_id").orderBy(
+        F.col("w").desc(), F.col("label").asc()
+    )
+    best = (
+        e.join(
+            labels.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("w").alias("w"))
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("new_label"))
+    )
+    return labels.join(best, "vec_id", "left").select(
+        "vec_id", F.coalesce("new_label", "label").alias("label")
+    )
 
 
 # ---------------------------------------------------------------------------

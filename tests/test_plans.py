@@ -577,3 +577,48 @@ def test_sessionize_bucketed_events_window_keyed_by_bucket(spark, sf_dir):
 
     plan = plan_of(spark, sf_dir, "c_sessionize_bucketed")
     assert re.search(r"hashpartitioning\(user_id#\d+L?, __b#\d+L?", plan), plan
+
+
+def test_scd2_bucketed_events_window_keyed_by_bucket(spark, sf_dir):
+    """The skew contract, SCD2 edition: every events-sized window
+    exchange must hash on (user_id, time-bucket) — a plain user_id
+    partitioning of the event stream is exactly the 3.2x hot-key shape
+    this operator exists to avoid. The user-only exchange that remains
+    carries the per-bucket summary, bounded by buckets-per-user; and
+    the summary rollup must NOT add an exchange of its own (it runs on
+    the window's (user_id, bucket) partitioning)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "c_scd2_bucketed")
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, __b#\d+L?", plan), plan
+    # exchanges: two (user_id, __b) corpus branches + one user-keyed
+    # summary exchange — anything more means the rollup or the final
+    # window stopped reusing the bucket partitioning
+    assert op_count(plan, "Exchange") <= 3, plan
+
+
+def test_knn_communities_rounds_are_equi_joins(spark, sf_dir):
+    """Label propagation must stay an edge-list equi-join per round —
+    never all-pairs — and its per-vector argmax must push a
+    WindowGroupLimit (rn = 1 over the weight ordering). The query's
+    own plan hides the rounds behind pinned boundaries (RDD scans),
+    so audit one round directly."""
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.queries.llm import _lpa_round
+    from async_event_streams_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        (F.col("vec_id") + 1).alias("neighbor_id"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    labels = emb.select("vec_id", F.col("vec_id").alias("label"))
+    df = _lpa_round(e, labels)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan

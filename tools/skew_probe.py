@@ -34,6 +34,7 @@ SKEW_QUERIES = [
     "c_sessionize_gaps",
     "c_sessionize_bucketed",  # the bucket-and-stitch answer to the hot key
     "c_scd2_intervals",
+    "c_scd2_bucketed",  # r7: bucket-and-stitch SCD2 (same mitigation)
 ]
 
 
@@ -43,6 +44,13 @@ def build_skew_dir(spark, uniform_dir: str, skew_dir: str) -> None:
         src = f"{uniform_dir}/{name}.parquet"
         dst = f"{skew_dir}/{name}.parquet"
         if name != "events":
+            # Re-copy when the uniform source is newer: keying on bare
+            # existence silently pairs regenerated skewed events with
+            # stale side-table copies (r6 ADVICE item 4).
+            if os.path.exists(dst) and os.path.getmtime(dst) < os.path.getmtime(
+                src
+            ):
+                shutil.rmtree(dst)
             if not os.path.exists(dst):
                 shutil.copytree(src, dst)
             continue
