@@ -106,9 +106,21 @@ def bpe_tokens(word: Column) -> Column:
 
 
 def encode_vocab(words: DataFrame, word_col: str = "word") -> DataFrame:
-    """Distinct words → (word, bpe_len) for the broadcast word cache."""
-    return words.select(word_col).distinct().select(
-        word_col, F.size(bpe_tokens(F.col(word_col))).cast("long").alias("bpe_len")
+    """Distinct words → (word, bpe_len) for the broadcast word cache.
+
+    The empty word is excluded AT THE API BOUNDARY (not left to
+    callers): Spark's empty-string-sentinel fold would encode '' as
+    one token while the DuckDB twin's list_reduce hard-errors on the
+    empty char array — filtering here pins one contract instead of a
+    latent engine divergence (r6 ADVICE item 3)."""
+    return (
+        words.select(word_col)
+        .filter(F.length(word_col) > 0)
+        .distinct()
+        .select(
+            word_col,
+            F.size(bpe_tokens(F.col(word_col))).cast("long").alias("bpe_len"),
+        )
     )
 
 
@@ -129,8 +141,11 @@ def sql_bpe_ctes(vocab_cte: str = "vocab", word: str = "word") -> str:
     """Chained CTE stages applying the merge table to `vocab_cte`'s
     `word` column; the final stage is `bpe_enc(word, bpe_len)`."""
     stages = [
+        # len(word) > 0 mirrors encode_vocab's boundary contract: the
+        # empty word would hand list_reduce an empty array (hard error
+        # here, 1-token sentinel artifact on the Spark side).
         f"bpe_v0 AS (SELECT {word}, regexp_extract_all({word}, '(.)', 1)"
-        f" AS t FROM {vocab_cte})"
+        f" AS t FROM {vocab_cte} WHERE len({word}) > 0)"
     ]
     for i, (l, r) in enumerate(MERGES):
         stages.append(

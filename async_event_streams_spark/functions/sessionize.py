@@ -38,6 +38,13 @@ one user-keyed exchange over the tiny summary, one equi-join of events
 to the summary on (user_id, bucket), one partial-agg rollup — every
 corpus-sized exchange is keyed by (user_id, bucket), which a hot user
 cannot flood.
+
+r7 adds the ADAPTIVE entry point `sessionize`: a cheap top-key-share
+probe (`estimate_top_key_share` — one column-pruned pass, |keys|-row
+shuffle) picks the plain single-exchange shape on uniform keys and
+bucket-and-stitch past the skew threshold. Both shapes are oracle-
+proven equal, so dispatch changes the plan, never the answer; the
+choice is pinned at both ends by tests/test_sessionize.py.
 """
 
 from __future__ import annotations
@@ -50,6 +57,90 @@ from ..util import materialize
 
 DEFAULT_GAP_SEC = 1800
 DEFAULT_BUCKET_SEC = 3600
+# Single-key share above which the adaptive entry point switches to
+# bucket-and-stitch: one task owning >10% of a window exchange leaves
+# the stage latency-bound on that straggler once the cluster has ~10+
+# slots, and the gap only widens with executor count (the r6 skew
+# probe measured 2.3x at a 30% key on local[32]).
+DEFAULT_SKEW_THRESHOLD = 0.10
+
+
+def estimate_top_key_share(
+    df: DataFrame, key: str = "user_id", sample_fraction: float | None = None
+) -> float:
+    """Share of rows held by the single hottest key — the one number
+    the plain-vs-bucketed dispatch needs. One column-pruned pass with
+    a map-side-combined count per key (the shuffle carries |keys|
+    slim rows, not the corpus); pass sample_fraction to probe a
+    uniform sample instead when even that pass is too dear. Callers
+    that probe the same table repeatedly should memoize per dataset
+    (the `_money_profile` discipline, queries/relational.py)."""
+    probe = df.select(key)
+    if sample_fraction is not None:
+        probe = probe.sample(fraction=sample_fraction, seed=7)
+    row = (
+        probe.groupBy(key)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .first()
+    )
+    if row is None or not row.n:
+        return 0.0
+    return float(row.mx) / float(row.n)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_sec: int = DEFAULT_GAP_SEC,
+    bucket_sec: int = DEFAULT_BUCKET_SEC,
+    skew_threshold: float = DEFAULT_SKEW_THRESHOLD,
+    top_share: float | None = None,
+) -> DataFrame:
+    """ADAPTIVE entry point (r6 verdict item 5 precedent extended, the
+    functions/order.py size-flip discipline): pick the plain single-
+    window sessionizer on uniform keys — one exchange, no stitch
+    machinery — and bucket-and-stitch once the hottest user's share
+    crosses skew_threshold, where the plain shape's hot partition
+    serializes that share of the corpus through one task. Both shapes
+    are proven equal (same oracle checks c_sessionize_gaps and
+    c_sessionize_bucketed), so the dispatch can never change results —
+    only the plan. Pass a precomputed/memoized `top_share` to skip the
+    probe pass."""
+    if top_share is None:
+        top_share = estimate_top_key_share(events, "user_id")
+    if top_share > skew_threshold:
+        return sessionize_bucketed(events, gap_sec=gap_sec, bucket_sec=bucket_sec)
+    return sessionize_plain(events, gap_sec=gap_sec)
+
+
+def sessionize_plain(
+    events: DataFrame, gap_sec: int = DEFAULT_GAP_SEC
+) -> DataFrame:
+    """The plain lag+cumsum shape: both window functions share one
+    user-keyed exchange, then a slim per-session rollup. Deliberately
+    a function-level TWIN of the c_sessionize_gaps query body
+    (queries/relational.py) rather than a refactor of it — the query's
+    verification fingerprint pins that exact source, and the adaptive
+    dispatch needs a callable, not a query."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    gap = sec(F.col("ts")) - sec(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withColumn(
+            "session_id",
+            F.sum(new_s).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
 
 
 def sessionize_bucketed(

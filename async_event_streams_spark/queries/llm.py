@@ -1588,11 +1588,15 @@ def _bpe_doc_tokens(
     pack_sequences, domain_mix) build it once and broadcast-reuse it,
     exactly how a production job ships one tokenizer to every
     executor."""
-    # Empty words are excluded by contract ON BOTH SIDES: splitting an
+    # Empty words are excluded by contract ON BOTH SIDES (pinned
+    # inside encode_vocab/sql_bpe_ctes since r7): splitting an
     # empty/whitespace-only text yields word '' (Spark) and DuckDB's
     # list_reduce hard-errors on the empty char array it produces,
-    # while Spark's seeded fold would count it as 1 token — filtering
-    # pins one semantic instead of leaving a latent engine divergence.
+    # while Spark's seeded fold would count it as 1 token. Documents
+    # that yield ZERO words still get a (0, 0) row — the explode+join
+    # would silently drop them (r6 ADVICE item 2), and every consumer
+    # (token_count emits a row per document, pack_sequences packs
+    # every doc) wants corpus-complete output.
     words = docs.select(
         "doc_id", *extra_cols, F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.length("word") > 0)
@@ -1600,17 +1604,27 @@ def _bpe_doc_tokens(
         spark,
         f"{sf_dir}:bpe_vocab",
         lambda: encode_vocab(
-            table(spark, sf_dir, "documents")
-            .select(F.explode(tokens(F.col("text"))).alias("word"))
-            .filter(F.length("word") > 0)
+            table(spark, sf_dir, "documents").select(
+                F.explode(tokens(F.col("text"))).alias("word")
+            )
         ),
     )
-    return (
+    sums = (
         words.join(F.broadcast(enc), "word")
         .groupBy("doc_id", *extra_cols)
         .agg(
             F.count("*").cast("long").alias("n_words"),
             F.sum("bpe_len").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id", *extra_cols)
+        .join(sums, ["doc_id", *extra_cols], "left")
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
 
@@ -1623,10 +1637,14 @@ def _sql_bpe_doc_tokens(extra: str = "") -> str:
 w AS (SELECT * FROM w0 WHERE len(word) > 0),
 vocab AS (SELECT DISTINCT word FROM w),
 {sql_bpe_ctes("vocab")},
-bpe_doc AS (
+bpe_sums AS (
   SELECT doc_id{extra}, CAST(COUNT(*) AS BIGINT) AS n_words,
     CAST(SUM(bpe_len) AS BIGINT) AS n_tokens
-  FROM w JOIN bpe_enc USING (word) GROUP BY doc_id{extra})"""
+  FROM w JOIN bpe_enc USING (word) GROUP BY doc_id{extra}),
+bpe_doc AS (
+  SELECT doc_id{extra}, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+    CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM documents LEFT JOIN bpe_sums USING (doc_id{extra}))"""
 
 
 @query(

@@ -99,3 +99,35 @@ def test_pack_budgets_match_python_reference(spark, sf_dir):
         for r in QUERIES["x_pack_sequences"](spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_zero_word_docs_get_zero_count_rows(spark):
+    """A document whose text yields no words (empty/whitespace/
+    punctuation-only) must still appear in the per-doc BPE frame with
+    (n_words, n_tokens) = (0, 0) — the explode+inner-join shape would
+    silently drop it (r6 ADVICE item 2), and consumers like
+    pack_sequences must pack EVERY document."""
+    from async_event_streams_spark.queries.llm import _bpe_doc_tokens
+
+    # the word cache is the corpus vocabulary (artifact keyed on
+    # sf_dir), so the non-empty probe doc must use in-corpus words
+    w1, w2 = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .limit(2)
+        .collect()
+    )
+    docs = spark.createDataFrame(
+        [(1, f"{w1.w} {w2.w}"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in _bpe_doc_tokens(
+            spark, "/root/testdata/sf0.001", docs
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[1][0] == 2 and got[1][1] >= 2

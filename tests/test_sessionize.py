@@ -104,3 +104,46 @@ def test_bucketed_equals_reference_on_random_timelines(
     rows = [(u, i, _ts(s)) for i, (u, s) in enumerate(events)]
     got = run_bucketed(spark, rows, gap_sec, bucket_sec)
     assert got == reference_sessions(rows, gap_sec)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_adaptive_dispatch_picks_plain_on_uniform_keys(spark):
+    from async_event_streams_spark.functions.sessionize import sessionize
+
+    rows = [(u, u * 100 + i, _ts(i * 600)) for u in range(1, 11) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = sessionize(df)
+    # plain shape: no time-bucket column anywhere in the plan
+    assert "__b" not in _plan(out)
+    got = {(r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+           for r in out.collect()}
+    assert got == reference_sessions([(u, e, t) for u, e, t in rows], 1800)
+
+
+def test_adaptive_dispatch_picks_bucketed_on_hot_key(spark):
+    from async_event_streams_spark.functions.sessionize import sessionize
+
+    # user 1 owns half the corpus -> well past the 10% threshold
+    rows = [(1, i, _ts(i * 600)) for i in range(30)] + [
+        (u, 100 + u * 10 + i, _ts(i * 600)) for u in range(2, 12) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = sessionize(df)
+    assert "__b" in _plan(out)
+    got = {(r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+           for r in out.collect()}
+    assert got == reference_sessions([(u, e, t) for u, e, t in rows], 1800)
+
+
+def test_adaptive_dispatch_respects_precomputed_share(spark):
+    from async_event_streams_spark.functions.sessionize import sessionize
+
+    rows = [(1, 0, _ts(0)), (2, 1, _ts(0))]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    assert "__b" in _plan(sessionize(df, top_share=0.9))
+    assert "__b" not in _plan(sessionize(df, top_share=0.01))
