@@ -79,7 +79,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .sessionize import DEFAULT_SKEW_THRESHOLD, estimate_top_key_share
+
 DEFAULT_BUCKET_SEC = 3600
+
+
+def scd2_intervals(
+    events: DataFrame,
+    bucket_sec: int = DEFAULT_BUCKET_SEC,
+    skew_threshold: float = DEFAULT_SKEW_THRESHOLD,
+    top_share: float | None = None,
+) -> DataFrame:
+    """ADAPTIVE entry point, the sessionize discipline applied to
+    SCD2: plain two-window shape on uniform keys (one exchange, no
+    stitch machinery), bucket-and-stitch once the hottest user's share
+    crosses skew_threshold. Both shapes are oracle-proven equal
+    (c_scd2_intervals and c_scd2_bucketed share one oracle), so the
+    dispatch can never change results — only the plan. Pass a
+    precomputed/memoized `top_share` to skip the probe pass."""
+    if top_share is None:
+        top_share = estimate_top_key_share(events, "user_id")
+    if top_share > skew_threshold:
+        return scd2_intervals_bucketed(events, bucket_sec=bucket_sec)
+    return scd2_intervals_plain(events)
+
+
+def scd2_intervals_plain(events: DataFrame) -> DataFrame:
+    """The plain two-window shape: LAG change-detection + LEAD
+    interval close riding one user-keyed exchange. Deliberately a
+    function-level TWIN of the c_scd2_intervals query body
+    (queries/relational.py) rather than a refactor of it — the
+    query's verification fingerprint pins that exact source, and the
+    adaptive dispatch needs a callable, not a query."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
 
 
 def scd2_intervals_bucketed(

@@ -138,3 +138,44 @@ def test_matches_reference_on_random_corpora(spark, corpus, bucket_sec):
     ]
     got = run_bucketed(spark, rows, bucket_sec=bucket_sec)
     assert got == reference_intervals(rows)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_adaptive_dispatch_both_ends(spark):
+    """The adaptive entry must pick the plain shape on uniform keys
+    and bucket-and-stitch past the hot-share threshold — and both
+    dispatches must agree with the pure-Python reference."""
+    from async_event_streams_spark.functions.scd2 import scd2_intervals
+
+    uniform = [
+        (u, u * 10 + i, _ts(i * 600), "ab"[i % 2])
+        for u in range(1, 11)
+        for i in range(5)
+    ]
+    hot = [(1, i, _ts(i * 600), "ab"[i % 2]) for i in range(30)] + [
+        (u, 100 + u * 10 + i, _ts(i * 600), "a")
+        for u in range(2, 12)
+        for i in range(3)
+    ]
+    for rows, expect_bucketed in ((uniform, False), (hot, True)):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        out = scd2_intervals(df)
+        assert ("__b" in _plan(out)) is expect_bucketed
+        got = {
+            (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()
+        }
+        assert got == reference_intervals(rows)
+    # precomputed-share override skips the probe and pins the shape
+    df = spark.createDataFrame(
+        uniform, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    assert "__b" in _plan(scd2_intervals(df, top_share=0.9))
+    assert "__b" not in _plan(scd2_intervals(df, top_share=0.01))
