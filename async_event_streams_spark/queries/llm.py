@@ -1705,7 +1705,9 @@ def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_sql_bpe_doc_tokens()}
 SELECT doc_id, n_words, n_tokens AS n_bpe_tokens,
-  ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6) AS tokens_per_word
+  CASE WHEN n_words > 0
+       THEN ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6) END
+    AS tokens_per_word
 FROM bpe_doc
 """,
 )
@@ -1725,13 +1727,90 @@ def x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         F.col("n_tokens").alias("n_bpe_tokens"),
-        F.round(
-            F.col("n_tokens").cast("double") / F.col("n_words"), 6
+        # guarded: a zero-word doc would make 0/0 NaN here but NULL in
+        # DuckDB — pin NULL on both sides
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6),
         ).alias("tokens_per_word"),
     )
 
 
 # ---------------------------------------------------------------------------
+
+_BPE_TRAIN_TOPK = 20
+
+
+@query(
+    "x_bpe_train_pairs",
+    oracle=f"""
+WITH w0 AS (SELECT unnest({_SQL_TOKS}) AS word FROM documents),
+w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w0
+      WHERE len(word) > 0 GROUP BY word),
+c AS (SELECT n, regexp_extract_all(word, '(.)', 1) AS t FROM w),
+p AS (SELECT n, unnest(list_transform(range(1, len(t)),
+        i -> {{'l': t[i], 'r': t[i + 1]}})) AS pr FROM c),
+agg AS (SELECT pr.l AS left_sym, pr.r AS right_sym,
+        CAST(SUM(n) AS BIGINT) AS pair_count
+        FROM p GROUP BY pr.l, pr.r)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY pair_count DESC, left_sym, right_sym) AS INTEGER) AS rnk,
+  left_sym, right_sym, pair_count
+FROM agg ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {_BPE_TRAIN_TOPK}
+""",
+)
+def x_bpe_train_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE tokenizer training, one round: word-frequency-
+    weighted adjacent-symbol-pair counts over the corpus vocabulary,
+    top-K merge candidates — the inner loop every BPE/WordPiece
+    trainer iterates (the offline tools/train_bpe.py runs the full
+    loop to produce functions/bpe.py's pretrained MERGES table; this
+    query is that loop's scale-out step as a first-class operator).
+
+    Scale shape (the tokenizer-training statement for 100 TB): the
+    corpus collapses to its VOCABULARY with counts first (Heaps' law:
+    |vocab| ≪ corpus — one slim word-count shuffle), so the
+    char-pair explode and pair aggregation run over vocab-sized data;
+    pair counts partial-aggregate map-side; the global top-K is a
+    TakeOrdered(K), never a global sort. The final rank column is
+    computed by a window over the ALREADY-LIMITED K rows (single
+    task over K=20 rows — deliberately after the limit, so no
+    corpus- or vocab-sized single-partition window ever exists).
+    Determinism: counts are exact integers; ties break on the pair
+    symbols themselves. No reference analog (driver mandate
+    extension)."""
+    vocab = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = F.regexp_extract_all(F.col("word"), F.lit("(.)"), F.lit(1))
+    pairs = vocab.select(
+        "n",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+            )
+        ).alias("pr"),
+    )
+    agg = pairs.groupBy(
+        F.col("pr.l").alias("left_sym"), F.col("pr.r").alias("right_sym")
+    ).agg(F.sum("n").cast("long").alias("pair_count"))
+    top = agg.orderBy(
+        F.col("pair_count").desc(), "left_sym", "right_sym"
+    ).limit(_BPE_TRAIN_TOPK)
+    w_rank = Window.orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+    return top.select(
+        F.row_number().over(w_rank).cast("int").alias("rnk"),
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    )
 
 
 @query(
