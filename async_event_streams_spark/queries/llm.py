@@ -3474,6 +3474,107 @@ def _lpa_round(e: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-7: kNN-graph consumer #3 — bounded-round integer PageRank
+# ---------------------------------------------------------------------------
+
+_PR_ROUNDS = 4
+_PR_SCALE = 1_000_000  # one unit of rank mass = 1e-6
+_PR_BASE = 150_000  # (1 - d) * SCALE, d = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration in INTEGER mass units: every vertex
+    starts with SCALE units; each round a vertex keeps BASE units and
+    receives floor((85 * pr) / (100 * outdeg)) from each in-edge.
+    Floor division on non-negative integers is engine-identical
+    (DuckDB `//`, Spark `DIV`), and integer sums are exact — so the
+    quantized ranks match bit-for-bit with no float-summation-order
+    hazard. Dangling mass (outdeg 0) is dropped, the standard
+    simplification. Stage CTEs AS MATERIALIZED: r{i} feeds the next
+    round's join and the carry-forward."""
+    parts = [
+        _knn_edges_cte(),
+        f",\npr_deg AS MATERIALIZED (SELECT vec_id, CAST(COUNT(*) AS BIGINT)"
+        f" AS d FROM knn GROUP BY vec_id)"
+        f",\nr0 AS MATERIALIZED (SELECT vec_id, CAST({_PR_SCALE} AS BIGINT)"
+        f" AS pr FROM v)",
+    ]
+    for i in range(1, _PR_ROUNDS + 1):
+        parts.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT x.vec_id, CAST({_PR_BASE} + COALESCE(s.m, 0) AS BIGINT) AS pr
+  FROM v x LEFT JOIN (
+    SELECT e.neighbor_id AS vec_id,
+      SUM((85 * r.pr) // (100 * pr_deg.d)) AS m
+    FROM knn e
+    JOIN r{i - 1} r ON e.vec_id = r.vec_id
+    JOIN pr_deg ON pr_deg.vec_id = e.vec_id
+    GROUP BY e.neighbor_id) s ON x.vec_id = s.vec_id)""")
+    parts.append(
+        f"\nSELECT vec_id, pr AS pr_units FROM r{_PR_ROUNDS}"
+    )
+    return "".join(parts)
+
+
+@query("x_knn_pagerank", oracle=_pagerank_oracle())
+def x_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality on the kNN substrate: K rounds of damped power
+    iteration (PageRank, d = 0.85) over x_knn_graph's edge list — the
+    third consumer of the shared edge artifact, and the standard
+    importance weight for corpus curation (sample central documents
+    for coverage, or down-weight hub-like near-duplicates that
+    k-center and label propagation don't see).
+
+    Determinism is the design point: rank mass lives in INTEGER
+    micro-units and each edge carries floor((85*pr)/(100*outdeg)) —
+    floor division of non-negative integers and integer sums are
+    bit-identical across engines, so the oracle needs no float
+    tolerance anywhere (the repo's exact-arithmetic membership
+    discipline applied to an iterative algorithm). Dangling vertices
+    drop their outflow (documented standard simplification); every
+    vertex keeps the (1-d) base mass, so isolated vectors rank BASE.
+
+    Scale shape: K bounded ROUNDS over the pinned edge+degree
+    artifact — per round one vec_id-keyed equi-join of edges to the
+    rank frame, a partial-agg inflow sum keyed by neighbor_id, and a
+    left-join carry-forward; no all-pairs, nothing collects to the
+    driver, K is a constant. The per-round localCheckpoint keeps the
+    rank lineage flat across rounds (the x_knn_communities
+    discipline)."""
+    edges = artifact(
+        spark, f"{sf_dir}:knn_edges", lambda: x_knn_graph(spark, sf_dir)
+    )
+    deg = edges.groupBy("vec_id").agg(F.count("*").cast("long").alias("d"))
+    e = materialize(
+        edges.join(deg, "vec_id").select("vec_id", "neighbor_id", "d")
+    )
+    v = materialize(table(spark, sf_dir, "embeddings").select("vec_id"))
+    pr = v.select("vec_id", F.lit(_PR_SCALE).cast("long").alias("pr"))
+    for _ in range(_PR_ROUNDS):
+        pr = materialize(_pagerank_round(e, pr, v))
+    return pr.select("vec_id", F.col("pr").alias("pr_units"))
+
+
+def _pagerank_round(e: DataFrame, pr: DataFrame, v: DataFrame) -> DataFrame:
+    """One damped power-iteration round as a DataFrame transform
+    (exposed so tests/test_plans.py can audit the per-round physical
+    plan, which the pinned round boundaries otherwise hide)."""
+    inflow = (
+        e.join(pr, "vec_id")
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.expr("(85 * pr) DIV (100 * d)").alias("m"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("m").alias("m"))
+    )
+    return v.join(inflow, "vec_id", "left").select(
+        "vec_id",
+        (F.lit(_PR_BASE) + F.coalesce("m", F.lit(0))).cast("long").alias("pr"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round-5 diagnostics: sketch fidelity and corpus shape
 # ---------------------------------------------------------------------------
 

@@ -622,3 +622,27 @@ def test_knn_communities_rounds_are_equi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_knn_pagerank_rounds_are_equi_joins(spark, sf_dir):
+    """Each power-iteration round must be edge⋈rank equi-joins with a
+    partial-agg inflow sum — never all-pairs, no global sort."""
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.queries.llm import _pagerank_round
+    from async_event_streams_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        (F.col("vec_id") + 1).alias("neighbor_id"),
+        F.lit(1).cast("long").alias("d"),
+    )
+    pr = emb.select("vec_id", F.lit(1_000_000).cast("long").alias("pr"))
+    df = _pagerank_round(e, pr, emb.select("vec_id"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert op_count(plan, "Sort") == 0 or "SortMergeJoin" in plan
