@@ -1588,18 +1588,22 @@ def _bpe_doc_tokens(
     pack_sequences, domain_mix) build it once and broadcast-reuse it,
     exactly how a production job ships one tokenizer to every
     executor."""
-    # Empty words are excluded by contract ON BOTH SIDES (pinned
+    # Empty words are excluded from the VOCAB by contract (pinned
     # inside encode_vocab/sql_bpe_ctes since r7): splitting an
     # empty/whitespace-only text yields word '' (Spark) and DuckDB's
     # list_reduce hard-errors on the empty char array it produces,
     # while Spark's seeded fold would count it as 1 token. Documents
-    # that yield ZERO words still get a (0, 0) row — the explode+join
-    # would silently drop them (r6 ADVICE item 2), and every consumer
-    # (token_count emits a row per document, pack_sequences packs
-    # every doc) wants corpus-complete output.
+    # that yield ZERO words still get a (0, 0) row (r6 ADVICE item 2 —
+    # every consumer wants corpus-complete output: token_count emits a
+    # row per document, pack_sequences packs every doc): the word
+    # stream keeps the ''-word rows as placeholders and LEFT-joins the
+    # cache, so the per-doc aggregation sees every doc and counts
+    # conditionally — one broadcast join, one shuffle, NO
+    # corpus-sized re-join of documents (which planned as a doc_id
+    # SortMergeJoin and failed the broadcast-only plan audit).
     words = docs.select(
         "doc_id", *extra_cols, F.explode(tokens(F.col("text"))).alias("word")
-    ).filter(F.length("word") > 0)
+    )
     enc = artifact(
         spark,
         f"{sf_dir}:bpe_vocab",
@@ -1609,22 +1613,16 @@ def _bpe_doc_tokens(
             )
         ),
     )
-    sums = (
-        words.join(F.broadcast(enc), "word")
+    return (
+        words.join(F.broadcast(enc), "word", "left")
         .groupBy("doc_id", *extra_cols)
         .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum("bpe_len").cast("long").alias("n_tokens"),
-        )
-    )
-    return (
-        docs.select("doc_id", *extra_cols)
-        .join(sums, ["doc_id", *extra_cols], "left")
-        .select(
-            "doc_id",
-            *extra_cols,
-            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.count(F.when(F.length("word") > 0, 1))
+            .cast("long")
+            .alias("n_words"),
+            F.coalesce(F.sum("bpe_len"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
         )
     )
 
@@ -1633,18 +1631,14 @@ def _sql_bpe_doc_tokens(extra: str = "") -> str:
     """DuckDB twin of _bpe_doc_tokens as chained CTEs ending in
     `bpe_doc(doc_id{extra}, n_words, n_tokens)`; `extra` is a
     leading-comma column list (e.g. ", source, lang")."""
-    return f"""w0 AS (SELECT doc_id{extra}, unnest({_SQL_TOKS}) AS word FROM documents),
-w AS (SELECT * FROM w0 WHERE len(word) > 0),
-vocab AS (SELECT DISTINCT word FROM w),
+    return f"""w AS (SELECT doc_id{extra}, unnest({_SQL_TOKS}) AS word FROM documents),
+vocab AS (SELECT DISTINCT word FROM w WHERE len(word) > 0),
 {sql_bpe_ctes("vocab")},
-bpe_sums AS (
-  SELECT doc_id{extra}, CAST(COUNT(*) AS BIGINT) AS n_words,
-    CAST(SUM(bpe_len) AS BIGINT) AS n_tokens
-  FROM w JOIN bpe_enc USING (word) GROUP BY doc_id{extra}),
 bpe_doc AS (
-  SELECT doc_id{extra}, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
-    CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens
-  FROM documents LEFT JOIN bpe_sums USING (doc_id{extra}))"""
+  SELECT doc_id{extra},
+    CAST(COUNT(CASE WHEN len(word) > 0 THEN 1 END) AS BIGINT) AS n_words,
+    CAST(COALESCE(SUM(bpe_len), 0) AS BIGINT) AS n_tokens
+  FROM w LEFT JOIN bpe_enc USING (word) GROUP BY doc_id{extra})"""
 
 
 @query(
