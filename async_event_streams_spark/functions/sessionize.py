@@ -150,7 +150,22 @@ def sessionize_bucketed(
 ) -> DataFrame:
     """(user_id, session_id, n_events, session_start, session_end) with
     session_id the per-user running count of session starts — the same
-    contract as c_sessionize_gaps, minus the hot-key window."""
+    contract as c_sessionize_gaps, minus the hot-key window.
+
+    Deliberately NOT pinned (no localCheckpoint), the r7 lesson from
+    the SCD2 twin (functions/scd2.py): the local-window frame feeds
+    two branches (summary aggregation, final events join) — the shape
+    that usually demands `util.materialize` — but the recompute is one
+    fused scan+window, and checkpointing was MEASURED slower (12.2 s
+    vs 10.4 s warm at the 100x/10M-event probe corpus, local[32]): the
+    checkpoint writes a corpus-sized frame AND erases its
+    outputPartitioning, forcing the summary join-back to re-shuffle
+    both sides. Recomputing keeps the (user_id, bucket) hash
+    partitioning visible to Catalyst, so only the summary side of the
+    join shuffles. On a cluster the same trade holds: re-reading a
+    columnar source through a fused window beats writing and
+    re-shuffling an intermediate the optimizer can no longer reason
+    about."""
     sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
     e = events.select("user_id", "event_id", "ts").withColumn(
         "__b", F.floor(sec("ts") / bucket_sec)
@@ -158,19 +173,14 @@ def sessionize_bucketed(
     w_local = Window.partitionBy("user_id", "__b").orderBy("ts", "event_id")
     gap = sec("ts") - F.lag(sec("ts")).over(w_local)
     new_s = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
-    # PINNED: `loc` feeds two plan branches (the summary aggregation
-    # and the final events join); unpinned, ReusedExchange dedups only
-    # the shuffle write and the corpus-sized window sort runs TWICE —
-    # the repo's recurrent double-compute flaw (x_dup_spans, q11).
-    # On a cluster this role is a written intermediate table.
-    loc = materialize(
-        e.withColumn(
-            "__ls",
-            F.sum(new_s).over(
-                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+    loc = e.withColumn(
+        "__ls",
+        F.sum(new_s).over(
+            w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
+    # One summary row per (user, bucket); groupBy keys == the window
+    # partitioning, so this rollup adds no exchange of its own.
     summ = loc.groupBy("user_id", "__b").agg(
         F.min(sec("ts")).alias("__first"),
         F.max(sec("ts")).alias("__last"),
