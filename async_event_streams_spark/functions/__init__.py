@@ -11,3 +11,14 @@ from .text import (  # noqa: F401
     stopword_count,
 )
 from .similarity import dot, cosine, lsh_planes, lsh_bucket  # noqa: F401
+from .sessionize import (  # noqa: F401
+    estimate_top_key_share,
+    sessionize,
+    sessionize_bucketed,
+    sessionize_plain,
+)
+from .scd2 import (  # noqa: F401
+    scd2_intervals,
+    scd2_intervals_bucketed,
+    scd2_intervals_plain,
+)

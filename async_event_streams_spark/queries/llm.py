@@ -2227,6 +2227,64 @@ def x_multimodal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_asset_dedup",
+    oracle="""
+SELECT content_id,
+  CAST(COUNT(*) AS BIGINT) AS n_refs,
+  CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+  CAST(MAX(n_bytes) AS BIGINT) AS n_bytes,
+  CAST((COUNT(*) - 1) * MAX(n_bytes) AS BIGINT) AS reclaim_bytes
+FROM (
+  SELECT doc_id, sha256(text) AS content_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents)
+GROUP BY content_id
+""",
+)
+def x_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document ASSET deduplication by content address — the
+    multimodal counterpart of x_dedup_exact and the report every
+    content-addressed media lake runs before garbage collection: group
+    payloads by sha256, keep the min-doc_id canonical owner, count
+    references, and price the reclaimable bytes ((n_refs-1) x size;
+    identical content implies identical size, so MAX(n_bytes) is just
+    the group's constant). Every asset gets a row (the x_dedup_exact
+    convention — uniques carry reclaim_bytes 0), so the report doubles
+    as the CAS catalog. `text` stands in for the binary column (the
+    x_multimodal_ids convention; real decode lives behind
+    functions/multimodal.py's stubbed codecs).
+
+    Scale shape: ONE partial-agg shuffle keyed by the content hash —
+    uniformly distributed by construction, so this is the rare
+    corpus-keyed aggregation that CANNOT skew; the payload bytes never
+    shuffle (the hash and length are computed in the scan projection).
+    No reference analog (driver mandate extension)."""
+    docs = table(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_id"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return (
+        a.groupBy("content_id")
+        .agg(
+            F.count("*").cast("long").alias("n_refs"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+            F.max("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .select(
+            "content_id",
+            "n_refs",
+            "canonical_doc",
+            "n_bytes",
+            ((F.col("n_refs") - 1) * F.col("n_bytes"))
+            .cast("long")
+            .alias("reclaim_bytes"),
+        )
+    )
+
+
+@query(
     "x_frame_sample",
     oracle="""
 WITH d AS (

@@ -35,6 +35,9 @@ SKEW_QUERIES = [
     "c_sessionize_bucketed",  # the bucket-and-stitch answer to the hot key
     "c_scd2_intervals",
     "c_scd2_bucketed",  # r7: bucket-and-stitch SCD2 (same mitigation)
+    # r7 lane widening: the remaining user-keyed windows over events
+    "c_window_running_sum",
+    "c_window_lag",
 ]
 
 
