@@ -3534,8 +3534,9 @@ _PR_SCALE = 1_000_000  # one unit of rank mass = 1e-6
 _PR_BASE = 150_000  # (1 - d) * SCALE, d = 0.85
 
 
-def _pagerank_oracle() -> str:
-    """Unrolled power iteration in INTEGER mass units: every vertex
+def _pagerank_cte() -> str:
+    """Shared DuckDB CTE chain ending in `r{_PR_ROUNDS}(vec_id, pr)`:
+    unrolled power iteration in INTEGER mass units — every vertex
     starts with SCALE units; each round a vertex keeps BASE units and
     receives floor((85 * pr) / (100 * outdeg)) from each in-edge.
     Floor division on non-negative integers is engine-identical
@@ -3562,10 +3563,14 @@ r{i} AS MATERIALIZED (
     JOIN r{i - 1} r ON e.vec_id = r.vec_id
     JOIN pr_deg ON pr_deg.vec_id = e.vec_id
     GROUP BY e.neighbor_id) s ON x.vec_id = s.vec_id)""")
-    parts.append(
-        f"\nSELECT vec_id, pr AS pr_units FROM r{_PR_ROUNDS}"
-    )
     return "".join(parts)
+
+
+def _pagerank_oracle() -> str:
+    return (
+        f"{_pagerank_cte()}\n"
+        f"SELECT vec_id, pr AS pr_units FROM r{_PR_ROUNDS}"
+    )
 
 
 @query("x_knn_pagerank", oracle=_pagerank_oracle())
@@ -3605,6 +3610,65 @@ def x_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PR_ROUNDS):
         pr = materialize(_pagerank_round(e, pr, v))
     return pr.select("vec_id", F.col("pr").alias("pr_units"))
+
+
+_WSAMPLE_K = 32
+
+
+def _wsample_oracle() -> str:
+    return f"""{_pagerank_cte()},
+ws_c AS MATERIALIZED (
+  SELECT vec_id, pr, SUM(pr) OVER (
+    ORDER BY vec_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r{_PR_ROUNDS}),
+ws_t AS (SELECT GREATEST(SUM(pr) // {_WSAMPLE_K}, 1) AS step
+         FROM r{_PR_ROUNDS})
+SELECT CAST(cum // step AS INTEGER) AS pick, vec_id, pr AS pr_units
+FROM ws_c, ws_t WHERE (cum // step) > ((cum - pr) // step)
+"""
+
+
+@query("x_sample_weighted", oracle=_wsample_oracle())
+def x_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-WEIGHTED systematic sampling: lay every vector's
+    PageRank mass (x_knn_pagerank, integer micro-units) end to end
+    along the vec_id order and pick the vector under each of ~K
+    equally-spaced mass boundaries — probability-proportional-to-size
+    sampling made deterministic, the curation step that samples a
+    corpus BY importance instead of uniformly (central documents more
+    likely, isolated near-orphans less), composing two prior
+    operators: the integer-exact rank frame and the scalable global
+    prefix sum.
+
+    Scale shape: the cumulative mass rides `global_running_sum`
+    (functions/order.py) — range-partitioned local running sums plus a
+    broadcast per-partition prefix, never a single-partition window at
+    scale (the same machinery's small-input mode keeps test SF cheap);
+    the total/step is a broadcast 1-row aggregate; the boundary test
+    `(cum DIV step) > ((cum - pr) DIV step)` is pure integer
+    arithmetic on non-negative values, so selection is
+    engine-deterministic with no float or RNG anywhere (the
+    x_sample_stratified determinism discipline, weighted)."""
+    from ..functions.order import global_running_sum
+
+    pr = x_knn_pagerank(spark, sf_dir)
+    c = global_running_sum(pr, ["vec_id"], "pr_units", sum_col="cum")
+    tot = pr.agg(
+        F.greatest(
+            F.expr(f"SUM(pr_units) DIV {_WSAMPLE_K}"), F.lit(1)
+        ).alias("__step")
+    )
+    return (
+        c.join(F.broadcast(tot))
+        .filter(
+            F.expr("(cum DIV __step) > ((cum - pr_units) DIV __step)")
+        )
+        .select(
+            F.expr("cum DIV __step").cast("int").alias("pick"),
+            "vec_id",
+            "pr_units",
+        )
+    )
 
 
 def _pagerank_round(e: DataFrame, pr: DataFrame, v: DataFrame) -> DataFrame:
