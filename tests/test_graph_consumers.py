@@ -1,0 +1,108 @@
+"""Third-implementation triangulation for the iterative kNN-graph
+consumers: the Spark loop and the DuckDB unrolled-CTE oracle could in
+principle share a systematic misunderstanding, so label propagation
+and integer PageRank are ALSO pinned against independent pure-Python
+references on small random graphs (the scd2/sessionize hypothesis
+discipline applied to graph algorithms)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.queries.llm import (
+    _LPA_ROUNDS,
+    _PR_BASE,
+    _PR_ROUNDS,
+    _PR_SCALE,
+    _lpa_round,
+    _pagerank_round,
+)
+
+# directed weighted edges: (src, dst, w) with unique (src, dst)
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=1, max_value=1000),
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda e: (e[0], e[1]),
+).map(lambda es: [e for e in es if e[0] != e[1]])
+
+N_VERTS = 8
+
+
+def reference_lpa(edges, rounds):
+    labels = {v: v for v in range(N_VERTS)}
+    for _ in range(rounds):
+        nxt = {}
+        for v in range(N_VERTS):
+            weights: dict[int, int] = {}
+            for s, d, w in edges:
+                if s == v:
+                    lab = labels[d]
+                    weights[lab] = weights.get(lab, 0) + w
+            if weights:
+                # max weight, ties to smallest label
+                nxt[v] = min(
+                    (lab for lab in weights),
+                    key=lambda lab: (-weights[lab], lab),
+                )
+            else:
+                nxt[v] = labels[v]
+        labels = nxt
+    return labels
+
+
+def reference_pagerank(edges, rounds):
+    outdeg = {}
+    for s, _d, _w in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: _PR_SCALE for v in range(N_VERTS)}
+    for _ in range(rounds):
+        inflow = {v: 0 for v in range(N_VERTS)}
+        for s, d, _w in edges:
+            inflow[d] += (85 * pr[s]) // (100 * outdeg[s])
+        pr = {v: _PR_BASE + inflow[v] for v in range(N_VERTS)}
+    return pr
+
+
+@given(EDGES)
+@settings(max_examples=10, deadline=None)
+def test_lpa_rounds_match_python_reference(spark, edges):
+    e = spark.createDataFrame(
+        [(s, d, w) for s, d, w in edges] or [(0, 0, 0)],
+        "vec_id long, neighbor_id long, w long",
+    )
+    if not edges:  # keep the frame non-empty but edge-free
+        e = e.filter(F.col("w") > 0)
+    labels = spark.createDataFrame(
+        [(v, v) for v in range(N_VERTS)], "vec_id long, label long"
+    )
+    for _ in range(_LPA_ROUNDS):
+        labels = _lpa_round(e, labels).localCheckpoint(eager=False)
+    got = {r.vec_id: r.label for r in labels.collect()}
+    assert got == reference_lpa(edges, _LPA_ROUNDS)
+
+
+@given(EDGES)
+@settings(max_examples=10, deadline=None)
+def test_pagerank_rounds_match_python_reference(spark, edges):
+    outdeg = {}
+    for s, _d, _w in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    e = spark.createDataFrame(
+        [(s, d, outdeg[s]) for s, d, _w in edges] or [(0, 0, 0)],
+        "vec_id long, neighbor_id long, d long",
+    )
+    if not edges:
+        e = e.filter(F.col("d") > 0)
+    v = spark.createDataFrame([(i,) for i in range(N_VERTS)], "vec_id long")
+    pr = v.select("vec_id", F.lit(_PR_SCALE).cast("long").alias("pr"))
+    for _ in range(_PR_ROUNDS):
+        pr = _pagerank_round(e, pr, v).localCheckpoint(eager=False)
+    got = {r.vec_id: r.pr for r in pr.collect()}
+    assert got == reference_pagerank(edges, _PR_ROUNDS)
