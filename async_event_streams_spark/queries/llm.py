@@ -2723,6 +2723,95 @@ def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, pr.a AS w1, pr.b AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS pr FROM t)),
+c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+vsz AS (SELECT COUNT(DISTINCT u) AS v FROM
+        (SELECT unnest(toks) AS u FROM t) uw),
+s AS (
+  SELECT bg.doc_id,
+    CAST(ROUND(-LOG2(CAST(c2.c + 1 AS DOUBLE) / (c1.c + vsz.v)) * 1e9)
+      AS BIGINT) AS nanobits
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vsz
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(CAST(SUM(nanobits) AS DOUBLE) / COUNT(*) / 1e9, 6)
+    AS bits_per_transition
+FROM s GROUP BY doc_id
+"""
+
+
+@query("x_bigram_logprob", oracle=_BIGRAM_ORACLE)
+def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (the CCNet-style perplexity filter, one
+    order up from x_unigram_logprob): fit corpus bigram transition
+    probabilities with add-one smoothing — p(w2|w1) = (c(w1,w2)+1) /
+    (c(w1)+V) — and score each doc by mean -log2 p over its
+    transitions. Fluent prose rides common transitions (low bits);
+    shuffled or templated token soup scores high even when its
+    UNIGRAMS are common — the failure mode the unigram proxy can't
+    see.
+
+    Scale shape: the bigram count table grows sublinearly but is NOT
+    vocabulary-small, so unlike the unigram probs it is NEVER
+    broadcast — the transition stream joins it by a (w1, w2) equi-join
+    (shuffle keyed on the bigram, which a hot document cannot flood);
+    the context counts and the 1-row vocabulary size ride broadcasts.
+    Per-token doubles are quantized to integer nano-bits before the
+    per-doc sum (the x_unigram_logprob discipline), so no
+    partial-aggregation order can flip a rounded mean: both engines
+    round the same rational (c2+1)/(c1+V) to the same int64. Docs
+    with fewer than two tokens have no transitions and no row, both
+    engines. No reference analog (driver mandate extension)."""
+    docs = table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.w1", "pr.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vsz = (
+        docs.select(F.explode(t).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    nanobits = (
+        F.round(
+            -F.log2(
+                (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("nanobits")
+    )
+    n = F.count("*")
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select("doc_id", nanobits)
+        .groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_bigrams"),
+            F.round(F.sum("nanobits").cast("double") / n / 1e9, 6).alias(
+                "bits_per_transition"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: PII detection / redaction
 # ---------------------------------------------------------------------------
