@@ -3738,24 +3738,33 @@ def x_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on non-negative values, so selection is
     engine-deterministic with no float or RNG anywhere (the
     x_sample_stratified determinism discipline, weighted)."""
+    pr = x_knn_pagerank(spark, sf_dir)
+    return _weighted_pick(pr, "vec_id", "pr_units", _WSAMPLE_K)
+
+
+def _weighted_pick(
+    weights: DataFrame, id_col: str, w_col: str, k: int
+) -> DataFrame:
+    """Deterministic PPS selection: lay `w_col` mass along the id
+    order, pick the row under each multiple of step = total DIV k
+    (at least 1). A row is picked iff its half-open mass interval
+    (cum - w, cum] contains a step boundary — the pure-integer test
+    `(cum DIV step) > ((cum - w) DIV step)` on non-negative values,
+    identical under Spark DIV and DuckDB //. Exposed for the
+    triangulation property test (tests/test_graph_consumers.py)."""
     from ..functions.order import global_running_sum
 
-    pr = x_knn_pagerank(spark, sf_dir)
-    c = global_running_sum(pr, ["vec_id"], "pr_units", sum_col="cum")
-    tot = pr.agg(
-        F.greatest(
-            F.expr(f"SUM(pr_units) DIV {_WSAMPLE_K}"), F.lit(1)
-        ).alias("__step")
+    c = global_running_sum(weights, [id_col], w_col, sum_col="cum")
+    tot = weights.agg(
+        F.greatest(F.expr(f"SUM({w_col}) DIV {k}"), F.lit(1)).alias("__step")
     )
     return (
         c.join(F.broadcast(tot))
-        .filter(
-            F.expr("(cum DIV __step) > ((cum - pr_units) DIV __step)")
-        )
+        .filter(F.expr(f"(cum DIV __step) > ((cum - {w_col}) DIV __step)"))
         .select(
             F.expr("cum DIV __step").cast("int").alias("pick"),
-            "vec_id",
-            "pr_units",
+            id_col,
+            w_col,
         )
     )
 

@@ -106,3 +106,36 @@ def test_pagerank_rounds_match_python_reference(spark, edges):
         pr = _pagerank_round(e, pr, v).localCheckpoint(eager=False)
     got = {r.vec_id: r.pr for r in pr.collect()}
     assert got == reference_pagerank(edges, _PR_ROUNDS)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([1, 4, 8]),
+)
+@settings(max_examples=10, deadline=None)
+def test_weighted_pick_matches_python_reference(spark, weights, k):
+    """PPS boundary selection: a row is picked iff its half-open mass
+    interval (cum-w, cum] contains a multiple of step = max(total//k, 1)
+    — triangulated against a direct Python replay."""
+    from async_event_streams_spark.queries.llm import _weighted_pick
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "vec_id long, w long"
+    )
+    got = {(r.pick, r.vec_id, r.w) for r in _weighted_pick(df, "vec_id", "w", k).collect()}
+    step = max(sum(weights) // k, 1)
+    cum = 0
+    want = set()
+    for i, w in enumerate(weights):
+        prev, cum = cum, cum + w
+        if cum // step > prev // step:
+            want.add((cum // step, i, w))
+    assert got == want
+    # picked rows are distinct boundary owners: never more than the
+    # boundary count (a single heavy row may own several boundaries,
+    # so <= not ==), and at least one row is always picked
+    assert 1 <= len(want) <= sum(weights) // step
