@@ -20,6 +20,10 @@ from .neardedup import (  # noqa: F401
     windowed_minhash_dedup_pipe,
 )
 from .state import compact_state, state_dirs  # noqa: F401
+from .knn import (  # noqa: F401
+    knn_edges_snapshot,
+    knn_graph_pipe,
+)
 from .ann import (  # noqa: F401
     ivf_index_pipe,
     ivfpq_index_pipe,
