@@ -115,6 +115,7 @@ def knn_graph_pipe(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     name: str = "knn-graph",
+    compact_every: int | None = None,
 ):
     """Maintain the kNN edge list over a stream of embeddings. Each
     micro-batch: bucket the new vectors (defaults reproduce the batch
@@ -136,6 +137,15 @@ def knn_graph_pipe(
     def index_batch(df, batch_id: int):
         spark = df.sparkSession
         reject_stale_state(vroot, batch_id, "knn_graph_pipe")
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            # all three roots are safely mergeable: the snapshot's
+            # latest-touch resolution keys on the ROW-level __batch
+            # stamps, not the directory names (committed-batch
+            # watermark: only dirs below the current batch id merge)
+            from .state import compact_state
+
+            for root in (vroot, eroot, troot):
+                compact_state(spark, root, upto_batch=batch_id)
         nv = materialize(
             df.select(
                 F.col(id_col).alias("vec_id"),

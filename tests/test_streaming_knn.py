@@ -98,3 +98,40 @@ def test_streaming_knn_graph_equals_batch(spark, sf_dir, topic_root):
     finally:
         h.stop()
         vecs.close()
+
+
+def test_streaming_knn_graph_with_compaction(spark, sf_dir, topic_root):
+    """compact_every folds all three state roots; snapshot equality is
+    unaffected because latest-touch resolution keys on the ROW-level
+    __batch stamps, not directory names."""
+    from async_event_streams_spark.streaming import state_dirs
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
+        .limit(90)
+        .collect()
+    )
+    corpus = [(r.vec_id, list(r.e)) for r in rows]
+    reg = TopicRegistry()
+    vecs = Topic(
+        spark, "knn_vecs_c", "vec_id long, embedding array<double>", topic_root, reg
+    )
+    sdir = f"{topic_root}/knn-state-c"
+    h = knn_graph_pipe(vecs, sdir, dim=64, name="knn-pipe-c", compact_every=2)
+    try:
+        sofar: list = []
+        for lo in range(0, 90, 30):
+            wave = corpus[lo : lo + 30]
+            vecs.send(
+                [{"vec_id": v, "embedding": e} for v, e in wave],
+                barrier="chain",
+            )
+            sofar += wave
+            assert _snapshot(spark, sdir) == _batch_reference(spark, sofar)
+        # batch 2 compacted batches 0-1: vector root folded to 2 dirs
+        assert len(state_dirs(f"{sdir}/vectors")) == 2
+    finally:
+        h.stop()
+        vecs.close()
