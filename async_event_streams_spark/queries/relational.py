@@ -2388,6 +2388,90 @@ def c_scd2_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals_bucketed(table(spark, sf_dir, "events"))
 
 
+_Z_BITS = 21
+_Z_MASK = (1 << _Z_BITS) - 1
+_Z_ROWS_PER_FILE = 2000
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    """Bit-interleave as a sum of masked-bit multiples — plain integer
+    arithmetic (& * +) both engines evaluate identically, no shift
+    operators needed: bit i of x lands at position 2i, bit i of y at
+    2i+1."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} // {1 << i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} // {1 << i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+def _z_interleave_col(x: Column, y: Column) -> Column:
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        z = z + F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "c_zorder_layout",
+    oracle=f"""
+WITH k AS (
+  SELECT event_id,
+    CAST(user_id & {_Z_MASK} AS BIGINT) AS zx,
+    CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) & {_Z_MASK} AS BIGINT)
+      AS zy
+  FROM events),
+z AS (SELECT event_id,
+      CAST({_z_interleave_sql("zx", "zy")} AS BIGINT) AS zvalue FROM k)
+SELECT event_id, zvalue,
+  CAST((ROW_NUMBER() OVER (ORDER BY zvalue, event_id) - 1)
+       // {_Z_ROWS_PER_FILE} AS BIGINT) AS file_id
+FROM z
+""",
+)
+def c_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout assignment — the Delta/Iceberg OPTIMIZE ZORDER
+    primitive as a first-class operator: interleave the bits of the
+    two clustering keys (user, hour-of-activity) into one Morton key,
+    then cut the z-sorted corpus into fixed-row files. Files become
+    simultaneously selective on BOTH keys: a reader filtering either a
+    user range or a time range touches O(few) files because z-adjacent
+    rows are adjacent in both dimensions — the data-layout lever that
+    makes every downstream scan cheaper, which is why lakehouse
+    maintenance jobs run it on a schedule.
+
+    Scale shape: the Morton key is a pure per-row projection (masked
+    bits times power-of-two literals — plain integer & * + that both
+    engines evaluate identically; no shuffle); the file cut is the
+    range-partitioned prefix machinery (`functions/order.py`
+    global_row_number — rows never leave their range partition, only
+    per-partition counts centralize), NEVER a single-partition
+    ROW_NUMBER sort at scale. Deterministic: integer keys, unique
+    event_id tie-break in the z order."""
+    from ..functions.order import global_row_number
+
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    k = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(_Z_MASK)).alias("zx"),
+        (sec("ts") / 3600)
+        .cast("long")
+        .bitwiseAND(F.lit(_Z_MASK))
+        .alias("zy"),
+    )
+    z = k.select(
+        "event_id", _z_interleave_col(F.col("zx"), F.col("zy")).alias("zvalue")
+    )
+    return global_row_number(z, ["zvalue", "event_id"], pos_col="__pos").select(
+        "event_id",
+        "zvalue",
+        F.expr(f"(__pos - 1) DIV {_Z_ROWS_PER_FILE}").alias("file_id"),
+    )
+
+
 @query(
     "c_funnel_steps",
     oracle=(

@@ -38,6 +38,7 @@ SKEW_QUERIES = [
     # r7 lane widening: the remaining user-keyed windows over events
     "c_window_running_sum",
     "c_window_lag",
+    "c_join_asof",  # union + user-keyed window: same bounded family
 ]
 
 
