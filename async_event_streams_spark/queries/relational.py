@@ -2415,6 +2415,80 @@ def _z_interleave_col(x: Column, y: Column) -> Column:
     return z
 
 
+_MV_CUTOFF = "1997-06-01 00:00:00"
+
+
+@query(
+    "c_mv_incremental",
+    # The oracle is the FULL RECOMPUTE over all orders — the Spark side
+    # maintains the view incrementally (frozen base + delta partials +
+    # keyed merge), so the differential check proves incremental
+    # maintenance ≡ recompute, the invariant every streaming MV rests on.
+    oracle=(
+        "SELECT o_orderpriority AS priority, "
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "  AS revenue_c "
+        "FROM orders GROUP BY 1, 2"
+    ),
+)
+def c_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance: a monthly
+    revenue-by-priority rollup is 'materialized' over the history
+    before a cutoff, then refreshed by aggregating ONLY the delta
+    (orders at/after the cutoff) and merging the partials into the
+    base by key — COUNT and SUM are the decomposable aggregates, so
+    partial + merge is algebraically exact (integer cents; no float
+    reorder hazard). The oracle recomputes from scratch over
+    everything, so the check machine-verifies the core invariant of
+    every incremental/streaming MV: merge(base, agg(delta)) ==
+    agg(base_rows ∪ delta_rows).
+
+    Scale shape (the reason MVs exist): the refresh touches the DELTA
+    and the view — one partial-agg shuffle over delta rows (date
+    predicate pushed to the scan) and a full-outer merge keyed by the
+    view's (priority, month), which is dimension-sized; the base FACT
+    rows are never re-read. Boundary months that span the cutoff
+    exercise the real merge (both sides non-null), not just appends."""
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        ).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("revenue_c"),
+        )
+
+    base = rollup(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = rollup(orders.filter(F.col("o_orderdate") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(
+            d,
+            (F.col("b.priority") == F.col("d.priority"))
+            & (F.col("b.month") == F.col("d.month")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("b.priority", "d.priority").alias("priority"),
+            F.coalesce("b.month", "d.month").alias("month"),
+            (
+                F.coalesce("b.n_orders", F.lit(0))
+                + F.coalesce("d.n_orders", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce("b.revenue_c", F.lit(0))
+                + F.coalesce("d.revenue_c", F.lit(0))
+            ).alias("revenue_c"),
+        )
+    )
+
+
 @query(
     "c_zorder_layout",
     oracle=f"""
