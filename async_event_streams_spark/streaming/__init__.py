@@ -24,6 +24,10 @@ from .knn import (  # noqa: F401
     knn_edges_snapshot,
     knn_graph_pipe,
 )
+from .mv import (  # noqa: F401
+    mv_rollup_pipe,
+    mv_snapshot,
+)
 from .ann import (  # noqa: F401
     ivf_index_pipe,
     ivfpq_index_pipe,

@@ -1,0 +1,81 @@
+"""Streaming materialized-view maintenance: after every wave the
+snapshot must equal the one-shot rollup over all rows sent so far —
+including groups whose rows span multiple batches — and compaction
+must never change the answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from async_event_streams_spark.streaming import mv_rollup_pipe, mv_snapshot
+from async_event_streams_spark.streaming.mv import _rollup
+from async_event_streams_spark.tables import table
+from async_event_streams_spark.topics import Topic, TopicRegistry
+
+
+@pytest.fixture()
+def topic_root(tmp_path):
+    return str(tmp_path / "topics")
+
+
+def _as_set(df):
+    return {
+        (r.priority, r.month, r.n_orders, r.revenue_c) for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("compact_every", [None, 2])
+def test_streaming_mv_equals_batch(spark, sf_dir, topic_root, compact_every):
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")  # interleaves priorities/months across
+        .limit(300)  # waves -> every group spans batches
+        .collect()
+    )
+    reg = TopicRegistry()
+    src = Topic(
+        spark,
+        f"mv_orders_{compact_every}",
+        "o_orderkey long, o_orderpriority string, "
+        "o_orderdate timestamp, o_totalprice double",
+        topic_root,
+        reg,
+    )
+    sdir = f"{topic_root}/mv-state-{compact_every}"
+    h = mv_rollup_pipe(
+        src, sdir, name=f"mv-pipe-{compact_every}", compact_every=compact_every
+    )
+    try:
+        sofar = []
+        for lo in range(0, 300, 100):
+            wave = rows[lo : lo + 100]
+            src.send(
+                [
+                    {
+                        "o_orderkey": r.o_orderkey,
+                        "o_orderpriority": r.o_orderpriority,
+                        "o_orderdate": r.o_orderdate,
+                        "o_totalprice": r.o_totalprice,
+                    }
+                    for r in wave
+                ],
+                barrier="chain",
+            )
+            sofar += wave
+            batch = _rollup(
+                spark.createDataFrame(
+                    sofar,
+                    "o_orderkey long, o_orderpriority string, "
+                    "o_orderdate timestamp, o_totalprice double",
+                )
+            )
+            assert _as_set(mv_snapshot(spark, sdir)) == _as_set(batch)
+        # the spanning-group property actually held: fewer groups than
+        # rows means groups merged across batches
+        n_groups = mv_snapshot(spark, sdir).count()
+        assert 0 < n_groups < len(sofar)
+    finally:
+        h.stop()
+        src.close()
