@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 
 from .state import reject_partitioned_source, reject_stale_state, state_dirs
 
-# (output column, source expression builder) for the monthly
-# revenue-by-priority view — the same shape c_mv_incremental maintains.
+# Default view: the monthly revenue-by-priority rollup — the same
+# shape c_mv_incremental maintains in batch.
 _KEYS = ("priority", "month")
 
 
@@ -57,12 +57,21 @@ def mv_rollup_pipe(
     state_dir: str,
     name: str = "mv-rollup",
     compact_every: int | None = None,
+    rollup_fn=None,
+    merge_fn=None,
 ):
-    """Maintain the monthly revenue-by-priority view over a stream of
-    order rows (o_orderpriority, o_orderdate, o_totalprice payload).
+    """Maintain a decomposable-aggregate view over a row stream.
+    Defaults maintain the monthly revenue-by-priority view over order
+    rows (the c_mv_incremental shape); pass `rollup_fn` (batch rows →
+    view partials) and `merge_fn` (partials → view) for any other
+    view whose aggregates are decomposable — the pair must satisfy
+    merge(p1 ∪ p2) == merge(rollup(r1 ∪ r2) ...), which COUNT/SUM/
+    MIN/MAX give for free (functions/skew.py lists the exact set).
     Returns the PipeHandle."""
     from ..topics.pipe import pipe
 
+    _rollup_fn = rollup_fn or _rollup
+    _merge_fn = merge_fn or _merge
     reject_partitioned_source(source, "mv_rollup_pipe")
     os.makedirs(state_dir, exist_ok=True)
 
@@ -83,13 +92,13 @@ def mv_rollup_pipe(
                 lo = os.path.basename(dirs[0])
                 tmp = os.path.join(state_dir, f".compact-{lo}.tmp")
                 shutil.rmtree(tmp, ignore_errors=True)
-                _merge(spark.read.parquet(*dirs)).write.mode(
+                _merge_fn(spark.read.parquet(*dirs)).write.mode(
                     "overwrite"
                 ).parquet(tmp)
                 for d in dirs:
                     shutil.rmtree(d)
                 os.rename(tmp, os.path.join(state_dir, lo))
-        partials = _rollup(df)
+        partials = _rollup_fn(df)
         partials.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch={batch_id}")
         )
@@ -98,13 +107,16 @@ def mv_rollup_pipe(
     return pipe(source, fn=fold_batch, sink_fn=lambda df, b: None, name=name)
 
 
-def mv_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+def mv_snapshot(
+    spark: SparkSession, state_dir: str, merge_fn=None
+) -> DataFrame:
     """The CURRENT view: re-merge the delta log's partial rows (slim —
-    |view keys| x |dirs|, never fact rows)."""
+    |view keys| x |dirs|, never fact rows). Pass the same `merge_fn`
+    the pipe was built with for non-default views."""
     dirs = state_dirs(state_dir)
     if not dirs:
         return spark.createDataFrame(
             [],
             "priority string, month timestamp, n_orders long, revenue_c long",
         )
-    return _merge(spark.read.parquet(*dirs))
+    return (merge_fn or _merge)(spark.read.parquet(*dirs))
