@@ -135,3 +135,38 @@ def test_streaming_knn_graph_with_compaction(spark, sf_dir, topic_root):
     finally:
         h.stop()
         vecs.close()
+
+
+def test_knn_pipe_restart_resumes_and_stays_batch_equal(spark, sf_dir, topic_root):
+    """Stop the kNN pipe mid-corpus, publish while down, restart with
+    the same name (same checkpoint + state dir): the drained snapshot
+    must still equal the batch build — replay-safe batch=N overwrite
+    plus checkpoint offsets give exactly-once state maintenance."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
+        .limit(120)
+        .collect()
+    )
+    corpus = [(r.vec_id, list(r.e)) for r in rows]
+    reg = TopicRegistry()
+    vecs = Topic(
+        spark, "knn_vecs_r", "vec_id long, embedding array<double>", topic_root, reg
+    )
+    sdir = f"{topic_root}/knn-state-r"
+    h1 = knn_graph_pipe(vecs, sdir, dim=64, name="knn-pipe-r")
+    vecs.send(
+        [{"vec_id": v, "embedding": e} for v, e in corpus[:60]],
+        barrier="chain",
+    )
+    h1.stop()
+    # published while the pipe is down
+    vecs.post([{"vec_id": v, "embedding": e} for v, e in corpus[60:]])
+    h2 = knn_graph_pipe(vecs, sdir, dim=64, name="knn-pipe-r")
+    try:
+        vecs.barrier()
+        assert _snapshot(spark, sdir) == _batch_reference(spark, corpus)
+    finally:
+        h2.stop()
+        vecs.close()

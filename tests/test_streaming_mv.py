@@ -79,3 +79,56 @@ def test_streaming_mv_equals_batch(spark, sf_dir, topic_root, compact_every):
     finally:
         h.stop()
         src.close()
+
+
+def test_mv_pipe_restart_resumes_and_stays_batch_equal(spark, sf_dir, topic_root):
+    """Stop the MV pipe mid-stream, publish while down, restart with
+    the same name: the snapshot must equal the one-shot rollup — the
+    delta log's batch=N overwrite plus checkpoint offsets make the
+    partials exactly-once across incarnations."""
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(200)
+        .collect()
+    )
+    def payload(rs):
+        return [
+            {
+                "o_orderkey": r.o_orderkey,
+                "o_orderpriority": r.o_orderpriority,
+                "o_orderdate": r.o_orderdate,
+                "o_totalprice": r.o_totalprice,
+            }
+            for r in rs
+        ]
+
+    reg = TopicRegistry()
+    src = Topic(
+        spark,
+        "mv_orders_r",
+        "o_orderkey long, o_orderpriority string, "
+        "o_orderdate timestamp, o_totalprice double",
+        topic_root,
+        reg,
+    )
+    sdir = f"{topic_root}/mv-state-r"
+    h1 = mv_rollup_pipe(src, sdir, name="mv-pipe-r")
+    src.send(payload(rows[:100]), barrier="chain")
+    h1.stop()
+    src.post(payload(rows[100:]))  # while down
+    h2 = mv_rollup_pipe(src, sdir, name="mv-pipe-r")
+    try:
+        src.barrier()
+        batch = _rollup(
+            spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_orderpriority string, "
+                "o_orderdate timestamp, o_totalprice double",
+            )
+        )
+        assert _as_set(mv_snapshot(spark, sdir)) == _as_set(batch)
+    finally:
+        h2.stop()
+        src.close()
