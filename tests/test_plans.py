@@ -646,3 +646,17 @@ def test_knn_pagerank_rounds_are_equi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert op_count(plan, "Sort") == 0 or "SortMergeJoin" in plan
+
+
+def test_mv_incremental_delta_filter_reaches_scan(spark, sf_dir):
+    """The MV refresh promise is 'touch only the delta': both date
+    predicates must appear as PushedFilters on the orders scans, and
+    the final merge must be a small-keyed join, never a fact shuffle
+    of unfiltered rows."""
+    plan = plan_of(spark, sf_dir, "c_mv_incremental")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("LessThan(o_orderdate" in ln for ln in pushed), pushed
+    assert any(
+        "GreaterThanOrEqual(o_orderdate" in ln for ln in pushed
+    ), pushed
+    assert "CartesianProduct" not in plan
