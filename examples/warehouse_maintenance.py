@@ -34,6 +34,9 @@ def main() -> None:
     for name in (
         "c_merge_upsert",
         "c_scd2_intervals",
+        "c_scd2_bucketed",  # the skew-resistant twin (same answer)
+        "c_mv_incremental",  # incremental MV == full recompute
+        "c_zorder_layout",  # OPTIMIZE ZORDER file assignment
         "c_funnel_steps",
         "c_retention_cohorts",
         "c_date_spine",
@@ -75,6 +78,45 @@ def main() -> None:
 
     print("streaming scd2 closed intervals:", feed("tour_scd2", scd2_intervals_stream))
     print("streaming funnel stage advances:", feed("tour_funnel", funnel_stage_stream))
+
+    # Streaming MV: the monthly revenue view as a delta log of
+    # per-batch partials; the snapshot re-merges slim partials only.
+    from async_event_streams_spark.streaming import mv_rollup_pipe, mv_snapshot
+
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(200)
+        .collect()
+    )
+    t = Topic(
+        spark,
+        "tour_mv",
+        "o_orderkey long, o_orderpriority string, "
+        "o_orderdate timestamp, o_totalprice double",
+        root,
+        reg,
+    )
+    h = mv_rollup_pipe(t, f"{root}/mv-state", name="tour-mv", compact_every=2)
+    for lo in (0, 100):
+        t.send(
+            [
+                {
+                    "o_orderkey": r.o_orderkey,
+                    "o_orderpriority": r.o_orderpriority,
+                    "o_orderdate": r.o_orderdate,
+                    "o_totalprice": r.o_totalprice,
+                }
+                for r in orders[lo : lo + 100]
+            ],
+            barrier="chain",
+        )
+    mv = mv_snapshot(spark, f"{root}/mv-state")
+    print("streaming MV groups:", mv.count(), "orders folded:",
+          mv.agg(F.sum("n_orders")).first()[0])
+    h.stop()
+    t.close()
 
 
 if __name__ == "__main__":
