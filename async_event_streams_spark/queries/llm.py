@@ -2326,6 +2326,62 @@ def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_MOD = 97
 _DECON_K = 4
 
+_DECON_FUZZY_ORACLE = f"""
+WITH pairs AS ({_VERIFIED_ORACLE}),
+fz_hits AS (
+  SELECT DISTINCT CASE WHEN doc_a % {_DECON_MOD} = 0 THEN doc_b
+                       ELSE doc_a END AS doc_id
+  FROM pairs
+  WHERE (doc_a % {_DECON_MOD} = 0) <> (doc_b % {_DECON_MOD} = 0)
+)
+SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM fz_hits) AS contaminated
+FROM documents d WHERE d.doc_id % {_DECON_MOD} <> 0
+"""
+
+
+@query("x_decontaminate_fuzzy", oracle=_DECON_FUZZY_ORACLE)
+def x_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: flag every training doc that is
+    a verified NEAR-duplicate (exact 3-gram Jaccard ≥ 0.8 after
+    MinHash/LSH candidate generation) of any benchmark doc — the
+    complement of x_decontaminate's exact 4-gram firewall, catching
+    lightly-edited eval contamination (reworded prompts, whitespace
+    and punctuation drift) that shares few exact n-grams but high
+    shingle overlap. The PaLM/GPT-style fuzzy-decontamination lane.
+
+    Scale shape: rides the SAME verified-pair machinery as
+    x_dedup_verified — banded LSH equi-joins with bucket caps for
+    candidates, O(candidates) exact verification, never a
+    corpus×benchmark product — then one membership split of the pair
+    list by benchmark side and a broadcast anti/semi flag join onto
+    the training docs. The pair list is corpus-pair-bounded, so the
+    decontamination pass costs the same as the near-dedup pass it
+    shares its artifact with. No reference analog (driver mandate
+    extension)."""
+    pairs = x_dedup_verified(spark, sf_dir)
+    is_bench_a = F.col("doc_a") % _DECON_MOD == 0
+    is_bench_b = F.col("doc_b") % _DECON_MOD == 0
+    hits = (
+        pairs.filter(is_bench_a != is_bench_b)
+        .select(
+            F.when(is_bench_a, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__hit", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 _DECON_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 g AS (
