@@ -89,6 +89,29 @@ def estimate_top_key_share(
     return float(row.mx) / float(row.n)
 
 
+def hot_keys(
+    df: DataFrame,
+    key: str = "user_id",
+    threshold: float = DEFAULT_SKEW_THRESHOLD,
+) -> list:
+    """The keys whose row share exceeds `threshold` — the input the
+    hot/cold-split dispatch needs (functions/asof.py,
+    functions/lagstitch.py). Mathematically bounded: fewer than
+    1/threshold keys can each hold more than a `threshold` share, so
+    the collect is ≤ ⌈1/threshold⌉ slim rows no matter the corpus.
+    Same cost shape as estimate_top_key_share: column-pruned scans
+    with map-side-combined per-key counts; the count-per-key frame is
+    evaluated twice (total, then filter) but its shuffle carries
+    |keys| rows, not the corpus."""
+    counts = df.groupBy(key).count()
+    row = counts.agg(F.sum("count").alias("n")).first()
+    total = 0 if row is None or row.n is None else int(row.n)
+    if not total:
+        return []
+    hot = counts.filter(F.col("count") > threshold * total).collect()
+    return [r[key] for r in hot]
+
+
 def sessionize(
     events: DataFrame,
     gap_sec: int = DEFAULT_GAP_SEC,

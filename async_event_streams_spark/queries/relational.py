@@ -872,6 +872,79 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c_join_asof_bucketed",
+    # Same oracle SQL as c_join_asof ON PURPOSE: the oracle states the
+    # simple semantics (latest prior order per event, correlated
+    # subquery); the Spark side is the skew-resistant bucket-and-stitch
+    # implementation, so the differential check proves it ≡ the plain
+    # as-of join.
+    oracle=(
+        "SELECT e.event_id, e.user_id, "
+        "(SELECT o.o_orderkey FROM orders o "
+        " WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+        " ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey "
+        "FROM events e"
+    ),
+)
+def c_join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant as-of join (functions/asof.py): the same output
+    contract as c_join_asof — each event ⋈ latest prior order of the
+    same user — computed as bucket-and-stitch so no window partition
+    ever holds more than one (user, time-bucket) of the merged
+    timeline. The plain union+window shape serializes a 30%-hot
+    user's entire timeline through one task (1.7–2.2× measured on the
+    r7 skew lane, worse with more executors, and AQE cannot split a
+    window partition); here the corpus-sized exchanges are keyed
+    (user, bucket) and the stitch is a segmented running
+    last-non-null: a per-bucket summary carries each bucket's closing
+    order and an ignore-nulls backward LAST over the tiny user-keyed
+    summary window yields every bucket's carry-in. See the module
+    docstring for the boundary argument and tools/skew_probe.py for
+    the measured comparison; `functions/asof.asof_orderkey` is the
+    ADAPTIVE entry point dispatching plain-vs-bucketed off the same
+    top-key-share probe as sessionize/SCD2."""
+    from ..functions.asof import asof_orderkey_bucketed
+
+    return asof_orderkey_bucketed(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "c_join_asof_adaptive",
+    # Same oracle SQL as c_join_asof / c_join_asof_bucketed: the
+    # adaptive hot/cold split can route rows through either proven
+    # shape, and the differential check pins the merged output.
+    oracle=(
+        "SELECT e.event_id, e.user_id, "
+        "(SELECT o.o_orderkey FROM orders o "
+        " WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+        " ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey "
+        "FROM events e"
+    ),
+)
+def c_join_asof_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION as-of entry point (functions/asof.asof_orderkey):
+    hot/cold-split dispatch. A bounded probe (≤ 1/threshold keys by
+    construction) names the users whose row share crosses the skew
+    threshold; their rows — and only theirs — go through the
+    bucket-and-stitch shape (c_join_asof_bucketed's machinery), the
+    rest through the plain single-exchange window (c_join_asof's).
+    On the uniform test corpora the probe finds no hot keys and this
+    collapses to the plain plan plus one probe pass; on the skew
+    lane's 30%-hot corpus it confines the stitch to the hot user's
+    rows (tools/skew_probe.py measures both). The whole-corpus stitch
+    is deliberately NOT the adaptive answer: on sparse per-user data
+    its summary is corpus-sized (~9× plain, measured), so the split
+    keeps each shape exactly where it wins."""
+    from ..functions.asof import asof_orderkey
+
+    return asof_orderkey(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "orders")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped headline joins (multi-join perf anchors)
 # ---------------------------------------------------------------------------
@@ -1086,6 +1159,61 @@ def c_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", F.lag("value").over(w).alias("prev_value")
     )
+
+
+@query(
+    "c_window_lag_bucketed",
+    # Same oracle SQL as c_window_lag ON PURPOSE: the oracle states the
+    # simple semantics (one per-user LAG); the Spark side is the
+    # skew-resistant bucket-and-stitch implementation, so the
+    # differential check proves it ≡ the plain window.
+    oracle=(
+        "SELECT event_id, user_id, value, "
+        "LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value "
+        "FROM events"
+    ),
+)
+def c_window_lag_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant per-user LAG (functions/lagstitch.py): the same
+    output contract as c_window_lag computed as bucket-and-stitch —
+    the order key (event_id) is cut into fixed ranges so no window
+    partition ever holds more than one (user, bucket) of data, a
+    local LAG answers every row except bucket heads, and heads take
+    their predecessor from a per-bucket closing-value summary via a
+    plain LAG over the tiny user-keyed summary window (consecutive
+    summary rows ARE the user's consecutive non-empty buckets). The
+    plain shape degraded 1.9–2.3× on the r7 skew lane's 30%-hot key;
+    this is the mitigation the lane predicted would apply directly.
+    See the module docstring and tools/skew_probe.py;
+    `functions/lagstitch.lag_prev` is the ADAPTIVE entry point
+    dispatching plain-vs-bucketed off the same top-key-share probe as
+    sessionize/SCD2."""
+    from ..functions.lagstitch import lag_prev_bucketed
+
+    return lag_prev_bucketed(table(spark, sf_dir, "events"))
+
+
+@query(
+    "c_window_lag_adaptive",
+    # Same oracle SQL as c_window_lag / c_window_lag_bucketed: the
+    # adaptive hot/cold split can route rows through either proven
+    # shape, and the differential check pins the merged output.
+    oracle=(
+        "SELECT event_id, user_id, value, "
+        "LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value "
+        "FROM events"
+    ),
+)
+def c_window_lag_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION per-user LAG entry point
+    (functions/lagstitch.lag_prev): hot/cold-split dispatch — hot
+    users' rows through the bucket-and-stitch segmented LAG, everyone
+    else through the plain single-exchange window (see
+    c_join_asof_adaptive for the measured rationale; the skew lane
+    times this entry on both the uniform and 30%-hot corpora)."""
+    from ..functions.lagstitch import lag_prev
+
+    return lag_prev(table(spark, sf_dir, "events"))
 
 
 @query(

@@ -38,7 +38,11 @@ SKEW_QUERIES = [
     # r7 lane widening: the remaining user-keyed windows over events
     "c_window_running_sum",
     "c_window_lag",
+    "c_window_lag_bucketed",  # r7.2: bucket-and-stitch LAG twin
+    "c_window_lag_adaptive",  # r7.2: hot/cold split (production entry)
     "c_join_asof",  # union + user-keyed window: same bounded family
+    "c_join_asof_bucketed",  # r7.2: bucket-and-stitch as-of twin
+    "c_join_asof_adaptive",  # r7.2: hot/cold split (production entry)
 ]
 
 
