@@ -56,9 +56,10 @@ pure-Python reference.
 
 `asof_orderkey` is the ADAPTIVE entry point, and it refines the
 sessionize/SCD2 dispatch discipline into a HOT/COLD SPLIT: the
-whole-corpus stitch was measured ~9x the plain shape's cost on the
-sparse uniform 10M-row corpus (the summary is corpus-sized at ~1 row
-per (user, bucket)), so instead of choosing one shape for the whole
+whole-corpus stitch was measured 3.1x the plain shape's cost warm
+(7.6 s vs 2.4 s; 8.7x on the cold first run) on the sparse uniform
+10M-row corpus — the summary is corpus-sized at ~1 row per
+(user, bucket) — so instead of choosing one shape for the whole
 corpus, a bounded hot-key probe routes ONLY the hot keys' rows
 through the stitch and everything else through the plain window.
 All shapes are oracle-proven equal, so dispatch changes the plan,
@@ -84,11 +85,12 @@ def asof_orderkey(
     hot: list | None = None,
 ) -> DataFrame:
     """ADAPTIVE entry point — HOT/COLD SPLIT, not whole-corpus
-    bucketing. The whole-corpus stitch was MEASURED ~9x the plain
-    shape's uniform cost at the 10M-row probe (20.8 s vs 2.4 s):
-    when per-user data is sparse (~1 row per bucket), the per-bucket
-    summary is corpus-sized, so every stitch exchange re-pays the
-    corpus — exactly the regime where plain is already optimal. The
+    bucketing. The whole-corpus stitch was MEASURED 3.1x the plain
+    shape's uniform cost warm at the 10M-row probe (7.6 s vs 2.4 s;
+    8.7x on the cold first run): when per-user data is sparse
+    (~1 row per bucket), the per-bucket summary is corpus-sized, so
+    every stitch exchange re-pays the corpus — exactly the regime
+    where plain is already optimal. The
     split keeps each shape where it wins: a bounded probe
     (`hot_keys`, ≤ 1/threshold keys by construction) names the keys
     whose share crosses skew_threshold; their rows — and only theirs

@@ -79,7 +79,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .sessionize import DEFAULT_SKEW_THRESHOLD, estimate_top_key_share
+from .sessionize import DEFAULT_SKEW_THRESHOLD, hot_keys
 
 DEFAULT_BUCKET_SEC = 3600
 
@@ -88,20 +88,32 @@ def scd2_intervals(
     events: DataFrame,
     bucket_sec: int = DEFAULT_BUCKET_SEC,
     skew_threshold: float = DEFAULT_SKEW_THRESHOLD,
-    top_share: float | None = None,
+    hot: list | None = None,
 ) -> DataFrame:
     """ADAPTIVE entry point, the sessionize discipline applied to
-    SCD2: plain two-window shape on uniform keys (one exchange, no
-    stitch machinery), bucket-and-stitch once the hottest user's share
-    crosses skew_threshold. Both shapes are oracle-proven equal
-    (c_scd2_intervals and c_scd2_bucketed share one oracle), so the
+    SCD2 — since r7.2 a HOT/COLD SPLIT rather than a whole-corpus
+    flip (the functions/asof.py refinement, backported for family
+    consistency): a bounded hot-key probe (`hot_keys`, ≤ 1/threshold
+    keys by construction) names the users whose row share crosses
+    skew_threshold; their rows — and only theirs — go through
+    bucket-and-stitch, everyone else through the plain two-window
+    shape. The SCD2 interval build is per-user, so the split is
+    exact, and a uniform corpus pays one probe pass and zero
+    machinery. All shapes are oracle-proven equal (c_scd2_intervals,
+    c_scd2_bucketed and c_scd2_adaptive share one oracle), so the
     dispatch can never change results — only the plan. Pass a
-    precomputed/memoized `top_share` to skip the probe pass."""
-    if top_share is None:
-        top_share = estimate_top_key_share(events, "user_id")
-    if top_share > skew_threshold:
-        return scd2_intervals_bucketed(events, bucket_sec=bucket_sec)
-    return scd2_intervals_plain(events)
+    precomputed/memoized `hot` list to skip the probe pass ([]
+    forces plain)."""
+    if hot is None:
+        hot = hot_keys(events, "user_id", threshold=skew_threshold)
+    if not hot:
+        return scd2_intervals_plain(events)
+    is_hot = F.coalesce(F.col("user_id").isin(hot), F.lit(False))
+    cold = scd2_intervals_plain(events.filter(~is_hot))
+    hot_df = scd2_intervals_bucketed(
+        events.filter(is_hot), bucket_sec=bucket_sec
+    )
+    return cold.unionByName(hot_df)
 
 
 def scd2_intervals_plain(events: DataFrame) -> DataFrame:

@@ -117,23 +117,31 @@ def sessionize(
     gap_sec: int = DEFAULT_GAP_SEC,
     bucket_sec: int = DEFAULT_BUCKET_SEC,
     skew_threshold: float = DEFAULT_SKEW_THRESHOLD,
-    top_share: float | None = None,
+    hot: list | None = None,
 ) -> DataFrame:
-    """ADAPTIVE entry point (r6 verdict item 5 precedent extended, the
-    functions/order.py size-flip discipline): pick the plain single-
-    window sessionizer on uniform keys — one exchange, no stitch
-    machinery — and bucket-and-stitch once the hottest user's share
-    crosses skew_threshold, where the plain shape's hot partition
-    serializes that share of the corpus through one task. Both shapes
-    are proven equal (same oracle checks c_sessionize_gaps and
-    c_sessionize_bucketed), so the dispatch can never change results —
-    only the plan. Pass a precomputed/memoized `top_share` to skip the
-    probe pass."""
-    if top_share is None:
-        top_share = estimate_top_key_share(events, "user_id")
-    if top_share > skew_threshold:
-        return sessionize_bucketed(events, gap_sec=gap_sec, bucket_sec=bucket_sec)
-    return sessionize_plain(events, gap_sec=gap_sec)
+    """ADAPTIVE entry point (r6 verdict item 5 precedent extended) —
+    since r7.2 a HOT/COLD SPLIT rather than a whole-corpus flip (the
+    functions/asof.py refinement, backported for family consistency):
+    a bounded hot-key probe (`hot_keys`, ≤ 1/threshold keys by
+    construction) names the users whose row share crosses
+    skew_threshold; their rows — and only theirs — go through
+    bucket-and-stitch, everyone else through the plain single-window
+    sessionizer. Sessionization is per-user, so the split is exact,
+    and a uniform corpus pays one probe pass and zero machinery.
+    All shapes are proven equal (same oracle checks c_sessionize_gaps,
+    c_sessionize_bucketed and c_sessionize_adaptive), so the dispatch
+    can never change results — only the plan. Pass a precomputed/
+    memoized `hot` list to skip the probe pass ([] forces plain)."""
+    if hot is None:
+        hot = hot_keys(events, "user_id", threshold=skew_threshold)
+    if not hot:
+        return sessionize_plain(events, gap_sec=gap_sec)
+    is_hot = F.coalesce(F.col("user_id").isin(hot), F.lit(False))
+    cold = sessionize_plain(events.filter(~is_hot), gap_sec=gap_sec)
+    hot_df = sessionize_bucketed(
+        events.filter(is_hot), gap_sec=gap_sec, bucket_sec=bucket_sec
+    )
+    return cold.unionByName(hot_df)
 
 
 def sessionize_plain(

@@ -936,7 +936,7 @@ def c_join_asof_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     lane's 30%-hot corpus it confines the stitch to the hot user's
     rows (tools/skew_probe.py measures both). The whole-corpus stitch
     is deliberately NOT the adaptive answer: on sparse per-user data
-    its summary is corpus-sized (~9× plain, measured), so the split
+    its summary is corpus-sized (3.1× plain warm, measured), so the split
     keeps each shape exactly where it wins."""
     from ..functions.asof import asof_orderkey
 
@@ -2288,6 +2288,50 @@ def c_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_sessionize_adaptive",
+    # Same oracle SQL as c_sessionize_gaps / c_sessionize_bucketed:
+    # the adaptive hot/cold split routes rows through either proven
+    # shape, and the differential check pins the merged output.
+    oracle=(
+        "WITH e AS ("
+        "  SELECT user_id, event_id, ts,"
+        "    CASE WHEN lag(ts) OVER w IS NULL"
+        "          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1"
+        "         ELSE 0 END AS new_s"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        "), s AS ("
+        "  SELECT user_id, ts,"
+        "    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "      ROWS UNBOUNDED PRECEDING) AS session_id"
+        "  FROM e)"
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(MIN(ts) AS TIMESTAMP) AS session_start, "
+        "CAST(MAX(ts) AS TIMESTAMP) AS session_end "
+        "FROM s GROUP BY user_id, session_id"
+    ),
+)
+def c_sessionize_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sessionize entry point
+    (functions/sessionize.sessionize): hot/cold-split dispatch — hot
+    users' rows through bucket-and-stitch, everyone else through the
+    plain single-window sessionizer (see c_join_asof_adaptive for the
+    measured rationale; r7.2 backported the split to the whole
+    window-stitch family). On uniform corpora the probe finds no hot
+    keys and this collapses to the plain plan plus one probe pass."""
+    from ..functions.sessionize import sessionize
+
+    out = sessionize(table(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
+@query(
     "c_time_rollup",
     oracle=(
         "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, "
@@ -2514,6 +2558,41 @@ def c_scd2_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scd2 import scd2_intervals_bucketed
 
     return scd2_intervals_bucketed(table(spark, sf_dir, "events"))
+
+
+@query(
+    "c_scd2_adaptive",
+    # Same oracle SQL as c_scd2_intervals / c_scd2_bucketed: the
+    # adaptive hot/cold split routes rows through either proven shape,
+    # and the differential check pins the merged output.
+    oracle=(
+        "WITH ordered AS ("
+        "  SELECT user_id, event_type, ts, event_id, "
+        "  LAG(event_type) OVER w AS prev_type "
+        "  FROM events WINDOW w AS "
+        "  (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "starts AS ("
+        "  SELECT user_id, event_type, ts AS valid_from, event_id "
+        "  FROM ordered "
+        "  WHERE prev_type IS NULL OR event_type <> prev_type) "
+        "SELECT user_id, event_type, valid_from, "
+        "LEAD(valid_from) OVER w2 AS valid_to, "
+        "CAST(LEAD(valid_from) OVER w2 IS NULL AS BOOLEAN) AS is_current "
+        "FROM starts WINDOW w2 AS "
+        "(PARTITION BY user_id ORDER BY valid_from, event_id)"
+    ),
+)
+def c_scd2_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SCD2 entry point (functions/scd2.scd2_intervals):
+    hot/cold-split dispatch — hot users' change logs through
+    bucket-and-stitch, everyone else through the plain two-window
+    shape (see c_join_asof_adaptive for the measured rationale; r7.2
+    backported the split to the whole window-stitch family). On
+    uniform corpora the probe finds no hot keys and this collapses to
+    the plain plan plus one probe pass."""
+    from ..functions.scd2 import scd2_intervals
+
+    return scd2_intervals(table(spark, sf_dir, "events"))
 
 
 _Z_BITS = 21

@@ -173,9 +173,21 @@ def test_adaptive_dispatch_both_ends(spark):
             for r in out.collect()
         }
         assert got == reference_intervals(rows)
-    # precomputed-share override skips the probe and pins the shape
+    # precomputed hot-set override skips the probe and pins the shape
     df = spark.createDataFrame(
         uniform, "user_id long, event_id long, ts timestamp, event_type string"
     )
-    assert "__b" in _plan(scd2_intervals(df, top_share=0.9))
-    assert "__b" not in _plan(scd2_intervals(df, top_share=0.01))
+    assert "__b" in _plan(scd2_intervals(df, hot=[1]))
+    assert "__b" not in _plan(scd2_intervals(df, hot=[]))
+    # hot/cold split: only the hot user's rows ride the stitch, and the
+    # union must still equal the plain semantics for every user
+    mixed = uniform + [(1, 900 + i, _ts(4000 + i * 10), "ab"[i % 2]) for i in range(4)]
+    dfm = spark.createDataFrame(
+        mixed, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = scd2_intervals(dfm, hot=[1])
+    got = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert got == reference_intervals(mixed)

@@ -140,10 +140,31 @@ def test_adaptive_dispatch_picks_bucketed_on_hot_key(spark):
     assert got == reference_sessions([(u, e, t) for u, e, t in rows], 1800)
 
 
-def test_adaptive_dispatch_respects_precomputed_share(spark):
+def test_adaptive_dispatch_respects_precomputed_hot_set(spark):
     from async_event_streams_spark.functions.sessionize import sessionize
 
     rows = [(1, 0, _ts(0)), (2, 1, _ts(0))]
     df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
-    assert "__b" in _plan(sessionize(df, top_share=0.9))
-    assert "__b" not in _plan(sessionize(df, top_share=0.01))
+    assert "__b" in _plan(sessionize(df, hot=[1]))
+    assert "__b" not in _plan(sessionize(df, hot=[]))
+
+
+def test_hotsplit_routes_only_hot_users_through_stitch(spark):
+    from async_event_streams_spark.functions.sessionize import sessionize
+
+    # user 1 hot (stitch), user 2 cold (plain) — union must equal the
+    # plain semantics for both, including a session crossing a bucket
+    # edge for the hot user.
+    rows = [
+        (1, 0, _ts(3400)),
+        (1, 1, _ts(3700)),  # same session, crosses the 3600 s bucket edge
+        (1, 2, _ts(9000)),  # new session
+        (2, 3, _ts(100)),
+        (2, 4, _ts(5000)),  # new session for the cold user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in sessionize(df, hot=[1]).collect()
+    }
+    assert got == reference_sessions(rows, 1800)

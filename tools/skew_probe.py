@@ -33,8 +33,10 @@ SKEW_QUERIES = [
     "c_retention_cohorts",
     "c_sessionize_gaps",
     "c_sessionize_bucketed",  # the bucket-and-stitch answer to the hot key
+    "c_sessionize_adaptive",  # r7.2: hot/cold split (production entry)
     "c_scd2_intervals",
     "c_scd2_bucketed",  # r7: bucket-and-stitch SCD2 (same mitigation)
+    "c_scd2_adaptive",  # r7.2: hot/cold split (production entry)
     # r7 lane widening: the remaining user-keyed windows over events
     "c_window_running_sum",
     "c_window_lag",
