@@ -3845,6 +3845,159 @@ def _pagerank_round(e: DataFrame, pr: DataFrame, v: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-7.2: kNN-graph consumer #4 — triangle counting / clustering
+# ---------------------------------------------------------------------------
+
+
+def _triangle_census(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-ordered triangle census over a distinct undirected edge
+    list `und(u, v)` with u < v. Returns (deg(node, degree),
+    tcnt(node, triangles)); nodes with no edges appear in neither.
+    Exposed as a function so tests/test_graph_consumers.py can
+    triangulate it against a pure-Python reference on random graphs
+    (the LPA/PageRank discipline)."""
+    deg = materialize(
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u"
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v"
+    )
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge list low-(degree, id) → high, carrying the dst's
+    # order key so the wedge join can pick each dst pair once, in the
+    # same orientation the closing edge will have.
+    o = materialize(
+        e.select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        )
+    )
+    w1 = o.select("src", F.col("dst").alias("x"), F.col("dd").alias("xd"))
+    w2 = o.select("src", F.col("dst").alias("y"), F.col("dd").alias("yd"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("xd") < F.col("yd"))
+        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("src", "x", "y")
+    tcnt = (
+        tri.select(F.col("src").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return deg, tcnt
+
+
+def _triangles_oracle() -> str:
+    """Undirected triangle census over the kNN edge list: symmetrize
+    to distinct (u < v) pairs, enumerate id-ordered triangles
+    a < b < c via two joins, then count per-vertex incidences. The
+    oracle states the simple id-ordered semantics; the Spark side
+    orients by DEGREE (then id) for bounded wedge fan-out — the
+    result is identical because a triangle census does not depend on
+    the orientation used to enumerate it. Pure integer counts, so the
+    differential is exact; lcc is a final ROUND()ed output."""
+    return f"""{_knn_edges_cte()},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+         GREATEST(vec_id, neighbor_id) AS v FROM knn),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+tcnt AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT x.vec_id, COALESCE(d.degree, 0) AS degree,
+  COALESCE(t.triangles, 0) AS triangles,
+  CASE WHEN COALESCE(d.degree, 0) >= 2
+       THEN ROUND(2.0 * COALESCE(t.triangles, 0)
+                  / (d.degree * (d.degree - 1)), 6)
+       ELSE 0.0 END AS lcc
+FROM v x
+LEFT JOIN deg d ON x.vec_id = d.node
+LEFT JOIN tcnt t ON x.vec_id = t.node"""
+
+
+@query("x_knn_triangles", oracle=_triangles_oracle())
+def x_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and local clustering coefficient per vector over
+    the kNN substrate — the fourth consumer of the shared edge
+    artifact (after k-center diversity, LPA communities, PageRank)
+    and the standard cohesion diagnostic on it: a high-lcc vector
+    sits inside a tight near-duplicate/topical clique (SemDeDup-style
+    redundancy — candidates to cap), a high-degree low-lcc vector is
+    a hub bridging clusters (exactly what diversity sampling wants to
+    keep). Complements LPA: communities NAME the structure,
+    triangles measure how dense each neighborhood actually is.
+
+    Scale shape: the classic degree-ordered wedge count (the
+    MapReduce triangle-census design from Cohen's "Graph Twiddling in
+    a MapReduce World" / Suri-Vassilvitskii's "Counting Triangles and
+    the Curse of the Last Reducer"). Symmetrize to distinct
+    undirected pairs (one exchange), orient every edge from its
+    lower-(degree, id) endpoint to the higher, so each wedge apex
+    fans out only over its HIGHER-ordered neighbors — the fan-out
+    that bounds per-vertex wedge work at O(sqrt(|E|)) on any graph
+    and at ~k here (out-degree ≤ K upstream, in-degree bounded by
+    the LSH bucket cap). Each triangle is then found exactly once:
+    wedge (apex → x, apex → y with ord(x) < ord(y)) closed by one
+    equi-join against the oriented edge list on (x, y). Every
+    exchange is keyed (node or edge pair); no all-pairs, nothing
+    collects to the driver; counts are pure integers so the
+    membership arithmetic is engine-exact (the repo's float-tie
+    discipline), and lcc = 2T/(d(d-1)) is a final ROUND()ed double."""
+    edges = artifact(
+        spark, f"{sf_dir}:knn_edges", lambda: x_knn_graph(spark, sf_dir)
+    )
+    # PINNED: referenced by degree, wedge and closing branches.
+    und = materialize(
+        edges.select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
+        ).distinct()
+    )
+    deg, tcnt = _triangle_census(und)
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id")
+    d0 = F.coalesce(F.col("degree"), F.lit(0))
+    t0 = F.coalesce(F.col("triangles"), F.lit(0))
+    return (
+        vecs.join(deg.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .join(tcnt.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            d0.alias("degree"),
+            t0.alias("triangles"),
+            F.when(
+                d0 >= 2,
+                F.round(
+                    2.0 * t0 / (F.col("degree") * (F.col("degree") - 1)), 6
+                ),
+            )
+            .otherwise(0.0)
+            .alias("lcc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round-5 diagnostics: sketch fidelity and corpus shape
 # ---------------------------------------------------------------------------
 

@@ -139,3 +139,49 @@ def test_weighted_pick_matches_python_reference(spark, weights, k):
     # boundary count (a single heavy row may own several boundaries,
     # so <= not ==), and at least one row is always picked
     assert 1 <= len(want) <= sum(weights) // step
+
+
+def reference_triangles(pairs):
+    """Per-node degree and triangle counts over distinct undirected
+    pairs, by brute force."""
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(ns) for n, ns in adj.items()}
+    tri = dict.fromkeys(adj, 0)
+    # visiting each triangle via all 3 of its edges counts every
+    # vertex exactly once (a vertex has ONE opposite edge per
+    # triangle), so the sums are already per-vertex triangle counts.
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            tri[w] += 1
+    return deg, tri
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_triangle_census_matches_python_reference(spark, pairs):
+    from async_event_streams_spark.queries.llm import _triangle_census
+
+    und_pairs = sorted({tuple(sorted(p)) for p in pairs if p[0] != p[1]})
+    if not und_pairs:
+        return
+    und = spark.createDataFrame(und_pairs, "u long, v long")
+    deg_df, tcnt_df = _triangle_census(und)
+    got_deg = {r.node: r.degree for r in deg_df.collect()}
+    got_tri = {r.node: r.triangles for r in tcnt_df.collect()}
+    ref_deg, ref_tri = reference_triangles(und_pairs)
+    assert got_deg == ref_deg
+    # tcnt only carries nodes in >=1 triangle
+    assert got_tri == {n: c for n, c in ref_tri.items() if c > 0}
