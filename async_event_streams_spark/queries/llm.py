@@ -1807,6 +1807,125 @@ def x_bpe_train_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGE_ROUNDS = 8
+
+
+def _bpe_train_merges_oracle() -> str:
+    """Unrolled BPE merge-training loop: v0 is the char-split weighted
+    vocabulary; each round counts adjacent-symbol pairs, picks the
+    argmax (count desc, then pair lexicographic — exact integer
+    counts, so no float tie ever decides a merge), and applies the
+    winning merge with the SAME left-to-right list_reduce fold the
+    encoding twin uses (functions/bpe.sql_bpe_ctes), except the pair
+    comes from the m{i} row instead of a baked-in literal. v{i} and
+    m{i} are MATERIALIZED (each is referenced twice downstream — the
+    kcenter/LPA inlining lesson)."""
+    parts = [
+        f"WITH w0 AS (SELECT unnest({_SQL_TOKS}) AS word FROM documents),\n"
+        "w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w0\n"
+        "      WHERE len(word) > 0 GROUP BY word),\n"
+        "v0 AS MATERIALIZED "
+        "(SELECT n, regexp_extract_all(word, '(.)', 1) AS t FROM w)"
+    ]
+    fold = (
+        "string_split(list_reduce(t, (acc, x) -> CASE WHEN "
+        "(acc = m.l OR ends_with(acc, chr(31) || m.l)) AND x = m.r "
+        "THEN acc || m.r ELSE acc || chr(31) || x END), chr(31))"
+    )
+    for i in range(1, _BPE_MERGE_ROUNDS + 1):
+        prev = f"v{i - 1}"
+        parts.append(f""",
+m{i} AS MATERIALIZED (
+  SELECT pr.l AS l, pr.r AS r, CAST(SUM(n) AS BIGINT) AS c FROM
+    (SELECT n, unnest(list_transform(range(1, len(t)),
+       j -> {{'l': t[j], 'r': t[j + 1]}})) AS pr FROM {prev})
+  GROUP BY pr.l, pr.r ORDER BY c DESC, pr.l, pr.r LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT n, {fold} AS t FROM {prev}, m{i} m)""")
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rnk, l AS left_sym, "
+        f"r AS right_sym, c AS pair_count FROM m{i}"
+        for i in range(1, _BPE_MERGE_ROUNDS + 1)
+    )
+    parts.append("\n" + rows)
+    return "".join(parts)
+
+
+@query("x_bpe_train_merges", oracle=_bpe_train_merges_oracle())
+def x_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE tokenizer training, the FULL loop (K = 8 merge
+    rounds): x_bpe_train_pairs is one round's candidate counts; this
+    operator iterates the actual train step — count weighted adjacent
+    symbol pairs over the vocabulary, adopt the argmax pair as the
+    next merge rule, apply it to every word with the same
+    left-to-right fold the ENCODING path uses (functions/bpe._one_pass
+    — trainer and tokenizer provably share one merge semantics), and
+    repeat on the rewritten vocabulary. Returns the learned merge
+    table (rank, pair, count at adoption time) — the artifact a real
+    tokenizer run ships (tools/train_bpe.py is this loop offline; the
+    pretrained MERGES in functions/bpe.py were produced exactly so).
+
+    Scale shape: the corpus collapses to its weighted VOCABULARY
+    before anything iterates (Heaps' law — the only corpus-sized
+    exchange); each round then runs pair-explode + map-side-combined
+    partial agg + TakeOrdered(1) argmax over vocab-sized data, and
+    the fold rewrite is a pure per-row projection. Driver traffic is
+    ONE row per round (the adopted pair — the bounded-collect pattern
+    x_kcenter_sample set); the vocabulary is re-pinned per round so
+    round k+1's lineage does not replay rounds 1..k (the 2^K blowup
+    lesson). Determinism: integer counts, lexicographic tie-break,
+    and the same fold on both engines (the oracle's list_reduce
+    references the m{i} winner row — data-dependent merges, no baked
+    literals)."""
+    from ..functions.bpe import _one_pass
+
+    vocab = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cur = materialize(
+        vocab.select(
+            "n",
+            F.regexp_extract_all(F.col("word"), F.lit("(.)"), F.lit(1)).alias(
+                "toks"
+            ),
+        )
+    )
+    merges = []
+    for k in range(_BPE_MERGE_ROUNDS):
+        t = F.col("toks")
+        pairs = cur.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                )
+            ).alias("pr"),
+        )
+        top = (
+            pairs.groupBy(
+                F.col("pr.l").alias("l"), F.col("pr.r").alias("r")
+            )
+            .agg(F.sum("n").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # degenerate corpus: every word fully merged
+            break
+        l, r, c = top[0].l, top[0].r, top[0].c
+        merges.append((k + 1, l, r, c))
+        cur = materialize(cur.withColumn("toks", _one_pass(t, l, r)))
+    return spark.createDataFrame(
+        merges, "rnk int, left_sym string, right_sym string, pair_count long"
+    )
+
+
 @query(
     "x_length_percentiles",
     oracle=f"""

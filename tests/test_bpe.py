@@ -131,3 +131,62 @@ def test_zero_word_docs_get_zero_count_rows(spark):
     assert set(got) == {1, 2, 3}
     assert got[2] == (0, 0) and got[3] == (0, 0)
     assert got[1][0] == 2 and got[1][1] >= 2
+
+
+def reference_train_merges(word_counts, rounds):
+    """Pure-Python BPE trainer: count weighted adjacent pairs, adopt
+    the argmax (count desc, pair lexicographic), apply it with the
+    canonical leftmost-nonoverlapping pass, repeat."""
+    vocab = [(list(w), n) for w, n in word_counts.items() if w]
+    merges = []
+    for k in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, n in vocab:
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((k + 1, l, r, c))
+        new_vocab = []
+        for toks, n in vocab:
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_vocab.append((out, n))
+        vocab = new_vocab
+    return merges
+
+
+def test_train_merges_matches_python_reference(spark, sf_dir):
+    """Third-implementation triangulation for the iterative trainer
+    (the LPA/PageRank discipline): Spark loop and DuckDB unrolled
+    oracle could share a misunderstanding, so the learned merge table
+    is ALSO pinned against an independent pure-Python trainer run on
+    the same corpus."""
+    from collections import Counter
+
+    from async_event_streams_spark.queries.llm import _BPE_MERGE_ROUNDS
+
+    words = Counter(
+        w
+        for r in table(spark, sf_dir, "documents").select("text").collect()
+        for w in r.text.split()
+        if w
+    )
+    want = reference_train_merges(words, _BPE_MERGE_ROUNDS)
+    got = [
+        (r.rnk, r.left_sym, r.right_sym, r.pair_count)
+        for r in QUERIES["x_bpe_train_merges"](spark, sf_dir)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == want
