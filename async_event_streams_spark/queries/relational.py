@@ -945,6 +945,87 @@ def c_join_asof_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_WORDS = 1024  # 64 Ki bits
+_BLOOM_HASHES = 3
+
+
+@query(
+    "c_join_bloom",
+    # The oracle states the PLAIN semi-join semantics: the Bloom
+    # filter is a prefilter with false positives but NO false
+    # negatives, and the exact semi-join behind it restores exactness
+    # — so the differential machine-checks the invariant the whole
+    # runtime-filter pattern rests on.
+    oracle=(
+        "SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(SUM(e.value), 2) AS sum_value "
+        "FROM events e WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id "
+        " AND o.o_orderpriority = '1-URGENT') "
+        "GROUP BY e.event_type"
+    ),
+)
+def c_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the runtime-filter pattern
+    for build sides too big to broadcast RAW but whose BLOOM fits in
+    every executor: activity of users with an urgent order, where the
+    urgent-customer key set is first compressed into a 64 Ki-bit / 3-
+    hash Bloom (1024 words of bit_or-aggregated masks), the bloom is
+    broadcast, and the event log is prefiltered MAP-SIDE (three
+    broadcast-hash word lookups + bit tests — no shuffle) before the
+    exact semi-join runs on the survivors only. At 100 TB this is the
+    difference between shuffling the whole event log on user_id and
+    shuffling only the ~matching fraction: Spark's own
+    spark.sql.optimizer.runtime.bloomFilter does exactly this
+    injection when statistics allow; building it explicitly makes the
+    reduction a first-class, testable operator with the invariant
+    (false positives possible, false negatives impossible → final
+    exact join restores exactness) machine-checked by the plain-
+    semantics oracle. The filter is Spark-side-only machinery, so the
+    hash can be the native xxhash64 — the oracle never computes it."""
+    m = _BLOOM_WORDS * 64
+    events = table(spark, sf_dir, "events")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    pos = [
+        F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(m))
+        for i in range(_BLOOM_HASHES)
+    ]
+    words = (
+        urgent.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            F.floor(F.col("p") / 64).alias("w"),
+            F.pmod(F.col("p"), F.lit(64)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("mask")
+        )
+    )
+    cand = events.select("user_id", "event_type", "value")
+    for i in range(_BLOOM_HASHES):
+        p = F.pmod(F.xxhash64(F.col("user_id"), F.lit(i)), F.lit(m))
+        cand = (
+            cand.withColumn("w", F.floor(p / 64))
+            .withColumn("b", F.pmod(p, F.lit(64)).cast("int"))
+            .join(F.broadcast(words), "w")  # absent word ⇒ bit unset ⇒ drop
+            .filter(F.expr("(shiftright(mask, b) & 1) = 1"))
+            .drop("w", "b", "mask")
+        )
+    return (
+        cand.join(urgent, cand.user_id == urgent.k, "left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped headline joins (multi-join perf anchors)
 # ---------------------------------------------------------------------------

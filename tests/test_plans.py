@@ -660,3 +660,15 @@ def test_mv_incremental_delta_filter_reaches_scan(spark, sf_dir):
         "GreaterThanOrEqual(o_orderdate" in ln for ln in pushed
     ), pushed
     assert "CartesianProduct" not in plan
+
+
+def test_join_bloom_prefilter_is_mapside_broadcast(spark, sf_dir):
+    """The Bloom prefilter must run as broadcast-hash word lookups on
+    the event side BEFORE any shuffle: three broadcast joins (one per
+    hash), the urgent-priority filter pushed to the orders scan, and
+    no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "c_join_bloom")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderpriority" in ln for ln in pushed), pushed
+    assert "CartesianProduct" not in plan
