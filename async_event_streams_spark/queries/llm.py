@@ -3229,6 +3229,63 @@ def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FERTILITY_ORACLE = f"""
+WITH {_sql_bpe_doc_tokens(", lang, n_chars")}
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_words) AS BIGINT) AS n_words,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6) AS chars_per_token
+FROM bpe_doc GROUP BY lang
+"""
+
+
+@query("x_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — BPE tokens per word and
+    characters per token, the standard tokenizer-evaluation metrics
+    (a tokenizer trained on English typically shows fertility ~1.1-1.3
+    on English and 2-4× that on underrepresented scripts, which
+    directly inflates those languages' training cost per byte).
+    Teams re-run this table whenever the merge table or the corpus
+    mix changes; making it an operator keeps the check inside the
+    pipeline.
+
+    Scale shape: rides the SAME broadcast distinct-word BPE cache as
+    every other tokenizer consumer (`_bpe_doc_tokens` — merges run
+    |vocab| times, not |corpus| times), then ONE further partial-agg
+    shuffle collapses per-doc rows to |langs|; per-doc char counts
+    come from the documents table's own n_chars column carried
+    through the grouping key, so no second corpus scan exists
+    anywhere. Exact integer sums; doubles only in the final ROUND()ed
+    ratios."""
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        _bpe_doc_tokens(spark, sf_dir, docs, "lang", "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-5 additions: corpus statistics and funnel observability
 # ---------------------------------------------------------------------------

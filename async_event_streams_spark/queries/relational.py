@@ -2834,6 +2834,290 @@ def c_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Columns profiled by c_table_profile, with a per-type min/max
+# renderer so both engines print identical strings: integral numerics
+# via BIGINT (quantities are integral by construction), timestamps via
+# DATE, strings as-is.
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("l_orderkey", "bigint"),
+    ("l_partkey", "bigint"),
+    ("l_suppkey", "bigint"),
+    ("l_quantity", "bigint"),
+    ("l_returnflag", "string"),
+    ("l_shipdate", "date"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "bigint":
+            mn = f"CAST(CAST(MIN({c}) AS BIGINT) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({c}) AS BIGINT) AS VARCHAR)"
+        elif kind == "date":
+            mn = f"CAST(CAST(MIN({c}) AS DATE) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({c}) AS DATE) AS VARCHAR)"
+        else:
+            mn, mx = f"MIN({c})", f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv, "
+            f"{mn} AS min_val, {mx} AS max_val FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("c_table_profile", oracle=_profile_oracle())
+def c_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE — the per-column statistics pass every cost-based
+    optimizer feeds on (row count, null count, NDV, min/max): one
+    aggregation over lineitem emitting a stats row per profiled
+    column. These are the numbers a 100 TB warehouse refreshes on a
+    schedule so joins get ordered and broadcast decisions get made;
+    making the pass a first-class operator means the engine can keep
+    its own stats current without a side system.
+
+    Scale shape: the FIXED-WIDTH columns (numerics, dates) profile in
+    one scan — Spark's Expand + two-level distinct aggregation, where
+    each (column, value) pair partial-aggregates map-side so the
+    shuffle carries one row per distinct value per column, never the
+    corpus. Var-length (string) columns get their OWN pruned-scan
+    branch: a string min/max buffer is not UnsafeRow-mutable, so
+    putting it inside the Expand aggregate demotes the WHOLE pass to
+    SortAggregate — measured 7.9 s vs 1-2 s at sf0.1, a full sort of
+    the 7×-expanded corpus. The split keeps the wide pass
+    hash-aggregated and gives each string column a hash-partial
+    distinct (strings are fine as KEYS) whose final fold is an
+    empty-grouping aggregate (no sort at any scale); the extra scans
+    read exactly one column each under columnar pruning. At 100 TB
+    the exact NDV lanes swap for HLL sketches (the
+    `c_agg_approx_distinct` / `c_agg_hll_union` machinery — mergeable
+    across partitions and incremental across days); exact NDV here
+    keeps the oracle differential bit-exact. Min/max render through a
+    per-type normalizer (BIGINT / DATE / raw string) so both engines
+    print identical strings."""
+    li = table(spark, sf_dir, "lineitem")
+    fixed = [(c, k) for c, k in _PROFILE_COLS if k != "string"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    stack_parts = []
+    for c, kind in fixed:
+        if kind == "bigint":
+            mn = F.min(c).cast("long").cast("string")
+            mx = F.max(c).cast("long").cast("string")
+        else:
+            mn = F.min(c).cast("date").cast("string")
+            mx = F.max(c).cast("date").cast("string")
+        aggs += [
+            F.count(c).cast("long").alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"ndv_{c}"),
+            mn.alias(f"mn_{c}"),
+            mx.alias(f"mx_{c}"),
+        ]
+        stack_parts.append(f"'{c}', nn_{c}, ndv_{c}, mn_{c}, mx_{c}")
+    stack = (
+        f"stack({len(fixed)}, {', '.join(stack_parts)}) "
+        "AS (col_name, n_notnull, ndv, min_val, max_val)"
+    )
+    out = (
+        li.agg(*aggs)
+        .select("n_rows", F.expr(stack))
+        .select(
+            "col_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_notnull")).cast("long").alias("n_nulls"),
+            "ndv",
+            "min_val",
+            "max_val",
+        )
+    )
+    for c, kind in _PROFILE_COLS:
+        if kind != "string":
+            continue
+        # Corpus-level work is a pure-count hash groupBy on the value
+        # (strings are fine as KEYS); min/max string buffers only ever
+        # see the NDV-sized distinct stream, where the empty-grouping
+        # SortAggregate fold needs no Sort node at all.
+        vals = li.groupBy(c).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.count(c).cast("long").alias("nn"),
+        )
+        out = out.unionAll(
+            vals.agg(
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.sum("nn").cast("long").alias("n_notnull"),
+                F.count(c).cast("long").alias("ndv"),
+                F.min(c).alias("min_val"),
+                F.max(c).alias("max_val"),
+            ).select(
+                F.lit(c).alias("col_name"),
+                "n_rows",
+                (F.col("n_rows") - F.col("n_notnull"))
+                .cast("long")
+                .alias("n_nulls"),
+                "ndv",
+                "min_val",
+                "max_val",
+            )
+        )
+    return out
+
+
+# c_compaction_plan: simulated file = one (event_type, day) slice of
+# the event log; size = payload bytes + a fixed per-row format
+# overhead. Bins target 16× the mean file size (integer arithmetic in
+# BOTH engines — Spark's double→long cast truncates while DuckDB's
+# rounds, so the target is computed with DIV, never AVG).
+_COMPACT_ROW_OVERHEAD = 64
+_COMPACT_TARGET_FILES = 16
+
+
+@query(
+    "c_compaction_plan",
+    oracle=f"""
+WITH inv AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS file_day,
+    CAST(SUM(length(props) + {_COMPACT_ROW_OVERHEAD}) AS BIGINT) AS file_bytes
+  FROM events GROUP BY 1, 2),
+tgt AS (SELECT {_COMPACT_TARGET_FILES} * (SUM(file_bytes) // COUNT(*)) AS t FROM inv)
+SELECT event_type, file_day, file_bytes,
+  CAST(COALESCE(SUM(file_bytes) OVER (
+      PARTITION BY event_type ORDER BY file_day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    // (SELECT t FROM tgt) AS BIGINT) AS compaction_group
+FROM inv
+""",
+)
+def c_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the scheduling half of
+    Delta/Iceberg OPTIMIZE: inventory the table's files (simulated
+    here as one file per (event_type, day) slice of the event log,
+    sized from payload bytes), then bin-pack adjacent files into
+    target-sized compaction groups by running-total cut — files whose
+    cumulative start falls in the same target window rewrite together,
+    preserving the sort-key adjacency that makes the compacted file
+    still prune well. Lakehouses run this on a schedule because
+    streaming ingest strews small files that tax every subsequent
+    scan's task scheduling.
+
+    Scale shape: the corpus-sized work is ONE partial-agg-friendly
+    groupBy building the inventory; everything after rides METADATA
+    (one row per file — Delta's checkpoint / Iceberg's manifest scale,
+    thousands of rows per million files), so the per-partition packing
+    window and the scalar target broadcast are free at any corpus
+    size. The inventory is pinned (`materialize`) because two plan
+    branches consume it (the packing window and the 1-row target
+    scalar) — the q11/q15 discipline: never re-scan the corpus to
+    recompute a metadata table. Deterministic: integer byte sums,
+    DIV-based target and group cut, unique (event_type, file_day)
+    ordering."""
+    from ..util import materialize
+
+    inv = materialize(
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date("ts").cast("string").alias("file_day")
+        )
+        .agg(
+            F.sum(F.length("props") + F.lit(_COMPACT_ROW_OVERHEAD))
+            .cast("long")
+            .alias("file_bytes")
+        )
+    )
+    tgt = inv.agg(
+        (
+            F.lit(_COMPACT_TARGET_FILES)
+            * F.expr("sum(file_bytes) DIV count(*)")
+        ).alias("t")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("file_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        inv.withColumn(
+            "cum_before", F.coalesce(F.sum("file_bytes").over(w), F.lit(0))
+        )
+        .join(F.broadcast(tgt))
+        .select(
+            "event_type",
+            "file_day",
+            "file_bytes",
+            F.expr("cum_before DIV t").cast("long").alias("compaction_group"),
+        )
+    )
+
+
+# c_zonemap_prune: fixed-size files cut by insertion order (event_id
+# ranges); the scan predicate is a one-week time window.
+_ZONEMAP_ROWS_PER_FILE = 100
+_ZONEMAP_LO = "2024-01-10 00:00:00"
+_ZONEMAP_HI = "2024-01-17 00:00:00"
+
+
+@query(
+    "c_zonemap_prune",
+    oracle=f"""
+SELECT CAST(event_id // {_ZONEMAP_ROWS_PER_FILE} AS BIGINT) AS file_id,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+  (MAX(ts) >= TIMESTAMP '{_ZONEMAP_LO}'
+   AND MIN(ts) < TIMESTAMP '{_ZONEMAP_HI}') AS scanned,
+  CAST(COUNT(CASE WHEN ts >= TIMESTAMP '{_ZONEMAP_LO}'
+                   AND ts < TIMESTAMP '{_ZONEMAP_HI}' THEN 1 END) AS BIGINT)
+    AS hit_rows
+FROM events GROUP BY 1
+""",
+)
+def c_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) statistics — the Parquet
+    footer / Iceberg manifest primitive that lets a reader skip whole
+    files from metadata alone: per insertion-ordered file (fixed
+    event_id ranges), the row count, the ts min/max zone map, the
+    planner's file-skip decision for a one-week scan window
+    (`scanned` = zone intersects predicate), and the file's true
+    matching rows. Because ingest order correlates with event time,
+    the zones are tight and most files prune; the differential oracle
+    machine-checks the invariant data skipping rests on — every
+    `hit_rows > 0` file has `scanned = true` (false positives
+    possible, false negatives impossible), the same one-sided
+    contract as `c_join_bloom`'s filter.
+
+    Scale shape: one scan, one partial-agg-friendly exchange keyed by
+    file_id (min/max/count all map-side combine), output is
+    metadata-sized (one row per file). At 100 TB this IS the stats
+    collection a table format runs at commit time; the pruning
+    decision then reads only the metadata table."""
+    ev = table(spark, sf_dir, "events")
+    lo = F.lit(_ZONEMAP_LO).cast("timestamp")
+    hi = F.lit(_ZONEMAP_HI).cast("timestamp")
+    in_window = (F.col("ts") >= lo) & (F.col("ts") < hi)
+    return (
+        ev.groupBy(
+            F.expr(f"event_id DIV {_ZONEMAP_ROWS_PER_FILE}")
+            .cast("long")
+            .alias("file_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count(F.when(in_window, 1)).cast("long").alias("hit_rows"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "min_ts",
+            "max_ts",
+            ((F.col("max_ts") >= lo) & (F.col("min_ts") < hi)).alias(
+                "scanned"
+            ),
+            "hit_rows",
+        )
+    )
+
+
 @query(
     "c_funnel_steps",
     oracle=(

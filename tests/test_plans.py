@@ -672,3 +672,52 @@ def test_join_bloom_prefilter_is_mapside_broadcast(spark, sf_dir):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("o_orderpriority" in ln for ln in pushed), pushed
     assert "CartesianProduct" not in plan
+
+
+def test_table_profile_two_branch_split_stays_hashed(spark, sf_dir):
+    """ANALYZE is two branches by design: ONE Expand-based
+    multi-distinct pass for every fixed-width column (which must stay
+    HashAggregate — a string min/max buffer inside it demotes the
+    whole pass to a corpus-wide SortAggregate, measured 7.9 s vs 2 s
+    at sf0.1) plus one pruned single-column scan per string column.
+    formatted mode prints each node twice (tree + detail)."""
+    plan = plan_of(spark, sf_dir, "c_table_profile")
+    assert plan.count("Scan parquet") == 4, plan  # 2 physical scans
+    assert "Expand" in plan
+    assert "HashAggregate" in plan
+    # the big expanded pass hash-aggregates; the only SortAggregates
+    # are the string branch's empty-grouping folds, which plan no Sort
+    # under them — so no Sort node may appear anywhere
+    assert "\n   Sort " not in plan and "+- Sort " not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_window_rides_metadata(spark, sf_dir):
+    """The packing window and the scalar-target join must ride the
+    pinned file inventory (metadata-sized): after the checkpoint the
+    corpus scan is gone from the plan, the window partitions by
+    event_type, and the 1-row target arrives by broadcast."""
+    plan = plan_of(spark, sf_dir, "c_compaction_plan")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zonemap_prune_is_one_partial_agg_pass(spark, sf_dir):
+    """Zone-map stats collection is one scan + one file_id-keyed
+    partial aggregation: exactly one exchange, min/max/count combine
+    map-side, output is metadata-sized."""
+    plan = plan_of(spark, sf_dir, "c_zonemap_prune")
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail = 1 scan
+    assert plan.count("Exchange") == 2, plan  # tree + detail = 1 exchange
+    assert "CartesianProduct" not in plan
+
+
+def test_tokenizer_fertility_rides_broadcast_word_cache(spark, sf_dir):
+    """Fertility must reuse the broadcast BPE word-cache join (no
+    corpus-keyed SortMergeJoin back to documents) and collapse to
+    |langs| via partial aggregation."""
+    plan = plan_of(spark, sf_dir, "x_tokenizer_fertility")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
