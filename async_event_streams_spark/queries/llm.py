@@ -4608,3 +4608,235 @@ def x_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ex.word_count(F.col("main")).cast("long").alias("n_words_main"),
         F.md5(F.col("main").cast("binary")).alias("main_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7.2: T5-style span corruption (deterministic masking prep)
+# ---------------------------------------------------------------------------
+
+# Span-start selection is pure integer arithmetic both engines evaluate
+# bit-identically (the x_fingerprint discipline — no RNG, no engine
+# hash): word position p starts a masked span iff
+# (doc_id*1000003 + p*7919) % _MASK_MOD == 0. With mod 20 (5% starts)
+# and span length 3 the expected corruption rate is ~15%, the T5
+# default. All operands stay non-negative so % == pmod in both engines.
+_MASK_MOD = 20
+_MASK_SPAN = 3
+
+
+def _mask_start_sql(p: str) -> str:
+    return f"((doc_id * 1000003 + ({p}) * 7919) % {_MASK_MOD}) = 0"
+
+
+def _mask_any_sql(offsets: range) -> str:
+    """True iff any span start falls within `offsets` positions back."""
+    terms = []
+    for o in offsets:
+        guard = f"pos0 >= {o} AND " if o > 0 else ""
+        terms.append(f"({guard}{_mask_start_sql(f'pos0 - {o}')})")
+    return "(" + " OR ".join(terms) + ")"
+
+
+_MASKED_SQL = _mask_any_sql(range(0, _MASK_SPAN))
+_PREV_MASKED_SQL = _mask_any_sql(range(1, _MASK_SPAN + 1))
+_NEW_SPAN_SQL = f"({_MASKED_SQL} AND NOT {_PREV_MASKED_SQL})"
+
+_SPAN_MASK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos0, unnest(ws) AS word
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents WHERE length(trim(text)) > 0)),
+f AS (
+  SELECT doc_id, pos0, word,
+    {_MASKED_SQL} AS masked, {_NEW_SPAN_SQL} AS new_span
+  FROM w),
+s AS (
+  SELECT *, CAST(SUM(CASE WHEN new_span THEN 1 ELSE 0 END) OVER (
+      PARTITION BY doc_id ORDER BY pos0
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM f),
+p AS (
+  SELECT doc_id, pos0, masked, new_span,
+    CASE WHEN NOT masked THEN word
+         WHEN new_span THEN '<extra_id_' || CAST(cum - 1 AS VARCHAR) || '>'
+    END AS input_piece,
+    CASE WHEN new_span
+           THEN '<extra_id_' || CAST(cum - 1 AS VARCHAR) || '> ' || word
+         WHEN masked THEN word
+    END AS target_piece
+  FROM s)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(COUNT(CASE WHEN masked THEN 1 END) AS BIGINT) AS n_masked,
+  CAST(COUNT(CASE WHEN new_span THEN 1 END) AS BIGINT) AS n_spans,
+  COALESCE(string_agg(input_piece, ' ' ORDER BY pos0), '') AS input_text,
+  COALESCE(string_agg(target_piece, ' ' ORDER BY pos0), '') AS target_text
+FROM p GROUP BY doc_id
+"""
+
+
+@query("x_span_mask", oracle=_SPAN_MASK_ORACLE)
+def x_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span corruption — the denoising-objective prep
+    step: ~15% of each document's words are masked in contiguous spans
+    (5% deterministic span starts × span length 3), each span replaced
+    in the INPUT by a numbered sentinel and emitted in the TARGET as
+    the sentinel followed by the original words — exactly the
+    (input, target) pair a span-corruption trainer consumes. Span
+    selection is pure integer arithmetic on (doc_id, position), so the
+    corruption is reproducible across runs, engines and restarts — a
+    property production pipelines need so a re-run doesn't silently
+    train on differently-masked data.
+
+    Scale shape: everything is per-document — posexplode, per-row
+    mask/new-span predicates (evaluated by shifting the CLOSED-FORM
+    start test, so membership needs no window), ONE doc-keyed window
+    for the sentinel numbering and ONE doc-keyed aggregation that the
+    same exchange serves; span reassembly is array_sort over per-doc
+    collected pieces (bounded by doc length). No corpus-wide state,
+    no RNG, no Python rows."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    w = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "word")
+    )
+    f = w.select(
+        "doc_id",
+        "pos0",
+        "word",
+        F.expr(_MASKED_SQL).alias("masked"),
+        F.expr(_NEW_SPAN_SQL).alias("new_span"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = f.withColumn(
+        "cum",
+        F.sum(F.when(F.col("new_span"), 1).otherwise(0)).over(win).cast("long"),
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("cum") - 1).cast("string"), F.lit(">")
+    )
+    p = s.select(
+        "doc_id",
+        "pos0",
+        "masked",
+        "new_span",
+        F.when(~F.col("masked"), F.col("word"))
+        .when(F.col("new_span"), sentinel)
+        .alias("input_piece"),
+        F.when(
+            F.col("new_span"), F.concat(sentinel, F.lit(" "), F.col("word"))
+        )
+        .when(F.col("masked"), F.col("word"))
+        .alias("target_piece"),
+    )
+
+    def _joined(piece: str) -> Column:
+        lst = F.collect_list(
+            F.when(
+                F.col(piece).isNotNull(), F.struct("pos0", F.col(piece))
+            )
+        )
+        return F.concat_ws(
+            " ", F.transform(F.array_sort(lst), lambda t: t[piece])
+        )
+
+    return p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.count(F.when(F.col("masked"), 1)).cast("long").alias("n_masked"),
+        F.count(F.when(F.col("new_span"), 1)).cast("long").alias("n_spans"),
+        _joined("input_piece").alias("input_text"),
+        _joined("target_piece").alias("target_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7.2: corpus snapshot diff (incremental-crawl bookkeeping)
+# ---------------------------------------------------------------------------
+
+# Two deterministic snapshots of the documents table: OLD holds
+# doc_id % 10 < 8, NEW holds doc_id % 10 >= 2 (60% overlap — adds,
+# removes and carries), and NEW revises the text of every doc_id % 5
+# == 0 survivor (simulated recrawl edit).
+_DIFF_OLD = "doc_id % 10 < 8"
+_DIFF_NEW = "doc_id % 10 >= 2"
+_DIFF_EDIT = "doc_id % 5 = 0"
+
+_CORPUS_DIFF_ORACLE = f"""
+WITH old AS (SELECT doc_id, source, text FROM documents WHERE {_DIFF_OLD}),
+new AS (SELECT doc_id, source,
+          CASE WHEN {_DIFF_EDIT} THEN text || ' [v2]' ELSE text END AS text
+        FROM documents WHERE {_DIFF_NEW}),
+d AS (
+  SELECT COALESCE(o.source, n.source) AS source,
+    CASE WHEN o.doc_id IS NULL THEN 'added'
+         WHEN n.doc_id IS NULL THEN 'removed'
+         WHEN o.text = n.text THEN 'unchanged'
+         ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT source,
+  CAST(COUNT(CASE WHEN status = 'added' THEN 1 END) AS BIGINT) AS n_added,
+  CAST(COUNT(CASE WHEN status = 'removed' THEN 1 END) AS BIGINT) AS n_removed,
+  CAST(COUNT(CASE WHEN status = 'changed' THEN 1 END) AS BIGINT) AS n_changed,
+  CAST(COUNT(CASE WHEN status = 'unchanged' THEN 1 END) AS BIGINT)
+    AS n_unchanged
+FROM d GROUP BY source
+"""
+
+
+@query("x_corpus_diff", oracle=_CORPUS_DIFF_ORACLE)
+def x_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the bookkeeping step of every
+    incremental crawl/refresh: compare the previous corpus snapshot
+    to the new one and report, per source, how many documents were
+    added, removed, changed, and carried unchanged — the table that
+    decides which downstream stages (dedup, tokenize, shard) must
+    re-run and which can ride their caches. Snapshots here are
+    deterministic slices of the documents table with a simulated
+    recrawl edit, so the differential exercises all four statuses.
+
+    Scale shape: one doc_id-keyed FULL OUTER join (sort-merge — both
+    sides are corpus-sized by nature; at 100 TB the snapshots are
+    partition-pruned to the shards a crawl actually touched) and one
+    partial-agg rollup to |sources| rows. Change detection compares
+    text equality directly; a production run compares stored content
+    fingerprints (`x_fingerprint`) so the old snapshot never re-reads
+    payloads — the join/rollup shape is identical."""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.expr(_DIFF_OLD)).select("doc_id", "source", "text")
+    new = docs.filter(F.expr(_DIFF_NEW)).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.expr(_DIFF_EDIT), F.concat(F.col("text"), F.lit(" [v2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.text") == F.col("n.text"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        d.select(
+            F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source")
+        .agg(
+            *[
+                F.count(F.when(F.col("status") == s, 1))
+                .cast("long")
+                .alias(f"n_{s}")
+                for s in ("added", "removed", "changed", "unchanged")
+            ]
+        )
+    )

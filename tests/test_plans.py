@@ -721,3 +721,14 @@ def test_tokenizer_fertility_rides_broadcast_word_cache(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_mask_single_doc_keyed_exchange(spark, sf_dir):
+    """Span corruption must ride ONE doc-keyed exchange: the sentinel-
+    numbering window's shuffle also serves the reassembly aggregation
+    (no second exchange), and membership tests are closed-form per row
+    (no extra window). formatted mode prints nodes twice."""
+    plan = plan_of(spark, sf_dir, "x_span_mask")
+    assert plan.count("Exchange") == 2, plan  # tree + detail = 1 exchange
+    assert plan.count("Window") == 2, plan  # tree + detail = 1 window
+    assert "CartesianProduct" not in plan
