@@ -4840,3 +4840,157 @@ def x_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7.2: retrieval-training pair mining + embedding storage compression
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+{_knn_edges_cte()},
+m AS (SELECT vec_id, MAX(rnk) AS mr FROM knn GROUP BY vec_id
+      HAVING MAX(rnk) > 1)
+SELECT e1.vec_id, e1.neighbor_id AS pos_id, e1.score AS pos_score,
+       e2.neighbor_id AS neg_id, e2.score AS neg_score
+FROM knn e1
+JOIN m ON e1.vec_id = m.vec_id AND e1.rnk = 1
+JOIN knn e2 ON e2.vec_id = m.vec_id AND e2.rnk = m.mr
+"""
+
+
+@query("x_hard_negatives", oracle=_HARDNEG_ORACLE)
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining on the kNN substrate: per
+    anchor vector, the POSITIVE is its nearest neighbor and the HARD
+    NEGATIVE is the farthest vector still inside its top-k list — the
+    near-the-decision-boundary sample that makes bi/cross-encoder
+    fine-tuning converge (random negatives are too easy; the k-th
+    neighbor is "close enough to confuse"), the standard DPR/sentence-
+    transformers mining recipe. Anchors with fewer than two neighbors
+    drop (no pair to form).
+
+    Scale shape: ONE partial-agg pass over the pinned kNN edge
+    artifact — rnk is unique per (vec, edge), so min/max over
+    (rnk, neighbor, score) structs select both pair members
+    deterministically in the same aggregation; no window, no
+    self-join, no all-pairs anywhere (the edge list itself is the
+    LSH-bounded x_knn_graph build, shared across all graph
+    consumers)."""
+    e = artifact(
+        spark, f"{sf_dir}:knn_edges", lambda: x_knn_graph(spark, sf_dir)
+    )
+    s = F.struct("rnk", "neighbor_id", "score")
+    return (
+        e.groupBy("vec_id")
+        .agg(F.min(s).alias("p"), F.max(s).alias("n"))
+        .filter(F.col("n.rnk") > 1)
+        .select(
+            "vec_id",
+            F.col("p.neighbor_id").alias("pos_id"),
+            F.col("p.score").alias("pos_score"),
+            F.col("n.neighbor_id").alias("neg_id"),
+            F.col("n.score").alias("neg_score"),
+        )
+    )
+
+
+# int8 scalar quantization (faiss SQ8): per-dimension min/max trained
+# on the corpus, values mapped to 0..255 codes. All arithmetic runs in
+# integer MICRO-UNITS (floor(x*1e6)) so codes and reconstruction error
+# are bit-identical across engines — float32 inputs widen to double
+# identically in both, and floor/DIV are exact from there.
+_SQ_LEVELS = 255
+_SQ_SCALE = 1_000_000
+
+
+def _sq_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SQ_SCALE}) AS BIGINT)
+      AS xi
+  FROM embeddings),
+st AS (SELECT dim, MIN(xi) AS mni, MAX(xi) AS mxi FROM d GROUP BY dim),
+stats AS (SELECT list(mni ORDER BY dim) AS mn, list(mxi ORDER BY dim) AS mx
+          FROM st),
+enc AS (
+  SELECT vec_id,
+    list_transform(range(1, len(embedding) + 1), i ->
+      CASE WHEN mx[i] = mn[i] THEN 0
+           ELSE ((CAST(floor(CAST(embedding[i] AS DOUBLE) * {_SQ_SCALE})
+                       AS BIGINT) - mn[i])
+                 * {_SQ_LEVELS}) // (mx[i] - mn[i]) END) AS codes,
+    list_transform(range(1, len(embedding) + 1), i ->
+      CAST(floor(CAST(embedding[i] AS DOUBLE) * {_SQ_SCALE}) AS BIGINT))
+      AS xi,
+    mn, mx
+  FROM embeddings, stats)
+SELECT vec_id,
+  array_to_string(codes, ' ') AS codes_str,
+  CAST(list_sum(list_transform(range(1, len(codes) + 1), i ->
+    abs(xi[i] - (mn[i] + (codes[i] * (mx[i] - mn[i])) // {_SQ_LEVELS}))))
+    AS BIGINT) AS sum_abs_err_micro
+FROM enc
+"""
+
+
+@query("x_embedding_quantize", oracle=_sq_oracle())
+def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus (faiss SQ8):
+    train per-dimension min/max on the corpus, map every value to a
+    0..255 code, and report each vector's total reconstruction error —
+    the storage-compression lane of the similarity stack (4× smaller
+    than float32, decoded on the fly at query time), complementing PQ
+    (`x_ann_pq` — subspace codebooks) with the simpler, higher-
+    fidelity per-dimension codec real vector stores default to.
+
+    Scale shape: ONE posexplode pass trains the |dims|-row min/max
+    table (partial-agg friendly — 64 groups); the trained ranges
+    collapse to a single broadcast row of arrays, and encoding +
+    error run per-vector inside whole-stage codegen as higher-order
+    array transforms (no second shuffle, no UDF). Integer micro-unit
+    arithmetic end to end: floor-to-micros, integer DIV quantize and
+    dequantize, so the differential machine-checks codes AND
+    reconstruction error bit-exactly — the honest-approximation
+    discipline (x_minhash_fidelity) applied to a codec."""
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "dim0",
+        F.floor(F.col("x").cast("double") * _SQ_SCALE).cast("long").alias("xi"),
+    )
+    st = d.groupBy("dim0").agg(
+        F.min("xi").alias("mni"), F.max("xi").alias("mxi")
+    )
+    stats = st.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim0", "mni", "mxi"))
+        ).alias("s")
+    ).select(
+        F.transform("s", lambda t: t["mni"]).alias("mn"),
+        F.transform("s", lambda t: t["mxi"]).alias("mx"),
+    )
+    enc = emb.join(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, (x, i) -> CASE WHEN mx[i] = mn[i] THEN 0L "
+            f"ELSE ((CAST(floor(CAST(x AS DOUBLE) * {_SQ_SCALE}) AS BIGINT) - mn[i]) "
+            f"* {_SQ_LEVELS}) DIV (mx[i] - mn[i]) END)"
+        ).alias("codes"),
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_SQ_SCALE}) AS BIGINT))"
+        ).alias("xi"),
+        "mn",
+        "mx",
+    )
+    return enc.select(
+        "vec_id",
+        F.array_join("codes", " ").alias("codes_str"),
+        F.expr(
+            f"aggregate(zip_with(xi, zip_with(codes, zip_with(mn, mx, "
+            f"(a, b) -> struct(a AS mn, b AS mx)), "
+            f"(c, s) -> s.mn + (c * (s.mx - s.mn)) DIV {_SQ_LEVELS}), "
+            f"(v, r) -> abs(v - r)), 0L, (acc, e) -> acc + e)"
+        ).cast("long").alias("sum_abs_err_micro"),
+    )

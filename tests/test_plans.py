@@ -732,3 +732,25 @@ def test_span_mask_single_doc_keyed_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 2, plan  # tree + detail = 1 exchange
     assert plan.count("Window") == 2, plan  # tree + detail = 1 window
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_is_one_agg_over_pinned_edges(spark, sf_dir):
+    """Pair mining must be a single partial-agg pass over the pinned
+    kNN edge artifact — struct min/max select both pair members in one
+    aggregation: no window, no self-join, no cartesian."""
+    plan = plan_of(spark, sf_dir, "x_hard_negatives")
+    assert op_count(plan, "Window") == 0, plan
+    assert "CartesianProduct" not in plan
+    assert op_count(plan, "Exchange") <= 1, plan
+
+
+def test_embedding_quantize_trains_once_encodes_in_scan(spark, sf_dir):
+    """SQ8: the per-dim min/max training is the only shuffled work
+    (dim groupBy + 1-row collapse); encoding and reconstruction error
+    are higher-order array transforms on the vector rows behind a
+    broadcast of the trained ranges — no corpus-keyed join, no UDF."""
+    plan = plan_of(spark, sf_dir, "x_embedding_quantize")
+    assert op_count(plan, "Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
