@@ -4994,3 +4994,76 @@ def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(v, r) -> abs(v - r)), 0L, (acc, e) -> acc + e)"
         ).cast("long").alias("sum_abs_err_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7.2: leakage-aware train/val/test split
+# ---------------------------------------------------------------------------
+
+# Split fractions via the first hex digit of a seeded md5 (identical
+# in both engines): 0-9,a,b -> train (12/16), c,d -> val, e,f -> test.
+_SPLIT_SEED = "split:"
+_SPLIT_CASE = (
+    "CASE WHEN __h <= 'b' THEN 'train' "
+    "WHEN __h <= 'd' THEN 'val' ELSE 'test' END"
+)
+
+_TRAIN_SPLIT_ORACLE = f"""
+WITH clusters AS ({_CLUSTERS_ORACLE}),
+d AS (
+  SELECT doc.source,
+    COALESCE(c.canonical_id, doc.doc_id) AS cid, doc.n_chars
+  FROM documents doc LEFT JOIN clusters c USING (doc_id)),
+s AS (
+  SELECT source, cid, n_chars, {_SPLIT_CASE} AS split
+  FROM (SELECT *, substring(md5('{_SPLIT_SEED}' || CAST(cid AS VARCHAR)),
+                            1, 1) AS __h FROM d))
+SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY split, source
+"""
+
+
+@query("x_train_split", oracle=_TRAIN_SPLIT_ORACLE)
+def x_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/val/test split — the assignment is made per
+    NEAR-DUP CLUSTER, not per document: every document inherits its
+    cluster canonical's seeded-hash split, so two near-duplicates can
+    never land on opposite sides of the train/eval boundary (the
+    classic contamination leak a naive per-doc split causes — the
+    eval set silently contains paraphrases of training docs).
+    Singleton docs are their own cluster. Reports per (split, source)
+    document, cluster and char counts; hash-based assignment makes
+    the split reproducible across runs, engines and corpus growth
+    (adding documents never reassigns existing clusters).
+
+    Scale shape: the cluster label table comes from the shared
+    verified-pair artifact + log-round connected components
+    (`x_dedup_clusters` machinery); one doc_id-keyed left join
+    attaches labels (label table is pair-graph-sized — Catalyst
+    broadcasts it when small, shuffles when a dup-heavy corpus grows
+    it), then ONE rollup with a two-level distinct on cluster id.
+    The no-cluster-spans-splits invariant holds by construction —
+    split is a pure function of cid — and the differential re-derives
+    it independently."""
+    docs = table(spark, sf_dir, "documents")
+    labels = x_dedup_clusters(spark, sf_dir)
+    d = docs.join(labels, "doc_id", "left").select(
+        "source",
+        F.coalesce("canonical_id", "doc_id").alias("cid"),
+        "n_chars",
+    )
+    s = d.withColumn(
+        "__h",
+        F.md5(
+            F.concat(F.lit(_SPLIT_SEED), F.col("cid").cast("string")).cast(
+                "binary"
+            )
+        ).substr(1, 1),
+    ).withColumn("split", F.expr(_SPLIT_CASE))
+    return s.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("cid").cast("long").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
