@@ -3335,3 +3335,135 @@ def c_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_DQ_ORACLE = """
+SELECT 'lineitem_pk_unique' AS check_name,
+  CAST(COUNT(*) AS BIGINT) AS n_checked,
+  CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+       AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_quantity_not_null',
+  CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_in_range',
+  CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+       AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orders_pk_unique', CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders', CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'events_fk_customer', CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@query("c_dq_audit", oracle=_DQ_ORACLE)
+def c_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the dbt-test suite as one scale-shaped
+    operator: primary-key uniqueness, referential integrity, null and
+    range checks across the star schema, each reported as (checked,
+    violations) so an all-green run still differentiates (a check
+    that silently scans nothing reads 0/0, not pass). Warehouses run
+    exactly this table after every load; violations gate the publish.
+
+    Scale shape: per-table checks FUSE into one scan each — lineitem's
+    PK-dup, null and range checks share a single pass (the PK check is
+    a count-distinct over the composite key packed into one BIGINT, so
+    the multi-distinct Expand carries one slim column); FK checks are
+    left joins against the (broadcastable) parent keys counted
+    conditionally — Catalyst broadcasts the dimension side, and at
+    100 TB the orders⋈lineitem check shuffles only the two key
+    columns. Every branch ends in a 1-row aggregate; the union is
+    seven metadata-sized rows. Violation counts are exact integers —
+    no sampling, because an audit that samples can't gate a load."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    ev = table(spark, sf_dir, "events")
+
+    def report(name: str, checked: Column, violations: Column, src):
+        return src.agg(
+            checked.cast("long").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+        ).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
+        )
+
+    n = F.count(F.lit(1))
+    # The three lineitem checks share ONE scan: a single aggregate
+    # computes all counters, then stack() unpivots it to check rows.
+    li_checks = (
+        li.agg(
+            n.cast("long").alias("n"),
+            (
+                n
+                - F.count_distinct(
+                    F.col("l_orderkey") * 10 + F.col("l_linenumber")
+                )
+            )
+            .cast("long")
+            .alias("pk_dups"),
+            (n - F.count("l_quantity")).cast("long").alias("qty_nulls"),
+            F.count(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                )
+            )
+            .cast("long")
+            .alias("bad_disc"),
+        )
+        .select(
+            F.expr(
+                "stack(3, 'lineitem_pk_unique', n, pk_dups, "
+                "'lineitem_quantity_not_null', n, qty_nulls, "
+                "'lineitem_discount_in_range', n, bad_disc) "
+                "AS (check_name, n_checked, n_violations)"
+            )
+        )
+    )
+    o_pk = report(
+        "orders_pk_unique", n, n - F.count_distinct("o_orderkey"), orders
+    )
+    li_fk = report(
+        "lineitem_fk_orders",
+        n,
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+        li.select("l_orderkey").join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        ),
+    )
+    o_fk = report(
+        "orders_fk_customer",
+        n,
+        F.count(F.when(F.col("c_custkey").isNull(), 1)),
+        orders.select("o_custkey").join(
+            cust, F.col("o_custkey") == F.col("c_custkey"), "left"
+        ),
+    )
+    e_fk = report(
+        "events_fk_customer",
+        n,
+        F.count(F.when(F.col("c_custkey").isNull(), 1)),
+        ev.select("user_id").join(
+            cust, F.col("user_id") == F.col("c_custkey"), "left"
+        ),
+    )
+    out = li_checks
+    for part in (o_pk, li_fk, o_fk, e_fk):
+        out = out.unionAll(part)
+    return out

@@ -754,3 +754,21 @@ def test_embedding_quantize_trains_once_encodes_in_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dq_audit_fuses_per_table_checks(spark, sf_dir):
+    """The audit's per-table checks must share scans: lineitem appears
+    exactly twice (fused pk/null/range agg + the FK key join), never
+    once per check; all joins are key equi-joins."""
+    import re
+    from collections import Counter
+
+    plan = plan_of(spark, sf_dir, "c_dq_audit")
+    tables = Counter(
+        re.search(r"(lineitem|orders|customer|events)", loc).group(1)
+        for loc in re.findall(r"Location: InMemoryFileIndex \[[^\]]*\]", plan)
+    )
+    assert tables["lineitem"] == 2, tables
+    assert tables["events"] == 1, tables
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
