@@ -3467,3 +3467,59 @@ def c_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (o_pk, li_fk, o_fk, e_fk):
         out = out.unionAll(part)
     return out
+
+
+# Bitmap-index words are 32 bits wide stored in BIGINTs: bit 63 is
+# unreachable on purpose — 1 << 63 overflows signed 64-bit in one
+# engine (hard error) and wraps in the other, so capping the shift at
+# 31 keeps the arithmetic engine-portable with headroom to spare.
+_BITMAP_WORD = 32
+
+
+@query(
+    "c_bitmap_index",
+    oracle=f"""
+SELECT event_type,
+  CAST(event_id // {_BITMAP_WORD} AS BIGINT) AS word_idx,
+  CAST(bit_or(1::BIGINT << CAST(event_id % {_BITMAP_WORD} AS INTEGER))
+       AS BIGINT) AS mask,
+  CAST(bit_count(bit_or(1::BIGINT << CAST(event_id % {_BITMAP_WORD}
+       AS INTEGER))) AS BIGINT) AS n_set
+FROM events GROUP BY event_type, CAST(event_id // {_BITMAP_WORD} AS BIGINT)
+""",
+)
+def c_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap index build over a low-cardinality column — the OLAP
+    indexing primitive behind fast multi-predicate filtering (Druid /
+    Pinot / ClickHouse-style): per (event_type, word) one integer
+    whose bits mark which rows of that id-word carry the type, plus
+    its popcount. Readers AND/OR these words to evaluate arbitrary
+    boolean predicate combinations without touching row data, and the
+    per-word popcount sums to exact per-type cardinalities for free.
+
+    Scale shape: ONE partial-agg exchange — bit_or is associative and
+    commutative, so each task folds its rows into per-(type, word)
+    masks map-side and the shuffle carries only folded words (output
+    is corpus/32-sized, the index not the data). Integer-only
+    arithmetic; 32-bit words in BIGINTs keep the shift engine-portable
+    (see _BITMAP_WORD). Popcount via the engines' native bit_count."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.expr(f"event_id DIV {_BITMAP_WORD}").cast("long").alias("word_idx"),
+    ).agg(
+        F.bit_or(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(event_id % {_BITMAP_WORD} AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("mask")
+    )
+    return g.select(
+        "event_type",
+        "word_idx",
+        "mask",
+        F.bit_count("mask").cast("long").alias("n_set"),
+    )

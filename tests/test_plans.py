@@ -772,3 +772,12 @@ def test_dq_audit_fuses_per_table_checks(spark, sf_dir):
     assert tables["events"] == 1, tables
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bitmap_index_is_one_partial_agg_pass(spark, sf_dir):
+    """The bitmap build must be one scan + one partial-agg exchange
+    (bit_or folds map-side); popcount is a post-agg projection."""
+    plan = plan_of(spark, sf_dir, "c_bitmap_index")
+    assert op_count(plan, "Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
