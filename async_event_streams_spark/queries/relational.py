@@ -3340,7 +3340,7 @@ def c_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DQ_ORACLE = """
 SELECT 'lineitem_pk_unique' AS check_name,
   CAST(COUNT(*) AS BIGINT) AS n_checked,
-  CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
        AS BIGINT) AS n_violations
 FROM lineitem
 UNION ALL
@@ -3381,8 +3381,9 @@ def c_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-table checks FUSE into one scan each — lineitem's
     PK-dup, null and range checks share a single pass (the PK check is
-    a count-distinct over the composite key packed into one BIGINT, so
-    the multi-distinct Expand carries one slim column); FK checks are
+    a multi-column count-distinct, so the Expand lane carries just the
+    two slim key columns — no packed-key arithmetic that would bake in
+    a bound on l_linenumber); FK checks are
     left joins against the (broadcastable) parent keys counted
     conditionally — Catalyst broadcasts the dimension side, and at
     100 TB the orders⋈lineitem check shuffles only the two key
@@ -3411,7 +3412,7 @@ def c_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 n
                 - F.count_distinct(
-                    F.col("l_orderkey") * 10 + F.col("l_linenumber")
+                    F.col("l_orderkey"), F.col("l_linenumber")
                 )
             )
             .cast("long")
