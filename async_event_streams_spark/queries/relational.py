@@ -982,7 +982,11 @@ def c_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (false positives possible, false negatives impossible → final
     exact join restores exactness) machine-checked by the plain-
     semantics oracle. The filter is Spark-side-only machinery, so the
-    hash can be the native xxhash64 — the oracle never computes it."""
+    hash can be the native xxhash64 — the oracle never computes it.
+    Sizing note: the 64 Ki-bit table is a fixed test-SF constant; a
+    production build sizes m ≈ 10 bits per expected build-side key
+    (~1% fp at k=3) since a saturated bloom stays CORRECT (the exact
+    join backstops it) but stops reducing the shuffle."""
     m = _BLOOM_WORDS * 64
     events = table(spark, sf_dir, "events")
     urgent = (
