@@ -5067,3 +5067,147 @@ def x_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("cid").cast("long").alias("n_clusters"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7.3: composed TRAINING-PREP pipeline (the second composition)
+# ---------------------------------------------------------------------------
+
+
+def _prep_pipeline_oracle() -> str:
+    from ..pipelines import QUALITY_MAX_PUNCT_RATIO, QUALITY_MIN_TOKENS
+
+    return f"""
+WITH input AS (SELECT doc_id, source, n_chars, text FROM documents),
+q AS (
+  SELECT doc_id, source, n_chars, text FROM input
+  WHERE len({_SQL_TOKS}) >= {QUALITY_MIN_TOKENS}
+  AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      / length(text) <= {QUALITY_MAX_PUNCT_RATIO}),
+train AS (SELECT * FROM q WHERE doc_id % {_DECON_MOD} <> 0),
+tq AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM train),
+gq AS (SELECT doc_id, md5(s) AS g FROM (
+  SELECT doc_id, unnest({_sql_shingles_k(_DECON_K)}) AS s FROM tq)),
+tb AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+       WHERE doc_id % {_DECON_MOD} = 0),
+bench AS (SELECT DISTINCT md5(s) AS g FROM (
+  SELECT unnest({_sql_shingles_k(_DECON_K)}) AS s FROM tb)),
+hits AS (SELECT DISTINCT gq.doc_id FROM gq JOIN bench USING (g)),
+clean AS (SELECT t.* FROM train t LEFT JOIN hits h USING (doc_id)
+          WHERE h.doc_id IS NULL),
+clusters AS ({_CLUSTERS_ORACLE}),
+sp AS (
+  SELECT 'split_' || {_SPLIT_CASE} AS stage, n_chars FROM (
+    SELECT c.n_chars,
+      substring(md5('{_SPLIT_SEED}' ||
+        CAST(COALESCE(cl.canonical_id, c.doc_id) AS VARCHAR)), 1, 1) AS __h
+    FROM clean c LEFT JOIN clusters cl USING (doc_id)))
+SELECT 'a_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM input
+UNION ALL SELECT 'b_quality', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(n_chars) AS BIGINT) FROM q
+UNION ALL SELECT 'c_train_pool', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(n_chars) AS BIGINT) FROM train
+UNION ALL SELECT 'd_decontaminated', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(n_chars) AS BIGINT) FROM clean
+UNION ALL SELECT stage, CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(n_chars) AS BIGINT) FROM sp GROUP BY stage
+"""
+
+
+@query("x_prep_pipeline", oracle=_prep_pipeline_oracle())
+def x_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND composed pipeline: training-set PREPARATION end to
+    end — quality gates → benchmark decontamination (bench docs and
+    every training doc sharing a 4-gram with them removed) →
+    leakage-aware cluster split — emitting the stage funnel plus
+    per-split totals a run would publish as its manifest. Like
+    x_pipeline_report (the dedup chain), the point is differential-
+    testing the COMPOSITION: stage ordering and inter-stage contracts
+    (quality runs before gram hashing so pruned docs never pay it;
+    the bench gram blocklist comes from the FULL corpus because
+    benchmark registration is independent of training-side filters;
+    split labels ride corpus-level near-dup clusters so filtering
+    can't re-partition a cluster across splits).
+
+    Scale shape composes the stages' own: the quality gate prunes
+    in-scan; the bench gram set rides the SAME build-once artifact as
+    x_decontaminate (broadcast to a semi-join — the training side
+    never shuffles for it); cluster labels ride the shared verified-
+    pair artifact + log-round components; survivors are PINNED before
+    fan-out to their count branch and the split rollup (the
+    x_pipeline_report discipline). Stage rows are 1-row broadcast
+    aggregates; only the split rollup shuffles, keyed by split."""
+    from ..pipelines import quality_filter
+
+    docs = table(spark, sf_dir, "documents")
+    q = materialize(
+        quality_filter(docs).select("doc_id", "source", "n_chars", "text")
+    )
+    train = q.filter(F.col("doc_id") % _DECON_MOD != 0)
+    grams = train.select(
+        "doc_id", tokens(F.col("text")).alias("__t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.transform(shingles(F.col("__t"), k=_DECON_K), F.md5)
+        ).alias("g"),
+    )
+    bench = artifact(
+        spark,
+        f"{sf_dir}:decon_bench_grams",
+        lambda: table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("doc_id", tokens(F.col("text")).alias("__t"))
+        .select(
+            F.explode(
+                F.transform(shingles(F.col("__t"), k=_DECON_K), F.md5)
+            ).alias("g")
+        )
+        .distinct(),
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = materialize(train.join(hits, "doc_id", "left_anti"))
+    labels = x_dedup_clusters(spark, sf_dir)
+    sp = (
+        clean.join(labels, "doc_id", "left")
+        .select(
+            "n_chars",
+            F.md5(
+                F.concat(
+                    F.lit(_SPLIT_SEED),
+                    F.coalesce("canonical_id", "doc_id").cast("string"),
+                ).cast("binary")
+            )
+            .substr(1, 1)
+            .alias("__h"),
+        )
+        .select(
+            F.concat(F.lit("split_"), F.expr(_SPLIT_CASE)).alias("stage"),
+            "n_chars",
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+    def stage_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_chars")
+
+    out = stage_row("a_input", docs)
+    for name, df in (
+        ("b_quality", q),
+        ("c_train_pool", train),
+        ("d_decontaminated", clean),
+    ):
+        out = out.unionAll(stage_row(name, df))
+    return out.unionAll(sp)
