@@ -3528,3 +3528,83 @@ def c_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mask",
         F.bit_count("mask").cast("long").alias("n_set"),
     )
+
+
+@query(
+    "c_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+  FROM events),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+    AS day FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT event_type, day FROM types CROSS JOIN spine),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+j AS (SELECT g.event_type, g.day, d.cents,
+        d.cents IS NOT NULL AS observed
+      FROM grid g LEFT JOIN daily d USING (event_type, day))
+SELECT event_type, CAST(day AS VARCHAR) AS day, observed,
+  CAST(LAST_VALUE(cents IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS filled_micro
+FROM j
+""",
+)
+def c_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LOCF (last observation carried
+    forward) — the completion of `c_date_spine`: where the spine query
+    zero-fills missing COUNTS, real metric series (balances, gauges,
+    last-known prices) must carry the LAST OBSERVED value across gaps.
+    Per (event_type, day): the daily total in integer micro-units, an
+    `observed` flag, and the LOCF-filled series (NULL before a type's
+    first observation — a fabricated leading value would be a lie the
+    flag exists to prevent).
+
+    Scale shape: ONE corpus pass (partial-agg daily rollup keyed
+    (type, day)); the spine grid, the left join and the
+    ignore-nulls-last window all ride METADATA (|types| × |days|
+    rows). Day sums quantize to micro-units BEFORE summing, so
+    aggregation order can never move a float bit — the engine's
+    standing money discipline."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    j = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "cents",
+        F.col("cents").isNotNull().alias("observed"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "observed",
+        F.last("cents", ignorenulls=True)
+        .over(w)
+        .cast("long")
+        .alias("filled_micro"),
+    )
