@@ -102,9 +102,18 @@ def asof_orderkey(
     the split itself is property-tested with forced hot sets in
     tests/test_asof.py), so dispatch changes the plan, never the
     answer. Pass a precomputed/memoized `hot` list to skip the probe
-    pass ([] forces plain)."""
+    pass ([] forces plain).
+
+    The probe measures key share over the UNION of both sides'
+    keys (r7 advice: events-only missed a customer hot on the orders
+    side) — the right axis, because the plain window sorts the MERGED
+    per-user timeline, so a key's serialized work is its share of
+    events + orders combined."""
     if hot is None:
-        hot = hot_keys(events, "user_id", threshold=skew_threshold)
+        keys = events.select(F.col("user_id").alias("k")).unionByName(
+            orders.select(F.col("o_custkey").alias("k"))
+        )
+        hot = hot_keys(keys, "k", threshold=skew_threshold)
     if not hot:
         return asof_orderkey_plain(events, orders)
     return asof_orderkey_hotsplit(events, orders, hot, bucket_sec=bucket_sec)
@@ -209,9 +218,20 @@ def asof_orderkey_bucketed(
         "__carry",
         F.last("__last_ord", ignorenulls=True).over(w_user).getField("o_key"),
     ).select("k", "__b", "__carry")
+    # Null-safe on BOTH join keys (r7 advice): the plain window keeps
+    # NULL user_id rows as their own partition, and a NULL timestamp
+    # makes __b NULL too — a plain inner equi-join would silently drop
+    # either. `<=>` is still an equi-join to the planner.
+    c = carry.select(
+        F.col("k").alias("__ck"), F.col("__b").alias("__cb"), "__carry"
+    )
     return (
         loc.filter(F.col("is_event") == 1)
-        .join(carry, ["k", "__b"])
+        .join(
+            c,
+            F.col("k").eqNullSafe(F.col("__ck"))
+            & F.col("__b").eqNullSafe(F.col("__cb")),
+        )
         .select(
             "event_id",
             F.col("k").alias("user_id"),

@@ -140,7 +140,18 @@ def lag_prev_bucketed(
     carry = summ.withColumn(
         "__carry", F.lag("__last_row").over(w_user).getField("value")
     ).select("user_id", "__b", "__carry")
-    return loc.join(carry, ["user_id", "__b"]).select(
+    # Null-safe on the user key (r7 advice): the plain window keeps
+    # NULL user_id rows as their own partition, and a plain inner
+    # equi-join here would silently drop them. `<=>` is still an
+    # equi-join to the planner (hash/sort-merge, no cartesian); __b is
+    # non-null by construction (event_id is the grid key).
+    c = carry.select(
+        F.col("user_id").alias("__ck"), F.col("__b").alias("__cb"), "__carry"
+    )
+    return loc.join(
+        c,
+        F.col("user_id").eqNullSafe(F.col("__ck")) & (F.col("__b") == F.col("__cb")),
+    ).select(
         "event_id",
         "user_id",
         "value",

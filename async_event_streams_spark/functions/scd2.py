@@ -161,12 +161,25 @@ def scd2_intervals_bucketed(
         "__b", F.floor(sec("ts") / bucket_sec)
     )
     w_local = Window.partitionBy("user_id", "__b").orderBy("ts", "event_id")
-    # __chg: NULL for the bucket head (decided by the stitch), else
-    # did-the-type-change. __last flags the bucket's closing row; both
-    # come out of ONE Window operator on one sort.
-    loc = e.withColumn(
-        "__chg", F.col("event_type") != F.lag("event_type").over(w_local)
-    ).withColumn("__last", F.lead("ts").over(w_local).isNull())
+    # __head flags the bucket head EXPLICITLY via the non-null unique
+    # event_id (r7 advice: overloading __chg's NULL conflated the head
+    # with any NULL-typed row or successor-of-NULL). __chg is then the
+    # plain shape's start condition (prev IS NULL OR type <> prev) for
+    # non-head rows, coalesced so it can never be NULL; __last flags
+    # the closing row, again by event_id so a NULL ts cannot misflag
+    # it. All three come out of ONE Window operator on one sort.
+    prev_t = F.lag("event_type").over(w_local)
+    loc = (
+        e.withColumn("__head", F.lag("event_id").over(w_local).isNull())
+        .withColumn(
+            "__chg",
+            (~F.col("__head"))
+            & F.coalesce(
+                prev_t.isNull() | (F.col("event_type") != prev_t), F.lit(False)
+            ),
+        )
+        .withColumn("__last", F.lead("event_id").over(w_local).isNull())
+    )
     # One summary row per (user, bucket). The head and last rows are
     # UNIQUE within a bucket (LAG/LEAD null exactly once), so the
     # conditional aggregates each see a single candidate row — no
@@ -176,18 +189,23 @@ def scd2_intervals_bucketed(
         F.max(F.when(F.col("__last"), F.col("event_type"))).alias(
             "__last_type"
         ),
-        F.min(F.when(F.col("__chg").isNull(), F.col("ts"))).alias(
-            "__head_ts"
-        ),
-        F.max(F.when(F.col("__chg").isNull(), F.col("event_type"))).alias(
+        F.min(F.when(F.col("__head"), F.col("ts"))).alias("__head_ts"),
+        F.max(F.when(F.col("__head"), F.col("event_type"))).alias(
             "__head_type"
         ),
         F.min(F.when(F.col("__chg"), F.col("ts"))).alias("__chg_from"),
     )
     w_user = Window.partitionBy("user_id").orderBy("__b")
+    # The head is a start under the PLAIN condition applied across the
+    # bucket seam: previous closing type IS NULL (which covers both
+    # "no previous bucket" and "previous bucket closed on a NULL
+    # type" — plain treats both as prev_type IS NULL → start) OR the
+    # types differ; a NULL head type after a non-NULL close is NOT a
+    # start, exactly as in the plain filter.
+    prev_last = F.lag("__last_type").over(w_user)
     head_is_start = F.coalesce(
-        F.col("__head_type") != F.lag("__last_type").over(w_user),
-        F.lit(True),  # no previous bucket
+        prev_last.isNull() | (F.col("__head_type") != prev_last),
+        F.lit(False),
     )
     stitched = (
         summ.withColumn("__head_start", head_is_start)
@@ -208,9 +226,23 @@ def scd2_intervals_bucketed(
     # Back onto the event rows: starts = in-bucket changes + surviving
     # heads; close each with the local LEAD, falling back to the next
     # bucket's first start. The event side of the join and the final
-    # window both reuse the (user_id, bucket) partitioning.
-    starts = loc.join(stitched, ["user_id", "__b"]).filter(
-        F.coalesce(F.col("__chg"), F.col("__head_start"))
+    # window both reuse the (user_id, bucket) partitioning. Null-safe
+    # on both keys (r7 advice): the plain window keeps NULL user_id
+    # rows as their own partition, and a NULL ts makes __b NULL — a
+    # plain inner equi-join would silently drop either; `<=>` is still
+    # an equi-join to the planner.
+    st = stitched.select(
+        F.col("user_id").alias("__sk"),
+        F.col("__b").alias("__sb"),
+        "__head_start",
+        "__next_from",
+    )
+    starts = loc.join(
+        st,
+        F.col("user_id").eqNullSafe(F.col("__sk"))
+        & F.col("__b").eqNullSafe(F.col("__sb")),
+    ).filter(
+        F.when(F.col("__head"), F.col("__head_start")).otherwise(F.col("__chg"))
     )
     w_lb = Window.partitionBy("user_id", "__b").orderBy("ts", "event_id")
     valid_to = F.coalesce(F.lead("ts").over(w_lb), F.col("__next_from"))

@@ -231,10 +231,21 @@ def sessionize_bucketed(
         ),
     )
     sid = (F.col("__off") + F.col("__ls") - F.col("__m")).alias("session_id")
+    # Null-safe on both keys (r7 advice, family-wide): the plain
+    # window keeps NULL user_id rows as their own partition, and a
+    # NULL ts makes __b NULL — a plain inner equi-join would silently
+    # drop either; `<=>` is still an equi-join to the planner.
+    st = stitched.select(
+        F.col("user_id").alias("__sk"),
+        F.col("__b").alias("__sb"),
+        "__m",
+        "__off",
+    )
     return (
         loc.join(
-            stitched.select("user_id", "__b", "__m", "__off"),
-            ["user_id", "__b"],
+            st,
+            F.col("user_id").eqNullSafe(F.col("__sk"))
+            & F.col("__b").eqNullSafe(F.col("__sb")),
         )
         .select("user_id", "ts", sid)
         .groupBy("user_id", "session_id")

@@ -169,10 +169,22 @@ def knn_graph_pipe(
             ).select("bucket")
             touched = touched.unionByName(old_buckets).distinct()
         # full membership of the touched buckets: latest-wins per
-        # re-sent vec_id first (the ANN discipline), then the same
-        # degenerate-flood cap as the batch build
+        # re-sent vec_id resolved over the FULL vector state BEFORE
+        # the bucket filter, then the same degenerate-flood cap as the
+        # batch build. Order matters: a vector that moved A→B in an
+        # earlier batch leaves a stale (vec, A) row in the state, and
+        # a later batch touching A but not B must see that the
+        # vector's CURRENT row lives elsewhere — filtering to touched
+        # buckets first would hide the newer B row and resurrect the
+        # vector in A (r7 advice, high). Cost: one vec_id-keyed
+        # latest-wins pass over the state the batch already scans in
+        # full (line above); stale rows exist only for re-sent ids, so
+        # a cluster deployment keeps this cheap by folding the vector
+        # root to latest-rows at compaction time (compact_state merges
+        # dirs verbatim today — the fold is a safe extension because
+        # the row-level __batch stamps survive the merge).
         member = cap_buckets(
-            _latest_rows(state.join(F.broadcast(touched), "bucket")),
+            _latest_rows(state).join(F.broadcast(touched), "bucket"),
             ["bucket"],
             bucket_cap,
         )

@@ -98,6 +98,31 @@ def test_later_orders_do_not_leak_backward(spark):
     assert got[10] == (1, 100)
 
 
+def test_null_user_rows_survive_and_match_plain(spark):
+    """r8 (r7 advice): the stitch join-back is null-safe, so NULL-key
+    rows come out of the bucketed shape exactly as the plain window
+    treats them — one shared NULL partition where NULL-custkey orders
+    answer NULL-user events."""
+    from async_event_streams_spark.functions.asof import asof_orderkey_plain
+
+    e = spark.createDataFrame(
+        [(None, 1, _ts(100)), (None, 2, _ts(7300)), (7, 3, _ts(100))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    o = spark.createDataFrame(
+        [(None, 500, _ts(50)), (7, 600, _ts(7200))],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp",
+    )
+    key = lambda r: (r.event_id, r.user_id, r.asof_orderkey)  # noqa: E731
+    want = {key(r) for r in asof_orderkey_plain(e, o).collect()}
+    got = {
+        key(r) for r in asof_orderkey_bucketed(e, o, bucket_sec=3600).collect()
+    }
+    assert got == want
+    # and concretely: the NULL-user events see the NULL-custkey order
+    assert {(1, None, 500), (2, None, 500), (3, 7, None)} == got
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     events=st.lists(
@@ -158,6 +183,20 @@ def test_adaptive_dispatch_picks_bucketed_on_hot_key(spark):
         (u, 100 + u, _ts(60)) for u in range(2, 8)
     ]
     orders = [(1, 500, _ts(0)), (3, 600, _ts(0))]
+    e, o = _frames(spark, events, orders)
+    out = asof_orderkey(e, o)
+    assert "__b" in _plan(out)
+    got = {r.event_id: (r.user_id, r.asof_orderkey) for r in out.collect()}
+    assert got == reference_asof(events, orders)
+
+
+def test_adaptive_dispatch_sees_orders_side_skew(spark):
+    """r8 (r7 advice): the probe runs over the UNION of both sides'
+    keys — a customer hot on the ORDERS side alone (uniform events)
+    still serializes the plain window's merged timeline, so it must
+    route through the stitch."""
+    events = [(u, u, _ts(60)) for u in range(1, 21)]  # 1 event each
+    orders = [(1, 100 + i, _ts(i)) for i in range(30)]  # user 1 hot
     e, o = _frames(spark, events, orders)
     out = asof_orderkey(e, o)
     assert "__b" in _plan(out)

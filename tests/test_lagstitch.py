@@ -63,6 +63,21 @@ def test_null_values_cross_bucket_edges(spark):
     assert got[20] == (1, None, None)
 
 
+def test_null_user_rows_survive_and_match_plain(spark):
+    """r8 (r7 advice): the carry join-back is null-safe on user_id, so
+    NULL-key rows come out of the bucketed shape exactly as the plain
+    window treats them — one shared NULL partition."""
+    from async_event_streams_spark.functions.lagstitch import lag_prev_plain
+
+    rows = [(None, 1, 1.0), (None, 12, 2.0), (None, 23, 3.0), (5, 2, 9.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    key = lambda r: (r.event_id, r.user_id, r.value, r.prev_value)  # noqa: E731
+    want = {key(r) for r in lag_prev_plain(df).collect()}
+    got = {key(r) for r in lag_prev_bucketed(df, bucket_rows=10).collect()}
+    assert got == want
+    assert (12, None, 2.0, 1.0) in got  # cross-bucket carry for NULL user
+
+
 def test_single_event_users_and_first_rows_null(spark):
     rows = [(1, 7, 1.5), (2, 13, 2.5), (3, 21, 3.5)]
     got = run_bucketed(spark, rows, bucket_rows=10)

@@ -118,6 +118,49 @@ def test_same_timestamp_tie_and_distant_buckets(spark):
     }
 
 
+def test_null_types_and_null_users_match_plain(spark):
+    """r8 (r7 advice): NULL event_type must not be mistaken for a
+    bucket head (the old __chg-IS-NULL overload), and NULL user_id
+    rows must survive the stitch join-back. The contract here is
+    bucketed ≡ the plain Spark shape — NOT the Python reference,
+    whose `!=` is two-valued while SQL's `<>` is three-valued (a
+    NULL-typed row after 'a' is a start in Python but NOT in SQL)."""
+    from async_event_streams_spark.functions.scd2 import scd2_intervals_plain
+
+    rows = [
+        # user 1: mid-bucket NULL type, then successor-of-NULL (a
+        # start under prev IS NULL), then a cross-bucket repeat
+        (1, 0, _ts(0), "a"),
+        (1, 1, _ts(60), None),
+        (1, 2, _ts(120), "a"),
+        (1, 3, _ts(3700), "a"),
+        # user 2: bucket CLOSES on a NULL type; next bucket's head
+        # must be a start (prev IS NULL), matching plain
+        (2, 4, _ts(0), "x"),
+        (2, 5, _ts(300), None),
+        (2, 6, _ts(3800), "x"),
+        # NULL user: its own partition in the plain window
+        (None, 7, _ts(0), "a"),
+        (None, 8, _ts(4000), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    key = lambda r: (  # noqa: E731
+        r.user_id,
+        r.event_type,
+        r.valid_from,
+        r.valid_to,
+        r.is_current,
+    )
+    want = {key(r) for r in scd2_intervals_plain(df).collect()}
+    got = {
+        key(r)
+        for r in scd2_intervals_bucketed(df, bucket_sec=3600).collect()
+    }
+    assert got == want
+
+
 @given(
     st.lists(
         st.tuples(

@@ -100,6 +100,55 @@ def test_streaming_knn_graph_equals_batch(spark, sf_dir, topic_root):
         vecs.close()
 
 
+def test_moved_vector_not_resurrected_in_old_bucket(spark, sf_dir, topic_root):
+    """r7 advice (high): after a vector moves bucket A→B, a LATER
+    batch that touches A but not B must not resurrect the stale
+    (vec, A) state row — latest-wins has to be resolved over the full
+    vector state before the touched-bucket filter. The move and the
+    A-only follow-up land in SEPARATE waves (the equality test above
+    only covers the wave where both buckets recompute together)."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
+        .limit(60)
+        .collect()
+    )
+    corpus = [(r.vec_id, list(r.e)) for r in rows]
+    max_id = max(v for v, _ in corpus)
+    reg = TopicRegistry()
+    vecs = Topic(
+        spark, "knn_vecs_m", "vec_id long, embedding array<double>", topic_root, reg
+    )
+    sdir = f"{topic_root}/knn-state-m"
+    h = knn_graph_pipe(vecs, sdir, dim=64, name="knn-pipe-m")
+    try:
+        vecs.send(
+            [{"vec_id": v, "embedding": e} for v, e in corpus],
+            barrier="chain",
+        )
+        # wave 2: move corpus[0] to the antipodal bucket (negation
+        # flips every SRP projection sign, so old and new buckets
+        # always differ)
+        moved_id, old_e = corpus[0]
+        new_e = [-x for x in old_e]
+        vecs.send([{"vec_id": moved_id, "embedding": new_e}], barrier="chain")
+        # wave 3: a brand-new vector into the OLD bucket only —
+        # positive scaling preserves every projection sign, so
+        # 1.5 * old_e hashes to exactly the moved vector's old bucket,
+        # and nothing in this wave touches the new bucket
+        probe_id, probe_e = max_id + 1, [1.5 * x for x in old_e]
+        vecs.send([{"vec_id": probe_id, "embedding": probe_e}], barrier="chain")
+        updated = (
+            [(moved_id, new_e), (probe_id, probe_e)]
+            + [(v, e) for v, e in corpus if v != moved_id]
+        )
+        assert _snapshot(spark, sdir) == _batch_reference(spark, updated)
+    finally:
+        h.stop()
+        vecs.close()
+
+
 def test_streaming_knn_graph_with_compaction(spark, sf_dir, topic_root):
     """compact_every folds all three state roots; snapshot equality is
     unaffected because latest-touch resolution keys on the ROW-level
