@@ -159,3 +159,36 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.02 * n), (k, n, approx[k])
+
+
+def test_table_profile_sketch_ndv_within_10pct_of_exact(spark, sf_dir):
+    """Companion to c_table_profile_sketch: its oracle can only encode
+    the cross-sketch agreement verdict (anchoring on exact NDV in the
+    query would re-introduce the corpus-NDV shuffle the lane removes),
+    so the accuracy contract vs EXACT NDV lives here, where exact is
+    affordable — BOTH sketch families within 10% per profiled column."""
+    from async_event_streams_spark.queries.relational import _PROFILE_COLS
+    from async_event_streams_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    dtypes = dict(li.dtypes)
+    aggs = []
+    for c, _ in _PROFILE_COLS:
+        # same input selection as the query: native for integer
+        # columns, string form otherwise
+        ds_in = (
+            F.col(c)
+            if dtypes.get(c) in ("bigint", "int")
+            else F.col(c).cast("string")
+        )
+        aggs += [
+            F.countDistinct(c).alias(f"ex_{c}"),
+            F.approx_count_distinct(c, 0.04).alias(f"pp_{c}"),
+            F.hll_sketch_estimate(F.hll_sketch_agg(ds_in)).alias(f"ds_{c}"),
+        ]
+    row = li.agg(*aggs).collect()[0]
+    for c, _ in _PROFILE_COLS:
+        ex = row[f"ex_{c}"]
+        for fam in ("pp", "ds"):
+            got = row[f"{fam}_{c}"]
+            assert abs(got - ex) <= max(1, 0.10 * ex), (c, fam, ex, got)

@@ -692,6 +692,20 @@ def test_table_profile_two_branch_split_stays_hashed(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_table_profile_sketch_single_scan_no_ndv_shuffle(spark, sf_dir):
+    """The production ANALYZE lane must be ONE scan and ONE
+    empty-grouping ObjectHashAggregate: no Expand (that's the exact
+    lane's per-distinct-value shuffle carrier), no extra per-string
+    branch scans, no Sort anywhere — the shuffle carries HLL registers
+    per partition, never a row per distinct value."""
+    plan = plan_of(spark, sf_dir, "c_table_profile_sketch")
+    assert plan.count("Scan parquet") == 2, plan  # 1 physical scan
+    assert "Expand" not in plan
+    assert "ObjectHashAggregate" in plan
+    assert "\n   Sort " not in plan and "+- Sort " not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_compaction_plan_window_rides_metadata(spark, sf_dir):
     """The packing window and the scalar-target join must ride the
     pinned file inventory (metadata-sized): after the checkpoint the
