@@ -2435,6 +2435,147 @@ def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal: perceptual near-dup over asset feature bits
+# ---------------------------------------------------------------------------
+
+_PHASH_BYTES = 32  # sha256 digest bytes = the fake 32-patch thumbnail
+_PHASH_BANDS = 4  # 4 bands x 8 bits; Hamming<=3 => >=1 identical band
+_PHASH_HAMMING_K = 3
+
+_ASSET_NEARDUP_ORACLE = f"""
+WITH assets AS (SELECT DISTINCT sha256(text) AS asset_id FROM documents),
+p AS (
+  SELECT asset_id, i,
+    CAST(('0x' || substr(asset_id, 2 * i + 1, 2))::UBIGINT AS BIGINT) AS pv
+  FROM assets CROSS JOIN (SELECT unnest(range({_PHASH_BYTES})) AS i)
+),
+tot AS (SELECT asset_id, SUM(pv) AS tot FROM p GROUP BY asset_id),
+fp AS (
+  SELECT p.asset_id,
+    CAST(SUM(CASE WHEN {_PHASH_BYTES} * pv >= tot
+             THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS phash
+  FROM p JOIN tot USING (asset_id) GROUP BY p.asset_id
+),
+bands_all AS (
+  SELECT asset_id, phash, b, (phash >> (b * 8)) & 255 AS nib
+  FROM fp CROSS JOIN (SELECT unnest(range({_PHASH_BANDS})) AS b)
+),
+bands AS (
+  SELECT asset_id, phash, b, nib FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY b, nib) AS bsz FROM bands_all)
+  WHERE bsz <= {_LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.asset_id AS asset_a, x.asset_id AS asset_b,
+    bit_count(xor(a.phash, x.phash)) AS hamming
+  FROM bands a JOIN bands x ON a.b = x.b AND a.nib = x.nib
+    AND a.asset_id < x.asset_id
+  WHERE bit_count(xor(a.phash, x.phash)) <= {_PHASH_HAMMING_K}
+),
+sym AS (
+  SELECT asset_a AS asset_id, hamming FROM pairs
+  UNION ALL SELECT asset_b, hamming FROM pairs
+),
+deg AS (
+  SELECT asset_id, COUNT(*) AS n, MIN(hamming) AS mh FROM sym GROUP BY asset_id
+)
+SELECT f.asset_id, f.phash,
+  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_neardups,
+  CAST(d.mh AS INTEGER) AS min_hamming
+FROM fp f LEFT JOIN deg d USING (asset_id)
+"""
+
+
+@query("x_asset_neardup", oracle=_ASSET_NEARDUP_ORACLE)
+def x_asset_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL asset near-dup (r7 verdict's missing #3):
+    `x_asset_dedup` catches only byte-identical payloads; re-encoded /
+    resized copies need a similarity hash over decoded FEATURES. This
+    is average-hash (the pHash family) run through the x_dedup_simhash
+    banding discipline at the ASSET level: collapse documents to
+    distinct content addresses first (the CAS frame — exact dups never
+    multiply pair work), treat each asset's digest bytes as its
+    32-patch thumbnail (the deterministic stand-in matching
+    functions/multimodal.py's fake decode, which derives features from
+    digest bytes because codec libs are absent here; with real codecs
+    the same arithmetic runs on `decode_image`'s grayscale thumbnail),
+    set bit i iff patch i >= the thumbnail mean (integer-exact:
+    32*p_i >= sum(p)), band the 32-bit hash into 4 bytes, equi-join on
+    (band, byte) — pigeonhole-lossless for Hamming <= 3 — and verify
+    with bit_count(xor). Every asset gets a row (phash, near-dup
+    degree, min Hamming), so the differential pins all 32 fingerprint
+    bits per asset even at scale factors where no near-dup pair
+    exists, and the output doubles as the perceptual index.
+
+    Scale shape: one hash-keyed distinct (cannot skew), fingerprint
+    arithmetic in the scan projection, the banded self-join is
+    bucket-local and capped (never all-pairs, the x_dedup_simhash_pairs
+    guard), degree rollup is a partial agg on asset_id. The fingerprint
+    table is pinned once and feeds bands + the final left join."""
+    docs = table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.sha2(F.col("text").cast("binary"), 256).alias("asset_id")
+    ).distinct()
+    pv = [
+        F.conv(F.substring(F.col("asset_id"), 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(_PHASH_BYTES)
+    ]
+    tot = pv[0]
+    for t in pv[1:]:
+        tot = tot + t
+    bits = None
+    for i in range(_PHASH_BYTES):
+        term = F.when(pv[i] * _PHASH_BYTES >= tot, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bits = term if bits is None else bits + term
+    fp = materialize(assets.select("asset_id", bits.cast("long").alias("phash")))
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("phash"), b * 8)
+                .bitwiseAND(F.lit(255))
+                .alias("nib"),
+            )
+            for b in range(_PHASH_BANDS)
+        ]
+    )
+    bands = fp.select("asset_id", "phash", F.explode(band_keys).alias("bk")).select(
+        "asset_id", "phash", F.col("bk.band").alias("band"), F.col("bk.nib").alias("nib")
+    )
+    bands = cap_buckets(bands, ["band", "nib"], _LSH_BUCKET_CAP)
+    a = bands.select(
+        F.col("asset_id").alias("asset_a"), F.col("phash").alias("fa"), "band", "nib"
+    )
+    b = bands.select(
+        F.col("asset_id").alias("asset_b"), F.col("phash").alias("fb"), "band", "nib"
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    pairs = (
+        a.join(b, ["band", "nib"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", "fa", "fb")
+        .distinct()
+        .select("asset_a", "asset_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING_K)
+    )
+    sym = pairs.select(
+        F.col("asset_a").alias("asset_id"), "hamming"
+    ).unionByName(pairs.select(F.col("asset_b").alias("asset_id"), "hamming"))
+    deg = sym.groupBy("asset_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("hamming").cast("int").alias("mh"),
+    )
+    return fp.join(deg, "asset_id", "left").select(
+        "asset_id",
+        "phash",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_neardups"),
+        F.col("mh").alias("min_hamming"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline: benchmark decontamination
 # ---------------------------------------------------------------------------
 

@@ -692,6 +692,17 @@ def test_table_profile_two_branch_split_stays_hashed(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_asset_neardup_banded_join_never_all_pairs(spark, sf_dir):
+    """The perceptual-hash candidate join must be a (band, nib)
+    equi-join over the capped band table — never a cartesian/all-pairs
+    over the asset set — and the degree rollup must partial-agg."""
+    plan = plan_of(spark, sf_dir, "x_asset_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "nib" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
 def test_table_profile_sketch_single_scan_no_ndv_shuffle(spark, sf_dir):
     """The production ANALYZE lane must be ONE scan and ONE
     empty-grouping ObjectHashAggregate: no Expand (that's the exact
