@@ -3228,6 +3228,65 @@ def c_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_zonemap_scan",
+    # The oracle scans the whole table with the predicate; the query
+    # reads only files the zone maps admit — a count/sum mismatch
+    # would prove a false-negative prune, the failure data skipping
+    # must never have. Micro-unit sum follows the c_gap_fill exact-
+    # arithmetic discipline.
+    oracle=f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS micro_sum
+FROM events
+WHERE ts >= TIMESTAMP '{_ZONEMAP_LO}' AND ts < TIMESTAMP '{_ZONEMAP_HI}'
+GROUP BY 1
+""",
+)
+def c_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSUMER for the zone-map artifact (r7 verdict #7): the full
+    prune-THEN-scan composition a lakehouse reader runs — build the
+    per-file ts zone maps (the c_zonemap_prune shape), keep only files
+    whose zone intersects the one-week window, broadcast that
+    metadata-sized file list back onto the fact scan, re-apply the
+    residual predicate to the admitted rows, and aggregate. The
+    differential proves end-to-end that pruning lost nothing: the
+    oracle computes the same per-day report from a full scan, so any
+    false-negative skip surfaces as a missing row or a short sum.
+
+    Scale shape: the zone build is one partial-agg exchange keyed by
+    file_id; the admitted-file list is metadata-sized and BROADCAST
+    (plan-asserted) onto the corpus scan — on a real table format the
+    reader consumes this list as the scan's file filter instead of a
+    join, which is exactly the point of the demonstration; the final
+    rollup is a ~7-group partial agg over the surviving week of
+    rows."""
+    ev = table(spark, sf_dir, "events")
+    lo = F.lit(_ZONEMAP_LO).cast("timestamp")
+    hi = F.lit(_ZONEMAP_HI).cast("timestamp")
+    fid = F.expr(f"event_id DIV {_ZONEMAP_ROWS_PER_FILE}").cast("long")
+    zones = ev.groupBy(fid.alias("file_id")).agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    admitted = zones.filter(
+        (F.col("max_ts") >= lo) & (F.col("min_ts") < hi)
+    ).select("file_id")
+    rows = (
+        ev.withColumn("file_id", fid)
+        .join(F.broadcast(admitted), "file_id")
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    )
+    return rows.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("micro_sum"),
+    )
+
+
+@query(
     "c_funnel_steps",
     oracle=(
         "WITH s1 AS ("
@@ -3632,6 +3691,66 @@ def c_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word_idx",
         "mask",
         F.bit_count("mask").cast("long").alias("n_set"),
+    )
+
+
+@query(
+    "c_bitmap_filter",
+    # The oracle computes the answer DIRECTLY from the data; the query
+    # computes it from the bitmap index alone — the differential
+    # machine-checks the consumer contract a bitmap reader rests on:
+    # AND-ing per-word masks and summing popcounts reproduces the true
+    # multi-predicate counts exactly.
+    oracle=f"""
+SELECT event_type,
+  CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS BIGINT)
+    AS dow,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1, 2
+""",
+)
+def c_bitmap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSUMER for the bitmap-index artifact (r7 verdict #7: exercise
+    the index, don't just build it): evaluate the full conjunction
+    grid `event_type = T AND day-of-week = D` WITHOUT touching row
+    data — build one bitmap per predicate column (the exact
+    c_bitmap_index shape: per (value, 32-bit id-word) one BIGINT mask
+    via map-side-folding bit_or), equi-join the two indexes on
+    word_idx, AND the masks, and sum popcounts per combination. This
+    is how Druid/Pinot answer arbitrary boolean predicate combinations
+    from low-cardinality indexes alone. Day-of-week is epoch-days % 7
+    (both engines' native dow enums disagree on week start; integer
+    arithmetic is portable).
+
+    Scale shape: two partial-agg index builds (each shuffle carries
+    folded words, corpus/32-sized); the join is word-keyed over
+    index-sized sides; the final rollup groups ~|types|x7 combos of
+    per-word popcounts. Combinations whose masks never intersect drop
+    out (popcount 0) — matching the direct GROUP BY, which emits no
+    row for an empty combination."""
+    ev = table(spark, sf_dir, "events")
+    word = F.expr(f"event_id DIV {_BITMAP_WORD}").cast("long").alias("word_idx")
+    shift = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(event_id % {_BITMAP_WORD} AS INT))"
+    )
+    tb = ev.groupBy("event_type", word).agg(
+        F.bit_or(shift).cast("long").alias("tmask")
+    )
+    dow = (
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7")
+        .cast("long")
+        .alias("dow")
+    )
+    db = ev.groupBy(dow, word).agg(F.bit_or(shift).cast("long").alias("dmask"))
+    j = tb.join(db, "word_idx")
+    return (
+        j.groupBy("event_type", "dow")
+        .agg(
+            F.sum(F.bit_count(F.col("tmask").bitwiseAND(F.col("dmask"))))
+            .cast("long")
+            .alias("n_rows")
+        )
+        .filter(F.col("n_rows") > 0)
     )
 
 

@@ -692,6 +692,26 @@ def test_table_profile_two_branch_split_stays_hashed(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bitmap_filter_word_keyed_index_join(spark, sf_dir):
+    """The bitmap consumer must answer from the index alone: two
+    partial-agg index builds, a word-keyed equi-join (never
+    cartesian), and a final popcount rollup."""
+    plan = plan_of(spark, sf_dir, "c_bitmap_filter")
+    assert "CartesianProduct" not in plan
+    assert "word_idx" in plan
+    assert "partial_bit_or" in plan or "bit_or" in plan, plan
+
+
+def test_zonemap_scan_broadcasts_admitted_files(spark, sf_dir):
+    """Prune-then-scan: the admitted-file list is metadata-sized and
+    must arrive at the fact scan by BROADCAST; the residual predicate
+    must still be applied to admitted rows."""
+    plan = plan_of(spark, sf_dir, "c_zonemap_scan")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 4, plan  # zone build + data scan
+
+
 def test_asset_neardup_banded_join_never_all_pairs(spark, sf_dir):
     """The perceptual-hash candidate join must be a (band, nib)
     equi-join over the capped band table — never a cartesian/all-pairs
