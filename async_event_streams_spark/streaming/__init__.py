@@ -28,6 +28,10 @@ from .mv import (  # noqa: F401
     mv_rollup_pipe,
     mv_snapshot,
 )
+from .prep import (  # noqa: F401
+    prep_manifest_snapshot,
+    prep_pipeline_pipe,
+)
 from .ann import (  # noqa: F401
     ivf_index_pipe,
     ivfpq_index_pipe,
