@@ -1894,6 +1894,167 @@ def c_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_moments_mergeable",
+    # The oracle recomputes each group's moments FROM SCRATCH over raw
+    # rows; the query only ever merges per-(group, day) integer
+    # partials — the differential machine-verifies the invariant every
+    # incremental/streaming stats pipeline rests on:
+    # moments(merge(daily partials)) == moments(all rows). Micro-unit
+    # integer sums make both sides bit-exact before the final rounded
+    # division.
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(CAST(SUM(m) AS DECIMAL(38,0)) AS VARCHAR) AS sum_micro,
+  CAST(CAST(SUM(m * m) AS DECIMAL(38,0)) AS VARCHAR) AS sumsq_micro,
+  CAST(ROUND(
+    (CAST(SUM(m * m) AS DOUBLE)
+      - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE) / COUNT(*))
+    / COUNT(*) / 1e12, 9) AS DOUBLE) AS var_pop
+FROM (SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS m
+      FROM events)
+GROUP BY event_type
+""",
+)
+def c_moments_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE moments — the incremental-statistics counterpart of
+    `c_agg_hll_union`'s two-level NDV: per-(type, day) partial moment
+    tuples (n, Σx, Σx²) in exact integer micro-units, merged up to
+    per-type count/sum/variance by plain addition. This is how a
+    100 TB pipeline keeps column statistics current — daily jobs
+    persist three integers per group instead of raw rows, and any
+    rollup (weekly, all-time, cross-segment) is a sum of partials,
+    never a re-scan; `c_agg_stats`'s one-shot moments cannot be
+    re-aggregated. Variance falls out of the merged integers
+    (E[x²]−E[x]²) with doubles touched only in the final ROUND()ed
+    output, so the merge identity is checked bit-exactly.
+
+    Scale shape: one partial-agg exchange to the (type, day) grain
+    (map-side combine — the shuffle carries 3 numbers per group-day),
+    then a second |group-days|-row rollup that is metadata-sized. The
+    partial sums are DECIMAL(38,0) — the q1 decimal-hardening
+    discipline: Σx² of micro-unit values overflows int64 well before
+    100 TB row counts (it already does at sf0.01), and a wrapped sum
+    is silently wrong; decimal cannot wrap. The per-row square stays
+    in int64 (micro ≤ 1e9 → square ≤ 1e18) and widens only at the
+    aggregation boundary. The oracle recomputes from raw rows,
+    proving merge(daily) ≡ all-rows."""
+    ev = table(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1000000).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("pn"),
+        F.sum(micro.cast("decimal(38,0)")).alias("ps"),
+        F.sum((micro * micro).cast("decimal(38,0)")).alias("pq"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.sum("ps").cast("decimal(38,0)").alias("s"),
+        F.sum("pq").cast("decimal(38,0)").alias("q"),
+    )
+    s_d, q_d = F.col("s").cast("double"), F.col("q").cast("double")
+    var_pop = (q_d - s_d * s_d / F.col("n")) / F.col("n") / F.lit(1e12)
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("s").cast("string").alias("sum_micro"),
+        F.col("q").cast("string").alias("sumsq_micro"),
+        F.round(var_pop, 9).alias("var_pop"),
+    )
+
+
+@query(
+    "c_skew_report",
+    # Exact top-share diagnostics; shares in integer parts-per-million
+    # via DIV so both engines agree bit-for-bit, top-k pinned by the
+    # (count DESC, key ASC) unique tie-break.
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+SELECT user_id, cnt,
+  CAST((cnt * 1000000) // (SELECT total FROM t) AS BIGINT) AS share_ppm
+FROM c ORDER BY cnt DESC, user_id LIMIT 10
+""",
+)
+def c_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics as a first-class operator — the probe the
+    adaptive dispatch family (functions/sessionize.hot_keys /
+    estimate_top_key_share) runs before choosing plain vs
+    bucket-and-stitch, promoted to a registered report: the top-10
+    hottest keys with exact counts and integer-ppm row shares. A
+    100 TB operator fleet runs this continuously because skew is a
+    property of the DATA, not the query — the hot-key list feeds
+    salting, hot/cold splits and AQE hints, and watching share_ppm
+    drift over time is how a pipeline notices a new whale customer
+    before a window stage serializes on it.
+
+    Scale shape: ONE map-side-combined partial aggregation (the
+    shuffle carries a row per distinct key, never the corpus), a
+    1-row broadcast total, and a TakeOrdered(10) top-k — no full
+    sort. Integer DIV shares; deterministic tie-break (cnt DESC,
+    key ASC)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = c.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("(cnt * 1000000) DIV total").cast("long").alias("share_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "c_join_cardinality",
+    # The oracle EXECUTES the real join and counts it; the query only
+    # joins two slim per-key count tables — the differential proves
+    # the estimator identity |A join B| = sum_k cnt_A(k) * cnt_B(k)
+    # that every cost-based optimizer's join-size estimate is an
+    # approximation of.
+    oracle="""
+SELECT o.o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS join_rows
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def c_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size computation WITHOUT executing the join — the CBO
+    primitive behind join reordering: |orders ⋈ lineitem| per order
+    priority, computed as Σ_k cnt_orders(k) × cnt_lineitem(k) over
+    per-key count tables. At 100 TB the planner cannot afford to run
+    a join to learn its size; it needs the size from statistics. This
+    operator materializes the exact answer from two partial
+    aggregations whose shuffles carry one slim row per key — the fact
+    rows themselves never shuffle and never multiply. (Production
+    planners approximate the same sum from NDV sketches + histograms
+    — `c_table_profile_sketch`'s lane; this exact form is the anchor
+    that defines what they approximate.)
+
+    Scale shape: two map-side-combined per-key rollups, one key-keyed
+    equi-join of count tables (each corpus-keys-sized, not
+    corpus-sized), one |priorities|-row rollup. The oracle runs the
+    REAL join — asserting the identity, not just the arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    oc = o.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_o")
+    )
+    lc = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    return (
+        oc.join(lc, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("n_o") * F.col("n_l")).cast("long").alias("join_rows"))
+    )
+
+
+@query(
     "c_tpch_q1",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
