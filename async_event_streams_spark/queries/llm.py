@@ -5352,3 +5352,353 @@ def x_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionAll(stage_row(name, df))
     return out.unionAll(sp)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: model-based quality scoring + readability + vocabulary
+# coverage (round 8)
+# ---------------------------------------------------------------------------
+
+# Fixed public weights of the linear quality model (micro-units per
+# ppm/feature unit). A trained classifier (fastText-style) slots in
+# behind the same contract: integer feature extraction stays identical,
+# only the weight vector changes.
+_QC_BIAS = -2_000_000
+_QC_W_STOP = 6       # per ppm of stopword share
+_QC_W_TTR = 2        # per ppm of type-token ratio
+_QC_W_LEN = 3_000    # per token, capped at 200
+_QC_LEN_CAP = 200
+_QC_AWL_TARGET = 5_800_000  # ideal avg word length, micro-chars
+_QC_W_PUNCT = 3      # per ppm of punctuation density (penalty)
+
+
+@query(
+    "x_quality_classifier",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_toks,
+    CAST((len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x)))
+      * 1000000) // len(toks) AS BIGINT) AS stop_ppm,
+    CAST((len(list_distinct(toks)) * 1000000) // len(toks) AS BIGINT)
+      AS ttr_ppm,
+    CAST((length(text) * 1000000) // len(toks) AS BIGINT) AS awl_micro,
+    CAST((len(regexp_extract_all(text, '{_PUNCT_RE}')) * 1000000)
+      // greatest(length(text), 1) AS BIGINT) AS punct_ppm
+  FROM t
+), s AS (
+  SELECT *,
+    CAST({_QC_BIAS} + {_QC_W_STOP} * stop_ppm + {_QC_W_TTR} * ttr_ppm
+      + {_QC_W_LEN} * least(n_toks, {_QC_LEN_CAP})
+      - abs(awl_micro - {_QC_AWL_TARGET}) // 4
+      - {_QC_W_PUNCT} * punct_ppm AS BIGINT) AS logit_micro
+  FROM f
+)
+SELECT doc_id, n_toks, stop_ppm, ttr_ppm, awl_micro, logit_micro,
+  ROUND(1.0 / (1.0 + exp(-(CAST(logit_micro AS DOUBLE) / 1000000.0))), 6)
+    AS score,
+  CAST(logit_micro >= 0 AS INTEGER) AS keep
+FROM s
+""",
+)
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the classifier stage that sits
+    after `x_text_quality`'s raw signals in a FineWeb/DCLM-style
+    curation pipeline: a linear model over engineered features
+    (stopword share, type-token ratio, length, word-length deviation,
+    punctuation density) producing a calibrated keep-probability per
+    document. The model here is a fixed public weight vector so the
+    differential can be exact; a trained fastText/regression head is a
+    drop-in behind the same integer feature contract.
+
+    Determinism discipline: every feature is an exact integer (counts,
+    and parts-per-million shares via integer DIV), the logit is an
+    exact integer micro-unit sum, and the keep verdict is an integer
+    threshold compare — so the decision can never flip on a float ulp
+    between engines. Doubles appear only in the final sigmoid, rounded
+    to 6 dp for display.
+
+    Scale shape: a pure per-row projection — zero exchanges, full
+    whole-stage codegen, filters push to the parquet scan. At 100 TB
+    this is the cheapest possible operator class: embarrassment-level
+    parallel, no shuffle, no state."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    n_toks = F.size("toks")
+    f = t.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        (stopword_count(F.col("toks"), _STOPWORDS) * 1000000)
+        .cast("long")
+        .alias("__stop_hits"),
+        (F.size(F.array_distinct("toks")) * 1000000).cast("long").alias("__ttr"),
+        (F.length("text") * 1000000).cast("long").alias("__chars"),
+        (F.regexp_count("text", F.lit(_PUNCT_RE)) * 1000000)
+        .cast("long")
+        .alias("__punct"),
+        F.greatest(F.length("text"), F.lit(1)).alias("__len1"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        F.expr("__stop_hits DIV n_toks").alias("stop_ppm"),
+        F.expr("__ttr DIV n_toks").alias("ttr_ppm"),
+        F.expr("__chars DIV n_toks").alias("awl_micro"),
+        F.expr("__punct DIV __len1").alias("punct_ppm"),
+    )
+    logit = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_STOP) * F.col("stop_ppm")
+        + F.lit(_QC_W_TTR) * F.col("ttr_ppm")
+        + F.lit(_QC_W_LEN) * F.least(F.col("n_toks"), F.lit(_QC_LEN_CAP))
+        - F.expr(f"abs(awl_micro - {_QC_AWL_TARGET}) DIV 4")
+        - F.lit(_QC_W_PUNCT) * F.col("punct_ppm")
+    ).cast("long")
+    s = f.withColumn("logit_micro", logit)
+    return s.select(
+        "doc_id",
+        "n_toks",
+        "stop_ppm",
+        "ttr_ppm",
+        "awl_micro",
+        "logit_micro",
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("logit_micro").cast("double") / F.lit(1000000.0)))),
+            6,
+        ).alias("score"),
+        (F.col("logit_micro") >= 0).cast("int").alias("keep"),
+    )
+
+
+_SYL_RE = "[aeiouy]+"
+
+
+@query(
+    "x_readability",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_words,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS INTEGER)
+      AS n_sentences,
+    CAST(list_sum(list_transform(toks,
+      x -> greatest(len(regexp_extract_all(x, '{_SYL_RE}')), 1)))
+      AS INTEGER) AS n_syllables
+  FROM t
+), s AS (
+  SELECT *, ROUND(206.835
+    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+  FROM f
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+  CASE WHEN flesch >= 60.0 THEN 'easy'
+       WHEN flesch >= 30.0 THEN 'standard'
+       WHEN flesch >= 0.0 THEN 'hard'
+       ELSE 'very_hard' END AS band
+FROM s
+""",
+)
+def x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-run syllable
+    heuristic — the classic readability filter corpora are banded by
+    (a real syllable dictionary or learned estimator slots in behind
+    the same counts contract). Words are the whitespace tokens;
+    sentences are terminal-punctuation runs (min 1 so the formula is
+    total); syllables(word) = max(1, count of [aeiouy]+ runs).
+
+    Determinism discipline: all three counts are exact integers; the
+    Flesch score is computed with the identical IEEE op sequence on
+    both engines (two divisions of exact ints, two multiplies, two
+    subtractions) and then rounded, and the banding CASE compares the
+    rounded value — identical inputs, identical ops, identical bands.
+
+    Scale shape: pure per-row projection (the syllable sum is one
+    higher-order fold over the token array, inside codegen) — zero
+    exchanges at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    syllables = F.aggregate(
+        F.col("toks"),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.greatest(F.regexp_count(x, F.lit(_SYL_RE)), F.lit(1)),
+    )
+    f = t.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.greatest(F.regexp_count("text", F.lit("[.!?]")), F.lit(1)).alias(
+            "n_sentences"
+        ),
+        syllables.cast("int").alias("n_syllables"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+        4,
+    )
+    s = f.withColumn("flesch", flesch)
+    band = (
+        F.when(F.col("flesch") >= 60.0, F.lit("easy"))
+        .when(F.col("flesch") >= 30.0, F.lit("standard"))
+        .when(F.col("flesch") >= 0.0, F.lit("hard"))
+        .otherwise(F.lit("very_hard"))
+    )
+    return s.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch",
+        band.alias("band"),
+    )
+
+
+_VOCAB_COVERAGE_TOPK = 50
+
+
+@query(
+    "x_vocab_coverage",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+w AS (SELECT unnest(toks) AS term FROM t),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+r AS (SELECT term, cnt, CAST(ROW_NUMBER() OVER (
+        ORDER BY cnt DESC, term) AS INTEGER) AS rank FROM c)
+SELECT rank, term, cnt,
+  CAST(SUM(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_cnt,
+  CAST((SUM(cnt) OVER (ORDER BY rank) * 1000000)
+    // (SELECT total FROM tot) AS BIGINT) AS cum_ppm
+FROM r WHERE rank <= {_VOCAB_COVERAGE_TOPK}
+""",
+)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design primitive:
+    rank terms by corpus frequency and report the cumulative share of
+    all token occurrences covered by the top-K terms. This is the
+    curve that decides a vocab size (where does coverage flatten?) and
+    the OOV rate any fixed vocabulary implies; `x_zipf_slope` fits the
+    law, this measures the actual mass.
+
+    Scale shape: term counts come from the pinned TF-matrix artifact
+    (one corpus explode, shared with tf-idf/BM25), rolled up to one
+    slim row per distinct term — the corpus never shuffles again. The
+    global rank uses `global_row_number` (range-partitioned prefix-sum
+    at scale, plain window while the vocabulary is provably small), the
+    top-K filter cuts to K rows, and the cumulative sum is a window
+    over those K rows only — no single-partition pass ever sees the
+    full vocabulary. Coverage shares are integer ppm via DIV against a
+    broadcast 1-row total, so both engines agree bit-for-bit."""
+    from ..functions.order import global_row_number
+
+    docs = table(spark, sf_dir, "documents")
+    tf = artifact(
+        spark,
+        f"{sf_dir}:tf_matrix",
+        lambda: docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf")),
+    )
+    c = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
+    total = c.agg(F.sum("cnt").cast("long").alias("total"))
+    ranked = global_row_number(
+        c.withColumn("__ncnt", -F.col("cnt")), ["__ncnt", "term"], "rank"
+    ).filter(F.col("rank") <= _VOCAB_COVERAGE_TOPK)
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("cum_cnt", F.sum("cnt").over(w).cast("long"))
+        .select(
+            "rank",
+            "term",
+            "cnt",
+            "cum_cnt",
+            F.expr("(cum_cnt * 1000000) DIV total").cast("long").alias("cum_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene: norm QC + outlier flagging (round 8)
+# ---------------------------------------------------------------------------
+
+_SQL_L2_MICRO = (
+    "CAST(floor(sqrt(list_dot_product(e, e)) * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "x_embedding_qc",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), f AS (
+  SELECT vec_id, CAST(len(e) AS INTEGER) AS dim,
+    {_SQL_L2_MICRO} AS l2_micro
+  FROM v
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(CAST(SUM(l2_micro) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+    CAST(CAST(SUM(l2_micro * l2_micro) AS DECIMAL(38,0)) AS DOUBLE) AS q
+  FROM f
+)
+SELECT vec_id, dim, l2_micro,
+  ROUND(CAST(l2_micro AS DOUBLE) / 1000000.0, 6) AS l2_norm,
+  CAST((CAST(l2_micro AS DOUBLE) - s / n) * (CAST(l2_micro AS DOUBLE) - s / n)
+    > 4.0 * ((q - s * s / n) / n) AS INTEGER) AS outlier
+FROM f, g
+""",
+)
+def x_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene — the QC gate before any ANN/dedup/
+    semantic stage trusts a vector column: per-vector dimensionality
+    and L2 norm, plus a 2-sigma norm-outlier flag against the corpus
+    distribution (degenerate all-zero vectors, unnormalized batches and
+    encoder blowups all surface as norm outliers long before they
+    poison a similarity index).
+
+    Determinism discipline: the norm is floored into integer
+    micro-units immediately (the same sequential-fold dot product both
+    engines evaluate, `functions/similarity.dot`), so the corpus
+    moments are sums of exact integers — summation order cannot change
+    them — widened to DECIMAL(38,0) so no corpus size wraps them (the
+    `c_moments_mergeable` discipline). The outlier test compares
+    (x-mu)^2 > 4*var with both sides derived from those exact integers
+    through an identical IEEE op sequence.
+
+    Scale shape: one per-row projection for the features, one
+    map-side-combined 1-row moments aggregate broadcast back — the
+    vector payload itself is read once and never shuffled."""
+    emb = table(spark, sf_dir, "embeddings")
+    f = emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.floor(
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * 1000000
+        )
+        .cast("long")
+        .alias("l2_micro"),
+    )
+    g = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l2_micro").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s"),
+        F.sum((F.col("l2_micro") * F.col("l2_micro")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q"),
+    )
+    x = F.col("l2_micro").cast("double")
+    mu = F.col("s") / F.col("n")
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    return f.crossJoin(F.broadcast(g)).select(
+        "vec_id",
+        "dim",
+        "l2_micro",
+        F.round(x / F.lit(1000000.0), 6).alias("l2_norm"),
+        ((x - mu) * (x - mu) > F.lit(4.0) * var).cast("int").alias("outlier"),
+    )

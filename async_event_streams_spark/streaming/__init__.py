@@ -32,6 +32,11 @@ from .prep import (  # noqa: F401
     prep_manifest_snapshot,
     prep_pipeline_pipe,
 )
+from .dq import (  # noqa: F401
+    dq_batch_twin,
+    dq_monitor_pipe,
+    dq_snapshot,
+)
 from .ann import (  # noqa: F401
     ivf_index_pipe,
     ivfpq_index_pipe,

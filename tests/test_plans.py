@@ -826,3 +826,48 @@ def test_bitmap_index_is_one_partial_agg_pass(spark, sf_dir):
     assert op_count(plan, "Exchange") == 1, plan
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_zero_exchanges(spark, sf_dir):
+    """The classifier stage is a pure per-row projection: integer
+    feature extraction + logit + sigmoid must all ride the scan —
+    no shuffle, no window, no Python."""
+    plan = plan_of(spark, sf_dir, "x_quality_classifier")
+    assert op_count(plan, "Exchange") == 0, plan
+    assert op_count(plan, "Window") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_readability_zero_exchanges(spark, sf_dir):
+    """Flesch banding is per-row: the syllable fold is a higher-order
+    array aggregate inside the scan projection."""
+    plan = plan_of(spark, sf_dir, "x_readability")
+    assert op_count(plan, "Exchange") == 0, plan
+    assert op_count(plan, "Window") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_coverage_cumsum_only_over_topk(spark, sf_dir):
+    """The coverage curve's single-partition window may only ever see
+    the K output rows (the rank filter sits below it); the corpus-sized
+    work is the TF artifact + one per-term rollup, and the total joins
+    as a broadcast 1-row aggregate."""
+    plan = plan_of(spark, sf_dir, "x_vocab_coverage")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    # the K-row cumsum window must sit above the rank<=K filter
+    w = plan.find("Window")
+    assert w != -1
+    assert f"<= {50}" in plan or "<= 50" in plan, plan
+
+
+def test_embedding_qc_single_moments_exchange(spark, sf_dir):
+    """Embedding QC reads the vector column once: one 1-row moments
+    aggregate (its exchange carries three numbers) broadcast back onto
+    the per-row projection — no corpus-keyed shuffle, no sort, no
+    Python."""
+    plan = plan_of(spark, sf_dir, "x_embedding_qc")
+    assert op_count(plan, "Exchange") <= 1, plan
+    assert "SortMergeJoin" not in plan
+    assert op_count(plan, "Window") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
