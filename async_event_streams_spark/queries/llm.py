@@ -5702,3 +5702,141 @@ def x_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(x / F.lit(1000000.0), 6).alias("l2_norm"),
         ((x - mu) * (x - mu) > F.lit(4.0) * var).cast("int").alias("outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep: mixing schedule + balanced output sharding (round 8)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_TOKENS = 1_000_000  # the trainer's global token budget
+
+
+@query(
+    "x_mix_schedule",
+    oracle=f"""
+WITH t AS (
+  SELECT source, {_SQL_TOKS} AS toks FROM documents
+), g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM t GROUP BY source
+), w AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+    AS w_micro FROM g
+), s AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM w)
+SELECT source, n_docs, n_tokens, w_micro,
+  CAST((w_micro * 1000000) // (SELECT w_total FROM s) AS BIGINT) AS share_ppm,
+  CAST(({_MIX_BUDGET_TOKENS} * ((w_micro * 1000000)
+    // (SELECT w_total FROM s))) // 1000000 AS BIGINT) AS target_tokens,
+  CAST((({_MIX_BUDGET_TOKENS} * ((w_micro * 1000000)
+    // (SELECT w_total FROM s))) // 1000000 * 1000) // n_tokens AS BIGINT)
+    AS epochs_milli
+FROM w
+""",
+)
+def x_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed data-mixing schedule — the table a trainer
+    actually consumes after `x_domain_mix` reports the raw mixture:
+    per-source sampling weight ∝ n_tokens^0.5 (alpha=0.5 temperature
+    upweights small domains, the multilingual/multi-source mixing
+    recipe), the token share each source gets of a fixed global
+    budget, and the implied epochs over each source in milli-passes —
+    the over-sampling number a recipe review watches (epochs >> 1000
+    milli means a small domain will be memorized).
+
+    Determinism: token counts are exact ints; the smoothed weight is
+    floor(sqrt(n)·1e6) — one IEEE sqrt per SOURCE (not per row) on an
+    exact integer input; shares/targets/epochs are integer DIV chains
+    from there, so the schedule is bit-identical across engines.
+
+    Scale shape: one map-side-combined partial agg to |sources| rows,
+    then a 1-row weight-total broadcast — the corpus is read once and
+    only slim per-source rows ever move."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select("source", F.size(tokens(F.col("text"))).alias("nt")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    # Pin the |sources|-row table: the weight-total branch would
+    # otherwise re-run the corpus scan (column pruning makes the two
+    # branches' exchanges non-identical, so Spark can't reuse them).
+    w = materialize(
+        g.withColumn(
+            "w_micro",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast(
+                "long"
+            ),
+        )
+    )
+    s = w.agg(F.sum("w_micro").cast("long").alias("w_total"))
+    out = w.crossJoin(F.broadcast(s)).withColumn(
+        "share_ppm", F.expr("(w_micro * 1000000) DIV w_total").cast("long")
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_micro",
+        "share_ppm",
+        F.expr(f"({_MIX_BUDGET_TOKENS} * share_ppm) DIV 1000000")
+        .cast("long")
+        .alias("target_tokens"),
+        F.expr(
+            f"((({_MIX_BUDGET_TOKENS} * share_ppm) DIV 1000000) * 1000)"
+            " DIV n_tokens"
+        )
+        .cast("long")
+        .alias("epochs_milli"),
+    )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "x_shard_assign",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), r AS (
+  SELECT doc_id, n_tokens, CAST(ROW_NUMBER() OVER (
+    ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS rank FROM t
+)
+SELECT doc_id, n_tokens, rank,
+  CAST((rank - 1) % {_N_SHARDS} AS INTEGER) AS shard
+FROM r
+""",
+)
+def x_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding — the write-side step after packing:
+    assign every document to one of N output shards so per-shard token
+    totals balance. Size-descending round-robin (rank by tokens desc,
+    shard = (rank−1) mod N) is the classic distributable LPT
+    approximation: each shard receives every N-th document of the
+    size-sorted order, so shard totals differ by at most one document
+    per size band — and the assignment is a pure function of the rank,
+    reproducible across engines and runs (no greedy sequential state,
+    which would not distribute).
+
+    Scale shape: token counts are a per-row projection; the global
+    size rank rides `global_row_number` (range-partitioned prefix-sum
+    at scale — rows never leave their partition, only per-partition
+    counts centralize); the shard id is then per-row arithmetic. No
+    corpus-sized sort on one task, no window over the corpus."""
+    from ..functions.order import global_row_number
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    ranked = global_row_number(
+        t.withColumn("__nn", -F.col("n_tokens")), ["__nn", "doc_id"], "rank"
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "rank",
+        ((F.col("rank") - 1) % _N_SHARDS).cast("int").alias("shard"),
+    )

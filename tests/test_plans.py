@@ -871,3 +871,25 @@ def test_embedding_qc_single_moments_exchange(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert op_count(plan, "Window") == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_schedule_one_partial_agg_plus_broadcast_total(spark, sf_dir):
+    """The mixing schedule collapses the corpus to |sources| rows in
+    one map-side-combined exchange; the weight total joins back as a
+    broadcast 1-row aggregate. No sort, no window, no corpus join."""
+    plan = plan_of(spark, sf_dir, "x_mix_schedule")
+    assert op_count(plan, "Exchange") <= 2, plan
+    assert op_count(plan, "Window") == 0, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_assign_rides_prefix_machinery(spark, sf_dir):
+    """Balanced sharding must never sort the corpus on one task: at
+    probe scale the rank comes from the range-partitioned prefix-sum
+    (local windows per range partition + broadcast offsets); the shard
+    id is per-row arithmetic above it."""
+    plan = plan_of(spark, sf_dir, "x_shard_assign")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
