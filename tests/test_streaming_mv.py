@@ -132,3 +132,68 @@ def test_mv_pipe_restart_resumes_and_stays_batch_equal(spark, sf_dir, topic_root
     finally:
         h2.stop()
         src.close()
+
+
+def test_mv_pipe_custom_moments_view_stream_equals_batch(
+    spark, sf_dir, topic_root
+):
+    """The mergeable-moments view (c_moments_mergeable's (n, Σx, Σx²)
+    partials) maintained as a STREAM through the generalized MV pipe:
+    per-type moment state folds by plain decimal addition, so after
+    every wave the merged stream state must equal the one-shot moments
+    over all rows so far — bit-exactly, because the partials are exact
+    integers (micro-units in DECIMAL(38,0)). This is the streaming
+    statistics architecture the batch query's docstring promises."""
+    from pyspark.sql import functions as F
+
+    def rollup(df):
+        micro = F.floor(F.col("value") * 1000000).cast("long")
+        return df.groupBy("etype").agg(
+            F.count("*").cast("long").alias("pn"),
+            F.sum(micro.cast("decimal(38,0)")).alias("ps"),
+            F.sum((micro * micro).cast("decimal(38,0)")).alias("pq"),
+        )
+
+    def merge(partials):
+        return partials.groupBy("etype").agg(
+            F.sum("pn").cast("long").alias("pn"),
+            F.sum("ps").cast("decimal(38,0)").alias("ps"),
+            F.sum("pq").cast("decimal(38,0)").alias("pq"),
+        )
+
+    rows = [
+        {"etype": r.event_type, "value": r.value}
+        for r in table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .orderBy("event_id")
+        .limit(300)
+        .collect()
+    ]
+    reg = TopicRegistry()
+    src = Topic(
+        spark, "moments_ev", "etype string, value double", topic_root, reg
+    )
+    sdir = f"{topic_root}/moments-state"
+    h = mv_rollup_pipe(
+        src, sdir, name="moments-pipe", compact_every=2,
+        rollup_fn=rollup, merge_fn=merge,
+    )
+
+    def as_set(df):
+        return {(r.etype, r.pn, str(r.ps), str(r.pq)) for r in df.collect()}
+
+    try:
+        sofar = []
+        for lo in range(0, 300, 100):
+            src.send(rows[lo : lo + 100], barrier="chain")
+            sofar += rows[lo : lo + 100]
+            batch = rollup(
+                spark.createDataFrame(sofar, "etype string, value double")
+            )
+            got = mv_snapshot(spark, sdir, merge_fn=merge)
+            assert as_set(got) == as_set(batch)
+        # every type's rows spanned batches (the merge actually merged)
+        assert all(r.pn > 1 for r in got.collect())
+    finally:
+        h.stop()
+        src.close()
