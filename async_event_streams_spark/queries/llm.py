@@ -5840,3 +5840,90 @@ def x_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         ((F.col("rank") - 1) % _N_SHARDS).cast("int").alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: recall dashboard (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    # Both sides are the EXACT oracles of the queries being compared
+    # (x_cosine_topk / x_ann_lsh), re-used verbatim as CTE bodies so
+    # the dashboard can never drift from what those queries return.
+    return f"""
+WITH exact_side AS ({_COSINE_TOPK_ORACLE}),
+ann_side AS ({_ann_oracle()}),
+hits AS (
+  SELECT e.query_id,
+    CAST(COUNT(*) AS BIGINT) AS n_exact,
+    CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact_side e LEFT JOIN ann_side a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, n_exact, n_hits,
+  CAST((n_hits * 1000000) // n_exact AS BIGINT) AS recall_ppm
+FROM hits
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n_exact) AS BIGINT),
+  CAST(SUM(n_hits) AS BIGINT),
+  CAST((SUM(n_hits) * 1000000) // SUM(n_exact) AS BIGINT)
+FROM hits
+"""
+
+
+@query("x_ann_recall", oracle=_ann_recall_oracle())
+def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 dashboard for the LSH ANN path — 'measure, don't
+    guess' registered as an operator: per query the overlap between
+    the approximate top-5 (`x_ann_lsh`) and the exact top-5
+    (`x_cosine_topk`), in integer ppm, plus the corpus row
+    (query_id = −1). This is the number an ANN deployment watches
+    when it tunes planes/probes — the honest-approximation dial the
+    sketch-fidelity report (`x_minhash_fidelity`) provides for
+    minhash, provided here for similarity search.
+
+    Composition, not reimplementation: both sides ARE the registered
+    queries (and the oracle reuses their oracle SQL verbatim as CTEs),
+    so the dashboard definitionally measures what the engine serves.
+
+    Scale shape: the exact side is the honest cost (the brute-force
+    baseline exists to be measured against, broadcast query set — in
+    production it runs over a fixed evaluation query sample, never the
+    corpus); the join of two ≤(|queries|·k)-row result sets plus a
+    |queries|-row rollup is metadata-sized."""
+    exact = x_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = x_ann_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = (
+        exact.join(
+            ann,
+            (exact.query_id == ann.query_id)
+            & (exact.neighbor_id == ann.ann_neighbor),
+            "left",
+        )
+        .select(exact.query_id, "neighbor_id", "ann_neighbor")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("ann_neighbor").cast("long").alias("n_hits"),
+        )
+    )
+    hits = materialize(hits)  # two consumers: per-query rows + overall
+    per_q = hits.select(
+        F.col("query_id").cast("long"),
+        "n_exact",
+        "n_hits",
+        F.expr("(n_hits * 1000000) DIV n_exact").cast("long").alias("recall_ppm"),
+    )
+    overall = hits.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.expr("(sum(n_hits) * 1000000) DIV sum(n_exact)")
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+    return per_q.unionAll(overall)

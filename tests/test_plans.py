@@ -893,3 +893,13 @@ def test_shard_assign_rides_prefix_machinery(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_recall_is_composition_not_cartesian(spark, sf_dir):
+    """The recall dashboard joins two tiny top-k result sets: the
+    expensive sides stay what the underlying queries are (bucketed
+    equi-join / broadcast nested loop over the query sample) and the
+    overlap join itself must be an equi-join."""
+    plan = plan_of(spark, sf_dir, "x_ann_recall")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
