@@ -5427,16 +5427,18 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
     n_toks = F.size("toks")
+    # Widen the counts to long BEFORE the ×1e6 scale-up: int32 × int32
+    # stays int32 in Spark and would wrap for a >2147-hit document,
+    # while DuckDB auto-widens — a silent cross-engine divergence on
+    # huge docs (the c_moments_mergeable overflow discipline).
     f = t.select(
         "doc_id",
         n_toks.alias("n_toks"),
-        (stopword_count(F.col("toks"), _STOPWORDS) * 1000000)
-        .cast("long")
+        (stopword_count(F.col("toks"), _STOPWORDS).cast("long") * 1000000)
         .alias("__stop_hits"),
-        (F.size(F.array_distinct("toks")) * 1000000).cast("long").alias("__ttr"),
-        (F.length("text") * 1000000).cast("long").alias("__chars"),
-        (F.regexp_count("text", F.lit(_PUNCT_RE)) * 1000000)
-        .cast("long")
+        (F.size(F.array_distinct("toks")).cast("long") * 1000000).alias("__ttr"),
+        (F.length("text").cast("long") * 1000000).alias("__chars"),
+        (F.regexp_count("text", F.lit(_PUNCT_RE)).cast("long") * 1000000)
         .alias("__punct"),
         F.greatest(F.length("text"), F.lit(1)).alias("__len1"),
     ).select(
@@ -5522,9 +5524,13 @@ def x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges at any corpus size."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    # Long accumulator: an int32 fold would wrap mid-document before
+    # the final int cast on a pathological (hundreds of MB) doc, while
+    # DuckDB's list_sum widens — same cross-engine hazard as the
+    # classifier's ppm features.
     syllables = F.aggregate(
         F.col("toks"),
-        F.lit(0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc
         + F.greatest(F.regexp_count(x, F.lit(_SYL_RE)), F.lit(1)),
     )
@@ -5688,7 +5694,14 @@ def x_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l2_micro").cast("decimal(38,0)"))
         .cast("double")
         .alias("s"),
-        F.sum((F.col("l2_micro") * F.col("l2_micro")).cast("decimal(38,0)"))
+        # Per-row square in DECIMAL, not long: a norm ≥ ~3.04 (exactly
+        # the encoder-blowup case this QC exists to flag) pushes
+        # micro² past int64, and a wrapped square is silently wrong —
+        # DuckDB widens to int128, so the engines would diverge.
+        F.sum(
+            F.col("l2_micro").cast("decimal(19,0)")
+            * F.col("l2_micro").cast("decimal(19,0)")
+        )
         .cast("double")
         .alias("q"),
     )
