@@ -197,3 +197,80 @@ def test_mv_pipe_custom_moments_view_stream_equals_batch(
     finally:
         h.stop()
         src.close()
+
+
+def test_mv_pipe_streaming_bitmap_index_stream_equals_batch(
+    spark, sf_dir, topic_root
+):
+    """The bitmap INDEX maintained incrementally: bit_or is
+    associative/commutative/idempotent, so per-batch per-(type, word)
+    mask partials fold through the generalized MV pipe and the merged
+    snapshot must equal the one-shot c_bitmap_index build over all
+    rows so far — bit-for-bit, including words whose rows arrive in
+    different batches (the case a rebuild-only indexer pays a full
+    scan for). Popcount is derived at snapshot time, never stored."""
+    from pyspark.sql import functions as F
+
+    WORD = 32
+
+    def rollup(df):
+        return df.groupBy(
+            "etype",
+            F.expr(f"row_id DIV {WORD}").cast("long").alias("word_idx"),
+        ).agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(row_id % {WORD} AS INT))"
+                )
+            )
+            .cast("long")
+            .alias("mask")
+        )
+
+    def merge(partials):
+        return partials.groupBy("etype", "word_idx").agg(
+            F.bit_or("mask").cast("long").alias("mask")
+        )
+
+    rows = [
+        {"row_id": r.event_id, "etype": r.event_type}
+        for r in table(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+        .limit(300)
+        .collect()
+    ]
+    reg = TopicRegistry()
+    src = Topic(
+        spark, "bitmap_ev", "row_id long, etype string", topic_root, reg
+    )
+    sdir = f"{topic_root}/bitmap-state"
+    h = mv_rollup_pipe(
+        src, sdir, name="bitmap-pipe", compact_every=2,
+        rollup_fn=rollup, merge_fn=merge,
+    )
+
+    def as_set(df):
+        return {(r.etype, r.word_idx, r.mask) for r in df.collect()}
+
+    try:
+        sofar = []
+        for lo in range(0, 300, 100):
+            src.send(rows[lo : lo + 100], barrier="chain")
+            sofar += rows[lo : lo + 100]
+            batch = rollup(
+                spark.createDataFrame(sofar, "row_id long, etype string")
+            )
+            got = mv_snapshot(spark, sdir, merge_fn=merge)
+            assert as_set(got) == as_set(batch)
+        # words actually merged across batches: consecutive event_ids
+        # split at 100/200 share words (100 % 32 != 0)
+        merged_any = (
+            mv_snapshot(spark, sdir, merge_fn=merge)
+            .filter(F.bit_count("mask") > 1)
+            .count()
+        )
+        assert merged_any > 0
+    finally:
+        h.stop()
+        src.close()
