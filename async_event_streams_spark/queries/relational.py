@@ -2055,6 +2055,79 @@ def c_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_join_estimate",
+    # Tolerance-encoded oracle (the c_agg_approx_distinct pattern):
+    # the HLL NDVs feeding the System-R formula are engine-specific,
+    # so Spark emits the exact anchors plus a "estimate within 15% of
+    # the real join size" verdict; DuckDB emits the same exact values
+    # and the literal true.
+    oracle="""
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    AS exact_join_rows,
+  true AS estimate_ok
+""",
+)
+def c_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION lane of `c_join_cardinality`: join-size
+    estimation from table STATISTICS only — the System-R formula
+    |A⋈B| ≈ n_A · n_B / max(ndv_A(key), ndv_B(key)) over HLL key
+    NDVs. The exact identity's per-key count tables are the anchor a
+    planner cannot afford at 100 TB (keys-sized shuffle join, the
+    15.97× probe); this lane reads each table once and its exchanges
+    carry HLL REGISTERS — the estimate costs the same whether the
+    fact table is 600 k rows or 6 T. This is literally what a CBO's
+    join-reorder cost model evaluates, shipped as an operator.
+
+    Verdict discipline: estimates are engine-specific (HLL++ here,
+    DuckDB's sketch there), so the row carries exact anchors plus a
+    within-15%-of-real boolean — rsd 0.02 sketches put the NDV ratio
+    well inside that at 2.5σ (the c_agg_approx_distinct bound math).
+    Exact join rows come from the per-key count-table identity, never
+    a fact-row join.
+
+    Scale shape: two single-scan (count + HLL) aggregates with
+    register-sized exchanges, two slim per-key rollups for the anchor
+    (the part production skips), one 1×1 cross of broadcast scalars."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    os_ = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.approx_count_distinct("o_orderkey", 0.02).alias("ndv_o"),
+    )
+    ls = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitem"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ndv_l"),
+    )
+    oc = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).cast("long").alias("n_o"))
+    lc = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    exact = oc.join(lc, "o_orderkey").agg(
+        F.sum(F.col("n_o") * F.col("n_l")).cast("long").alias("exact_join_rows")
+    )
+    est = (
+        F.col("n_lineitem").cast("double")
+        * F.col("n_orders")
+        / F.greatest(F.col("ndv_o"), F.col("ndv_l"))
+    )
+    rel_err = F.abs(est - F.col("exact_join_rows")) / F.col("exact_join_rows")
+    return (
+        os_.crossJoin(F.broadcast(ls))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_orders",
+            "n_lineitem",
+            "exact_join_rows",
+            (rel_err < F.lit(0.15)).alias("estimate_ok"),
+        )
+    )
+
+
+@query(
     "c_tpch_q1",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "

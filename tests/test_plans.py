@@ -903,3 +903,16 @@ def test_ann_recall_is_composition_not_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x_ann_recall")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_estimate_stats_side_is_register_sized(spark, sf_dir):
+    """The estimation lane: each fact table feeds a single-scan
+    (count + HLL) 1-row aggregate; the only joins are broadcasts of
+    1-row scalars plus the keys-sized anchor join. No fact-row join
+    anywhere, no window, no Python."""
+    plan = plan_of(spark, sf_dir, "c_join_estimate")
+    assert op_count(plan, "Window") == 0, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # 2 scans per table: the stats aggregate + the anchor count table
+    assert plan.count("Location: InMemoryFileIndex") <= 4, plan
