@@ -67,6 +67,13 @@ def global_row_number(
     rows never leave their range partition; only partition row-counts
     are centralized (one tiny aggregate + broadcast join).
 
+    Contract: `pos_col` is int32 (matching every consumer's INTEGER
+    oracle schema) — ranks cap at ~2.1B rows per ranked input. The
+    consumers that rank the full corpus (shuffle order, sharding,
+    packing) would swap this cast to long past that bound; the
+    mechanics (local row_number + broadcast offsets, both already
+    long-safe) are unchanged.
+
     mode="auto" (default) takes the plain single-partition window when
     Catalyst estimates the input at <= `small_input_bytes` — one task
     sorting a few MB beats the checkpoint + broadcast join — and the
