@@ -97,6 +97,19 @@ PROBE_QUERIES = [
     "x_token_count",
     "x_kcenter_sample",
     "c_sessionize_bucketed",
+    # r8 additions: sketch-NDV profile lane, perceptual asset near-dup
+    # (post the higher-order-fold rewrite), the estimator pair, the
+    # text-quality family, and the honest-cost recall dashboard
+    "c_table_profile_sketch",
+    "x_asset_neardup",
+    "c_join_cardinality",
+    "c_join_estimate",
+    "x_quality_classifier",
+    "x_vocab_coverage",
+    "x_embedding_qc",
+    "x_mix_schedule",
+    "x_shard_assign",
+    "x_ann_recall",
 ]
 
 KEY_STRIDE = 100_000_000
