@@ -352,3 +352,133 @@ def test_q17_membership_on_spark_equals_rational_reference(spark, qty_strs):
     avg = sum(fr) / len(fr)
     want = {i for i, q in enumerate(fr) if q < Fraction(1, 2) * avg}
     assert got == want, (qty_strs, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-state merge invariants (r8): the delta-log disciplines rest
+# on merge(partials per random batch split) == one-shot over all rows.
+# The streaming suites prove this through real pipes on fixed splits;
+# these properties prove it for ARBITRARY splits at the function level.
+# ---------------------------------------------------------------------------
+
+dq_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # row_id: collisions likely
+        st.integers(min_value=0, max_value=5),  # user_id
+        st.one_of(st.none(), st.floats(min_value=-10, max_value=2_000_000,
+                                       allow_nan=False)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+splits = st.lists(st.integers(min_value=1, max_value=10), min_size=1, max_size=5)
+
+
+@given(dq_rows, splits)
+@settings(**SETTINGS)
+def test_dq_merge_invariant_under_random_splits(spark, rows, sizes):
+    """Counters merged from per-batch partials + PK duplicates derived
+    from merged per-key counts must equal the one-shot audit, for ANY
+    partition of the rows into batches."""
+    from async_event_streams_spark.streaming.dq import (
+        _counter_partials,
+        _merge_counters,
+        _merge_pk,
+        _pk_partials,
+        dq_batch_twin,
+    )
+    from pyspark.sql import functions as F
+
+    schema = "row_id long, user_id long, value double"
+    customer = spark.createDataFrame([(i,) for i in range(4)], "c_custkey long")
+    all_df = spark.createDataFrame(rows, schema)
+
+    # slice rows into batches by the random sizes (cycled)
+    batches, i, k = [], 0, 0
+    while i < len(rows):
+        n = sizes[k % len(sizes)]
+        batches.append(rows[i : i + n])
+        i += n
+        k += 1
+
+    cparts = [
+        _counter_partials(spark.createDataFrame(b, schema), customer)
+        for b in batches
+    ]
+    pparts = [_pk_partials(spark.createDataFrame(b, schema)) for b in batches]
+    cunion, punion = cparts[0], pparts[0]
+    for c in cparts[1:]:
+        cunion = cunion.unionAll(c)
+    for p in pparts[1:]:
+        punion = punion.unionAll(p)
+    merged = {
+        (r.check_name, r.n_checked, r.n_violations)
+        for r in _merge_counters(cunion).collect()
+    }
+    keys = _merge_pk(punion)
+    pk = keys.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_checked"),
+        (F.coalesce(F.sum("n"), F.lit(0)) - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_violations"),
+    ).collect()[0]
+    merged.add(("events_pk_unique", pk.n_checked, pk.n_violations))
+
+    want = {
+        (r.check_name, r.n_checked, r.n_violations)
+        for r in dq_batch_twin(all_df, customer).collect()
+    }
+    assert merged == want
+
+
+bitmap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # row_id
+        st.sampled_from(["a", "b", "c"]),  # etype
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(bitmap_rows, splits)
+@settings(**SETTINGS)
+def test_bitmap_merge_invariant_under_random_splits(spark, rows, sizes):
+    """bit_or of per-batch per-(type, word) masks == one-shot bitmap
+    build, for ANY batch partition — including duplicate row_ids
+    (idempotence) and words split across batches."""
+    from pyspark.sql import functions as F
+
+    WORD = 32
+    schema = "row_id long, etype string"
+
+    def build(df):
+        return df.groupBy(
+            "etype", F.expr(f"row_id DIV {WORD}").cast("long").alias("w")
+        ).agg(
+            F.bit_or(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(row_id % {WORD} AS INT))")
+            ).cast("long").alias("mask")
+        )
+
+    batches, i, k = [], 0, 0
+    while i < len(rows):
+        n = sizes[k % len(sizes)]
+        batches.append(rows[i : i + n])
+        i += n
+        k += 1
+    parts = [build(spark.createDataFrame(b, schema)) for b in batches]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    merged = {
+        (r.etype, r.w, r.mask)
+        for r in u.groupBy("etype", "w")
+        .agg(F.bit_or("mask").cast("long").alias("mask"))
+        .collect()
+    }
+    want = {
+        (r.etype, r.w, r.mask)
+        for r in build(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert merged == want
