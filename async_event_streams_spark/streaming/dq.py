@@ -41,12 +41,17 @@ batches, a restart mid-stream, and compaction no-op-ness.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .state import reject_partitioned_source, reject_stale_state, state_dirs
+from .state import (
+    recover_compaction,
+    reject_partitioned_source,
+    reject_stale_state,
+    state_dirs,
+    swap_compacted,
+)
 
 _COUNTER_SUB = "counters"
 _PK_SUB = "pk_counts"
@@ -114,12 +119,14 @@ def dq_monitor_pipe(
     pdir = os.path.join(state_dir, _PK_SUB)
     os.makedirs(cdir, exist_ok=True)
     os.makedirs(pdir, exist_ok=True)
+    recover_compaction(cdir)  # finish/abort any crash-interrupted swap
+    recover_compaction(pdir)
 
     def _compact(spark: SparkSession, batch_id: int) -> None:
         # Fold both state roots below the watermark. Counters merge by
         # check; PK partials merge by key — both decomposable, so the
-        # snapshot provably cannot change (asserted in the test). Same
-        # write-new → drop-old → rename swap as state.compact_state.
+        # snapshot provably cannot change (asserted in the test).
+        # Shared crash-recoverable swap (state.swap_compacted).
         for sub, merge in (
             (cdir, _merge_counters),
             (pdir, _merge_pk),
@@ -127,13 +134,15 @@ def dq_monitor_pipe(
             dirs = state_dirs(sub, batch_id)
             if len(dirs) <= 1:
                 continue
-            lo = os.path.basename(dirs[0])
-            tmp = os.path.join(sub, f".compact-{lo}.tmp")
-            shutil.rmtree(tmp, ignore_errors=True)
-            merge(spark.read.parquet(*dirs)).write.mode("overwrite").parquet(tmp)
-            for d in dirs:
-                shutil.rmtree(d)
-            os.rename(tmp, os.path.join(sub, lo))
+            swap_compacted(
+                sub,
+                dirs,
+                lambda tmp, dirs=dirs, merge=merge: merge(
+                    spark.read.parquet(*dirs)
+                )
+                .write.mode("overwrite")
+                .parquet(tmp),
+            )
 
     def fold_batch(df, batch_id: int):
         spark = df.sparkSession

@@ -27,7 +27,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .state import reject_partitioned_source, reject_stale_state, state_dirs
+from .state import (
+    recover_compaction,
+    reject_partitioned_source,
+    reject_stale_state,
+    state_dirs,
+    swap_compacted,
+)
 
 # Default view: the monthly revenue-by-priority rollup — the same
 # shape c_mv_incremental maintains in batch.
@@ -74,6 +80,7 @@ def mv_rollup_pipe(
     _merge_fn = merge_fn or _merge
     reject_partitioned_source(source, "mv_rollup_pipe")
     os.makedirs(state_dir, exist_ok=True)
+    recover_compaction(state_dir)  # finish/abort any crash-interrupted swap
 
     def fold_batch(df, batch_id: int):
         spark = df.sparkSession
@@ -82,22 +89,18 @@ def mv_rollup_pipe(
             # fold the delta log: MERGE the partials below the
             # committed-batch watermark into one |keys|-row dir — the
             # decomposability that makes MVs work guarantees the
-            # snapshot cannot change (asserted in the test). Same swap
-            # discipline as state.compact_state (write-new → drop-old
-            # → rename; transactional table at cluster scale).
-            import shutil
-
+            # snapshot cannot change (asserted in the test). Shared
+            # crash-recoverable swap (state.swap_compacted marker
+            # protocol; transactional-table commit at cluster scale).
             dirs = state_dirs(state_dir, batch_id)
             if len(dirs) > 1:
-                lo = os.path.basename(dirs[0])
-                tmp = os.path.join(state_dir, f".compact-{lo}.tmp")
-                shutil.rmtree(tmp, ignore_errors=True)
-                _merge_fn(spark.read.parquet(*dirs)).write.mode(
-                    "overwrite"
-                ).parquet(tmp)
-                for d in dirs:
-                    shutil.rmtree(d)
-                os.rename(tmp, os.path.join(state_dir, lo))
+                swap_compacted(
+                    state_dir,
+                    dirs,
+                    lambda tmp: _merge_fn(spark.read.parquet(*dirs))
+                    .write.mode("overwrite")
+                    .parquet(tmp),
+                )
         partials = _rollup_fn(df)
         partials.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch={batch_id}")

@@ -75,6 +75,73 @@ def state_dirs(state_dir: str, below_batch: int | None = None) -> list[str]:
     return [p for _, p in sorted(out)]
 
 
+def swap_compacted(state_dir: str, dirs: list[str], write_tmp) -> None:
+    """Crash-recoverable compaction swap, shared by every delta-log
+    module (compact_state here, streaming/mv.py, streaming/dq.py).
+
+    Protocol (each step atomic on a local filesystem):
+      1. write the merged output into `.compact-{lo}.inprogress/`
+         (plus a `_sources.json` manifest naming the merged dirs);
+      2. rename it to `.compact-{lo}.ready/` — the write is now known
+         complete;
+      3. remove the source dirs;
+      4. rename ready → `batch={lo}`.
+    A crash at any point is repaired by `recover_compaction`: an
+    `.inprogress` dir is an incomplete write (discard — sources are
+    intact), a `.ready` dir has the manifest to finish steps 3–4. At
+    cluster scale the same protocol is a transactional-table commit."""
+    import json
+
+    lo = int(_BATCH_DIR_RE.match(os.path.basename(dirs[0])).group(1))
+    inprog = os.path.join(state_dir, f".compact-{lo}.inprogress")
+    ready = os.path.join(state_dir, f".compact-{lo}.ready")
+    shutil.rmtree(inprog, ignore_errors=True)
+    shutil.rmtree(ready, ignore_errors=True)
+    write_tmp(inprog)
+    with open(os.path.join(inprog, "_sources.json"), "w") as f:
+        json.dump([os.path.basename(d) for d in dirs], f)
+    os.rename(inprog, ready)
+    for d in dirs:
+        shutil.rmtree(d)
+    os.rename(ready, os.path.join(state_dir, f"batch={lo}"))
+
+
+def recover_compaction(state_dir: str) -> str | None:
+    """Repair a swap interrupted by a crash. Call at pipe (re)start,
+    before the first batch touches the state dir. Returns a short
+    description of the repair performed, or None if state was clean."""
+    import json
+
+    try:
+        names = os.listdir(state_dir)
+    except FileNotFoundError:
+        return None
+    for n in names:
+        if n.startswith(".compact-") and n.endswith(".inprogress"):
+            # incomplete write: sources are untouched — discard it
+            shutil.rmtree(os.path.join(state_dir, n))
+            return f"discarded incomplete {n}"
+    for n in names:
+        if not (n.startswith(".compact-") and n.endswith(".ready")):
+            continue
+        ready = os.path.join(state_dir, n)
+        with open(os.path.join(ready, "_sources.json")) as f:
+            sources = json.load(f)
+        for s in sources:
+            shutil.rmtree(os.path.join(state_dir, s), ignore_errors=True)
+        lo = n[len(".compact-") : -len(".ready")]
+        dest = os.path.join(state_dir, f"batch={lo}")
+        # a ready dir plus an existing dest cannot happen within one
+        # protocol run (dest is created FROM ready); treat dest as the
+        # completed swap and drop the leftover
+        if os.path.exists(dest):
+            shutil.rmtree(ready)
+            return f"dropped superseded {n}"
+        os.rename(ready, dest)
+        return f"completed {n}"
+    return None
+
+
 def compact_state(spark, state_dir: str, upto_batch: int) -> int:
     """Merge every `batch=N` directory with N < `upto_batch` into one
     directory keyed by the smallest merged index. Returns the number of
@@ -84,25 +151,24 @@ def compact_state(spark, state_dir: str, upto_batch: int) -> int:
     the pipe's own batch fn before processing) and only up to the last
     COMMITTED batch: a replayed batch must never find its own rows
     pre-merged into earlier state, or it would classify its entire
-    input as already-seen. Not crash-atomic on a plain filesystem (the
-    swap is write-new → drop-old → rename); at cluster scale back the
-    state with a transactional table instead."""
+    input as already-seen. Crash-recoverable via the swap_compacted
+    marker protocol (+ recover_compaction at restart); at cluster
+    scale the same protocol is a transactional-table commit."""
     dirs = state_dirs(state_dir, upto_batch)
     if len(dirs) <= 1:
         return 0
-    lo = int(_BATCH_DIR_RE.match(os.path.basename(dirs[0])).group(1))
-    tmp = os.path.join(state_dir, f".compact-{lo}.tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    # mergeSchema: ANN state dirs may mix legacy and __batch-stamped
-    # files; a single-footer schema pick would silently DROP the stamp
-    # from the merged dir, permanently erasing latest-wins lineage.
-    (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*dirs)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    for d in dirs:
-        shutil.rmtree(d)
-    os.rename(tmp, os.path.join(state_dir, f"batch={lo}"))
+
+    def write_tmp(tmp: str) -> None:
+        # mergeSchema: ANN state dirs may mix legacy and __batch-stamped
+        # files; a single-footer schema pick would silently DROP the
+        # stamp from the merged dir, permanently erasing latest-wins
+        # lineage.
+        (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*dirs)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    swap_compacted(state_dir, dirs, write_tmp)
     return len(dirs)

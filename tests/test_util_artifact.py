@@ -64,3 +64,127 @@ def test_clear_artifacts_releases_session_entries(spark):
     assert clear_artifacts(spark) >= 1
     artifact(spark, "t:x", _builds_counter(spark, "t:x", calls))
     assert calls == ["t:x", "t:x"]  # rebuilt after clear
+
+
+# ---------------------------------------------------------------------------
+# Crash-recoverable compaction swap (streaming/state.py, r8)
+# ---------------------------------------------------------------------------
+
+
+def _write_state(spark, d, batch, rows):
+    import os
+
+    spark.createDataFrame(rows, "k string, v long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, f"batch={batch}"))
+
+
+def _snapshot(spark, d):
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.streaming.state import state_dirs
+
+    dirs = state_dirs(d)
+    df = spark.read.parquet(*dirs)
+    return {
+        (r.k, r.v)
+        for r in df.groupBy("k").agg(F.sum("v").cast("long").alias("v")).collect()
+    }
+
+
+def test_compaction_swap_recovers_from_crash_points(spark, tmp_path):
+    """Simulate every crash point of the swap_compacted protocol and
+    assert recover_compaction restores a state whose snapshot equals
+    the pre-crash answer: (a) crash mid-write (.inprogress left, the
+    sources untouched) -> discarded; (b) crash after the ready rename
+    but before source removal -> completed without double-counting;
+    (c) crash after source removal but before the final rename ->
+    completed."""
+    import os
+    import shutil
+
+    from async_event_streams_spark.streaming.state import (
+        recover_compaction,
+        state_dirs,
+        swap_compacted,
+    )
+
+    rows0 = [("a", 1), ("b", 2)]
+    rows1 = [("a", 10), ("c", 3)]
+    want = {("a", 11), ("b", 2), ("c", 3)}
+
+    def fresh(d):
+        d = str(d)
+        os.makedirs(d, exist_ok=True)
+        _write_state(spark, d, 0, rows0)
+        _write_state(spark, d, 1, rows1)
+        assert _snapshot(spark, d) == want
+        return d
+
+    # (a) incomplete write: an .inprogress dir without the manifest's
+    # rename — recovery discards it, sources intact
+    d = fresh(tmp_path / "a")
+    os.makedirs(os.path.join(d, ".compact-0.inprogress"))
+    msg = recover_compaction(d)
+    assert msg and "discarded" in msg
+    assert _snapshot(spark, d) == want and len(state_dirs(d)) == 2
+
+    # build a real ready dir by running the protocol up to the rename
+    def make_ready(d):
+        dirs = state_dirs(d)
+
+        def write_tmp(tmp):
+            import json
+
+            from pyspark.sql import functions as F
+
+            merged = (
+                spark.read.parquet(*dirs)
+                .groupBy("k")
+                .agg(F.sum("v").cast("long").alias("v"))
+            )
+            merged.write.mode("overwrite").parquet(tmp)
+
+        # replicate steps 1-2 of swap_compacted only
+        import json
+
+        inprog = os.path.join(d, ".compact-0.inprogress")
+        write_tmp(inprog)
+        with open(os.path.join(inprog, "_sources.json"), "w") as f:
+            json.dump([os.path.basename(x) for x in dirs], f)
+        os.rename(inprog, os.path.join(d, ".compact-0.ready"))
+
+    # (b) ready exists, sources still present (crash before step 3)
+    d = fresh(tmp_path / "b")
+    make_ready(d)
+    msg = recover_compaction(d)
+    assert msg and "completed" in msg
+    assert _snapshot(spark, d) == want and len(state_dirs(d)) == 1
+
+    # (c) ready exists, sources already gone (crash before step 4)
+    d = fresh(tmp_path / "c")
+    make_ready(d)
+    for x in state_dirs(d):
+        shutil.rmtree(x)
+    msg = recover_compaction(d)
+    assert msg and "completed" in msg
+    assert _snapshot(spark, d) == want and len(state_dirs(d)) == 1
+
+    # the happy path itself still folds correctly end-to-end
+    d = fresh(tmp_path / "e")
+    dirs = state_dirs(d)
+
+    def write_tmp(tmp):
+        from pyspark.sql import functions as F
+
+        (
+            spark.read.parquet(*dirs)
+            .groupBy("k")
+            .agg(F.sum("v").cast("long").alias("v"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    swap_compacted(d, dirs, write_tmp)
+    assert recover_compaction(d) is None
+    assert _snapshot(spark, d) == want and len(state_dirs(d)) == 1
