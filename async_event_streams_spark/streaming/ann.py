@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 from ..functions.similarity import dot
 from .state import (
     compact_state,
+    recover_compaction,
     reject_partitioned_source,
     reject_stale_state,
     state_dirs,
@@ -236,6 +237,7 @@ def ivf_index_pipe(
 
     reject_partitioned_source(source, "ivf_index_pipe")
     os.makedirs(state_dir, exist_ok=True)
+    recover_compaction(state_dir)  # crash-interrupted swap, if any
     _sweep_retrain(state_dir)  # heal any crash-torn retrain swap
     saved = load_index_centroids(state_dir)
     live = {"centroids": saved if saved is not None else [list(map(float, c)) for c in centroids]}
@@ -414,6 +416,7 @@ def pq_index_pipe(
 
     reject_partitioned_source(source, "pq_index_pipe")
     os.makedirs(state_dir, exist_ok=True)
+    recover_compaction(state_dir)  # crash-interrupted swap, if any
     _sweep_retrain(state_dir)  # heal any crash-torn retrain swap
     saved = load_pq_codebooks(state_dir)
     live = {
@@ -566,6 +569,7 @@ def ivfpq_index_pipe(
 
     reject_partitioned_source(source, "ivfpq_index_pipe")
     os.makedirs(state_dir, exist_ok=True)
+    recover_compaction(state_dir)  # crash-interrupted swap, if any
     _sweep_retrain(state_dir)
     saved = load_ivfpq_quantizers(state_dir)
     if saved is not None:

@@ -25,7 +25,7 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .state import compact_state, reject_partitioned_source
+from .state import recover_compaction, compact_state, reject_partitioned_source
 from .state import state_dirs as _state_dirs
 
 
@@ -55,6 +55,7 @@ def exact_dedup_pipe(
 
     reject_partitioned_source(source, "exact_dedup_pipe")
     os.makedirs(state_dir, exist_ok=True)
+    recover_compaction(state_dir)  # crash-interrupted swap, if any
 
     def dedup_batch(df, batch_id: int):
         spark = df.sparkSession

@@ -130,8 +130,11 @@ def knn_graph_pipe(
     vroot = os.path.join(state_dir, "vectors")
     eroot = os.path.join(state_dir, "edges")
     troot = os.path.join(state_dir, "touched")
+    from .state import recover_compaction
+
     for d in (vroot, eroot, troot):
         os.makedirs(d, exist_ok=True)
+        recover_compaction(d)  # finish/abort any crash-interrupted swap
     planes = lsh_planes(n_planes, dim, seed=seed)
 
     def index_batch(df, batch_id: int):

@@ -46,7 +46,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..functions.text import minhash_component, shingle_digests, shingles, tokens
-from .state import compact_state, reject_partitioned_source
+from .state import recover_compaction, compact_state, reject_partitioned_source
 from .state import state_dirs as _state_dirs
 
 
@@ -163,6 +163,7 @@ def minhash_dedup_pipe(
 
     reject_partitioned_source(source, "minhash_dedup_pipe")
     os.makedirs(state_dir, exist_ok=True)
+    recover_compaction(state_dir)  # crash-interrupted swap, if any
 
     def dedup_batch(df, batch_id: int):
         from ..topics.topic import ENVELOPE_NAMES
@@ -266,6 +267,7 @@ def windowed_minhash_dedup_pipe(
 
     reject_partitioned_source(source, "windowed_minhash_dedup_pipe")
     os.makedirs(state_dir, exist_ok=True)
+    recover_compaction(state_dir)  # crash-interrupted swap, if any
     maxet_memo: dict[str, int] = {}  # state-dir path -> max __et
 
     def dedup_batch(df, batch_id: int):
