@@ -107,20 +107,23 @@ def swap_compacted(state_dir: str, dirs: list[str], write_tmp) -> None:
 
 
 def recover_compaction(state_dir: str) -> str | None:
-    """Repair a swap interrupted by a crash. Call at pipe (re)start,
-    before the first batch touches the state dir. Returns a short
-    description of the repair performed, or None if state was clean."""
+    """Repair swaps interrupted by a crash. Call at pipe (re)start,
+    before the first batch touches the state dir. Repairs EVERY
+    leftover found (defensive — the protocol leaves at most one per
+    dir, but recovery must not depend on that); returns a short
+    description of the repairs, or None if state was clean."""
     import json
 
     try:
         names = os.listdir(state_dir)
     except FileNotFoundError:
         return None
+    msgs = []
     for n in names:
         if n.startswith(".compact-") and n.endswith(".inprogress"):
             # incomplete write: sources are untouched — discard it
             shutil.rmtree(os.path.join(state_dir, n))
-            return f"discarded incomplete {n}"
+            msgs.append(f"discarded incomplete {n}")
     for n in names:
         if not (n.startswith(".compact-") and n.endswith(".ready")):
             continue
@@ -136,10 +139,11 @@ def recover_compaction(state_dir: str) -> str | None:
         # completed swap and drop the leftover
         if os.path.exists(dest):
             shutil.rmtree(ready)
-            return f"dropped superseded {n}"
-        os.rename(ready, dest)
-        return f"completed {n}"
-    return None
+            msgs.append(f"dropped superseded {n}")
+        else:
+            os.rename(ready, dest)
+            msgs.append(f"completed {n}")
+    return "; ".join(msgs) if msgs else None
 
 
 def compact_state(spark, state_dir: str, upto_batch: int) -> int:
