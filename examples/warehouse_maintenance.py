@@ -40,6 +40,14 @@ def main() -> None:
         "c_funnel_steps",
         "c_retention_cohorts",
         "c_date_spine",
+        # r8 maintenance surface
+        "c_table_profile_sketch",  # ANALYZE via HLL registers
+        "c_compaction_plan",  # OPTIMIZE scheduling from metadata
+        "c_bitmap_filter",  # predicate grid from the bitmap index alone
+        "c_zonemap_scan",  # prune-then-scan, skip contract checked
+        "c_skew_report",  # whale-key watch for the adaptive lanes
+        "c_join_estimate",  # CBO join size from statistics only
+        "c_dq_audit",  # the dbt-test suite as one scale-shaped op
     ):
         rows = QUERIES[name](spark, sf_dir).limit(3).collect()
         print(f"{name:>20}: {'; '.join(str(tuple(r)) for r in rows[:2])[:90]}")
