@@ -5682,7 +5682,11 @@ WITH v AS (
 ), g AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
     CAST(CAST(SUM(l2_micro) AS DECIMAL(38,0)) AS DOUBLE) AS s,
-    CAST(CAST(SUM(l2_micro * l2_micro) AS DECIMAL(38,0)) AS DOUBLE) AS q
+    -- widen BEFORE the per-row product: DuckDB does not auto-widen
+    -- multiplication, so a BIGINT micro-squared raises an overflow
+    -- error at norm >= ~3037 (l2_micro >= ~3.04e9) — exactly the
+    -- encoder-blowup case this QC exists to flag
+    CAST(CAST(SUM(CAST(l2_micro AS HUGEINT) * l2_micro) AS DECIMAL(38,0)) AS DOUBLE) AS q
   FROM f
 )
 SELECT vec_id, dim, l2_micro,
@@ -5727,10 +5731,11 @@ def x_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l2_micro").cast("decimal(38,0)"))
         .cast("double")
         .alias("s"),
-        # Per-row square in DECIMAL, not long: a norm ≥ ~3.04 (exactly
-        # the encoder-blowup case this QC exists to flag) pushes
-        # micro² past int64, and a wrapped square is silently wrong —
-        # DuckDB widens to int128, so the engines would diverge.
+        # Per-row square in DECIMAL, not long: a norm ≥ ~3037, i.e.
+        # l2_micro ≥ ~3.04e9 (exactly the encoder-blowup case this QC
+        # exists to flag) pushes micro² past int64, and a wrapped
+        # square is silently wrong; the oracle widens to HUGEINT
+        # pre-multiply for the same reason.
         F.sum(
             F.col("l2_micro").cast("decimal(19,0)")
             * F.col("l2_micro").cast("decimal(19,0)")

@@ -146,7 +146,11 @@ def dq_monitor_pipe(
 
     def fold_batch(df, batch_id: int):
         spark = df.sparkSession
+        # Both state roots are always written together, but guard each
+        # independently: a checkpoint reset must be rejected even if
+        # only one root retained later batches.
         reject_stale_state(cdir, batch_id, "dq_monitor_pipe")
+        reject_stale_state(pdir, batch_id, "dq_monitor_pipe")
         if compact_every and batch_id and batch_id % compact_every == 0:
             _compact(spark, batch_id)
         # Batch N owns its dirs with overwrite: crash replay reproduces
@@ -182,6 +186,14 @@ def dq_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
     if not cdirs:
         return spark.createDataFrame([], _SNAPSHOT_SCHEMA)
     counters = _merge_counters(spark.read.parquet(*cdirs))
+    if not pdirs:
+        # A crash between the counter write and the pk write of the
+        # first batch leaves cdirs non-empty while pdirs is empty;
+        # an empty pk root means zero keys checked, not an error.
+        pk_row = spark.createDataFrame(
+            [("events_pk_unique", 0, 0)], _SNAPSHOT_SCHEMA
+        )
+        return counters.unionAll(pk_row)
     keys = _merge_pk(spark.read.parquet(*pdirs))
     pk_row = keys.agg(
         F.lit("events_pk_unique").alias("check_name"),

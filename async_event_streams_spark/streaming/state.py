@@ -89,14 +89,27 @@ def swap_compacted(state_dir: str, dirs: list[str], write_tmp) -> None:
     A crash at any point is repaired by `recover_compaction`: an
     `.inprogress` dir is an incomplete write (discard — sources are
     intact), a `.ready` dir has the manifest to finish steps 3–4. At
-    cluster scale the same protocol is a transactional-table commit."""
+    cluster scale the same protocol is a transactional-table commit.
+
+    Recovery runs HERE too, not only at pipe start: a leftover `.ready`
+    may be the only complete copy of state whose source dirs were
+    already partially dropped (steps 3–4 interrupted). Discarding it
+    and re-merging only the surviving sources would silently lose
+    state, so finish the old swap before starting a new one."""
     import json
 
+    if recover_compaction(state_dir) is not None and not all(
+        os.path.isdir(d) for d in dirs
+    ):
+        # Recovery completed an older swap that consumed some of the
+        # caller's source dirs — the dirs list is stale. Skip this
+        # cycle; the caller's next compaction recomputes it. (In-repo
+        # pipes recover at start, so this branch is the direct-caller
+        # hazard path only.)
+        return
     lo = int(_BATCH_DIR_RE.match(os.path.basename(dirs[0])).group(1))
     inprog = os.path.join(state_dir, f".compact-{lo}.inprogress")
     ready = os.path.join(state_dir, f".compact-{lo}.ready")
-    shutil.rmtree(inprog, ignore_errors=True)
-    shutil.rmtree(ready, ignore_errors=True)
     write_tmp(inprog)
     with open(os.path.join(inprog, "_sources.json"), "w") as f:
         json.dump([os.path.basename(d) for d in dirs], f)

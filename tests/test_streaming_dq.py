@@ -107,3 +107,30 @@ def test_dq_pipe_restart_resumes_and_stays_batch_equal(
     finally:
         h2.stop()
         src.close()
+
+
+def test_dq_snapshot_survives_crash_between_counter_and_pk_write(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r8: a crash between the counter write and the pk write of
+    the FIRST batch leaves the counters root non-empty while pk_counts
+    is empty — the snapshot must report the counters plus a zero-keys
+    PK row, not raise on spark.read.parquet() with no paths."""
+    import os
+
+    from async_event_streams_spark.streaming.dq import (
+        _counter_partials,
+    )
+
+    rows = _rows(spark, sf_dir)[:40]
+    customer = table(spark, sf_dir, "customer").select("c_custkey")
+    sdir = str(tmp_path / "dq-crash")
+    os.makedirs(os.path.join(sdir, "pk_counts"))  # created, never written
+    _counter_partials(
+        spark.createDataFrame(rows, _SCHEMA), customer
+    ).write.mode("overwrite").parquet(
+        os.path.join(sdir, "counters", "batch=0")
+    )
+    got = {r.check_name: (r.n_checked, r.n_violations) for r in dq_snapshot(spark, sdir).collect()}
+    assert got["events_pk_unique"] == (0, 0)
+    assert got["events_value_not_null"][0] == 40

@@ -184,3 +184,29 @@ def test_shard_assign_balances_token_totals(spark, sf_dir):
         totals[r.shard] += r.n_tokens
     biggest_doc = by_rank[0].n_tokens
     assert max(totals) - min(totals) <= biggest_doc
+
+
+def test_embedding_qc_oracle_moment_survives_blowup_norms():
+    """ADVICE r8: DuckDB does not widen BIGINT multiplication, so the
+    oracle's per-row micro-squared must be HUGEINT-widened BEFORE the
+    product or the differential CRASHES (overflow error) at exactly
+    the encoder-blowup norms (>= ~3037, l2_micro >= ~3.04e9) this QC
+    exists to flag. Evaluate the registered oracle's moment expression
+    at such a value."""
+    import duckdb
+
+    from async_event_streams_spark.queries import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE f AS SELECT * FROM (VALUES "
+        "(1, CAST(4000000000000 AS BIGINT)), "  # norm 4e6: deep blowup
+        "(2, CAST(1000000 AS BIGINT))) t(vec_id, l2_micro)"
+    )
+    # the exact moment expression the registered oracle uses
+    frag = "SUM(CAST(l2_micro AS HUGEINT) * l2_micro)"
+    assert frag in ORACLES["x_embedding_qc"]
+    (q,) = con.execute(
+        f"SELECT CAST(CAST({frag} AS DECIMAL(38,0)) AS DOUBLE) FROM f"
+    ).fetchone()
+    assert q == float(4000000000000**2 + 1000000**2)

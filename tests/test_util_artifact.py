@@ -188,3 +188,61 @@ def test_compaction_swap_recovers_from_crash_points(spark, tmp_path):
     swap_compacted(d, dirs, write_tmp)
     assert recover_compaction(d) is None
     assert _snapshot(spark, d) == want and len(state_dirs(d)) == 1
+
+
+def test_swap_compacted_completes_leftover_ready_instead_of_discarding(
+    spark, tmp_path
+):
+    """The direct-caller hazard (ADVICE r8): a crash that already
+    removed some source dirs leaves a .ready that is the ONLY complete
+    copy of the merged state. A direct compact_state/swap_compacted
+    call that did not run recover_compaction first must complete that
+    swap, not rmtree it and re-merge only the survivors."""
+    import os
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.streaming.state import (
+        state_dirs,
+        swap_compacted,
+    )
+
+    rows0 = [("a", 1), ("b", 2)]
+    rows1 = [("a", 10), ("c", 3)]
+    want = {("a", 11), ("b", 2), ("c", 3)}
+    d = str(tmp_path / "direct")
+    os.makedirs(d)
+    _write_state(spark, d, 0, rows0)
+    _write_state(spark, d, 1, rows1)
+    dirs = state_dirs(d)
+
+    # build the ready dir (steps 1-2), then simulate the crash mid
+    # step 3: batch=0 already dropped, batch=1 survives
+    inprog = os.path.join(d, ".compact-0.inprogress")
+    (
+        spark.read.parquet(*dirs)
+        .groupBy("k")
+        .agg(F.sum("v").cast("long").alias("v"))
+        .write.mode("overwrite")
+        .parquet(inprog)
+    )
+    with open(os.path.join(inprog, "_sources.json"), "w") as f:
+        json.dump([os.path.basename(x) for x in dirs], f)
+    os.rename(inprog, os.path.join(d, ".compact-0.ready"))
+    shutil.rmtree(dirs[0])
+
+    # the stale dirs list a naive direct caller would pass: only the
+    # surviving source — pre-fix this lost ("a",1)+("b",2) silently
+    def write_tmp(tmp):
+        (
+            spark.read.parquet(dirs[1])
+            .groupBy("k")
+            .agg(F.sum("v").cast("long").alias("v"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    swap_compacted(d, [dirs[1]], write_tmp)
+    assert _snapshot(spark, d) == want
