@@ -5978,3 +5978,192 @@ def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_ppm"),
     )
     return per_q.unionAll(overall)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: Kneser-Ney bigram LM scoring (round 9)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount (exact in binary: 3/4)
+
+_KN_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+    CAST(COUNT(*) AS BIGINT) AS n1fwd
+  FROM c2 GROUP BY 1
+),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bwd FROM c2 GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbi FROM c2),
+p AS (
+  SELECT bg.doc_id,
+    CAST(ROUND(-log2(
+      GREATEST(c2.c2 - {_KN_D}, 0.0) / ctx.c1
+      + ({_KN_D} * ctx.n1fwd / ctx.c1)
+        * (CAST(cont.n1bwd AS DOUBLE) / tot.nbi)
+    ) * 1000000000) AS BIGINT) AS nanobits
+  FROM bg
+  JOIN c2 USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN cont USING (w2)
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+  ROUND(CAST(SUM(nanobits) AS DOUBLE) / COUNT(*) / 1000000000, 6)
+    AS kn_bits
+FROM p GROUP BY doc_id
+"""
+
+
+@query("x_kneser_ney", oracle=_KN_ORACLE)
+def x_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the LM the n-gram
+    literature actually recommends over the add-one smoothing of
+    x_bigram_logprob: p(w2|w1) = max(c(w1,w2)−D, 0)/c(w1) +
+    λ(w1)·p_cont(w2) with D = 0.75, λ(w1) = D·N1+(w1,·)/c(w1) and the
+    CONTINUATION probability p_cont(w2) = N1+(·,w2)/N1+(··) — "how
+    many contexts does w2 follow", which is what demotes
+    high-frequency-but-context-locked tokens ("Francisco") that fool
+    raw bigram counts. Per-doc score = mean −log2 p over transitions,
+    quantized to integer nanobits before the sum (the
+    x_unigram_logprob discipline), so partial-agg order cannot flip a
+    rounded mean.
+
+    Every statistic is an exact integer (bigram counts, context
+    counts, distinct-successor/predecessor counts, total distinct
+    bigrams) and the smoothing expression is the same literal IEEE
+    tree in both engines (D = 3/4 is exact in binary). All four count
+    tables derive from ONE bigram-count aggregation — the context
+    table is a rollup OF c2, not a second corpus pass.
+
+    Scale shape (the x_bigram_logprob split, one order stronger): the
+    bigram table is NOT vocab-small so it JOINS on (w1,w2) — a shuffle
+    keyed on the bigram, which no hot document can flood; the
+    vocab-sized context/continuation tables and the 1-row total ride
+    broadcasts. No reference analog (driver mandate extension)."""
+    docs = table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.w1", "pr.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    c2 = materialize(c2)  # four consumers; never re-derive from the corpus
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1fwd"),
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1bwd"))
+    tot = c2.agg(F.count(F.lit(1)).cast("long").alias("nbi"))
+    p = (
+        F.greatest(F.col("c2") - F.lit(_KN_D), F.lit(0.0)) / F.col("c1")
+        + (F.lit(_KN_D) * F.col("n1fwd") / F.col("c1"))
+        * (F.col("n1bwd").cast("double") / F.col("nbi"))
+    )
+    nanobits = F.round(-F.log2(p) * 1000000000).cast("long").alias("nanobits")
+    n = F.count(F.lit(1))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nanobits)
+        .groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_transitions"),
+            F.round(
+                F.sum("nanobits").cast("double") / n / 1000000000, 6
+            ).alias("kn_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: corpus diversity (Distinct-n) with sketch agreement
+# ---------------------------------------------------------------------------
+
+_DN_MAX = 3  # report Distinct-1..Distinct-3
+
+_DISTINCT_NGRAMS_ORACLE = f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT CAST(n AS BIGINT) AS n,
+    array_to_string(toks[i:i + n - 1], ' ') AS gram
+  FROM t,
+    unnest(range(1, {_DN_MAX} + 1)) AS nn(n),
+    unnest(range(1, len(toks) - n + 2)) AS u(i)
+)
+SELECT n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+  CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+  CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT)
+    AS distinct_ppm,
+  true AS sketch_ok
+FROM g GROUP BY n
+"""
+
+
+@query("x_distinct_ngrams", oracle=_DISTINCT_NGRAMS_ORACLE)
+def x_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity: the Distinct-n metric (distinct n-grams /
+    total n-grams, n = 1..3) that quantifies repetitiveness across the
+    WHOLE corpus — the standard generation-diversity score applied as
+    a curation gate (a synthetic or template-heavy corpus collapses
+    Distinct-2/3 long before any per-doc filter notices).
+
+    One scan: the three shingle arrays are tagged and concatenated
+    per document, so a single explode feeds one hash aggregation —
+    not three corpus passes. Exact distinct counts over corpus n-grams
+    are an n-gram-keyed shuffle (row-count-order at 100 TB — the same
+    honest cost as x_ngram_counts); the production swap at that scale
+    is to keep ONLY the HLL estimate, so this query carries the sketch
+    in the same pass and hash-checks a `sketch_ok` agreement verdict
+    (HLL++ at rsd=0.04 within 10% of exact — the
+    c_table_profile_sketch discipline, here anchored on the exact
+    count since the exact lane is the point of this query).
+    `distinct_ppm` is an integer DIV, no float rounding anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    def _tag(k: int):
+        # ONE-arg lambda only: F.transform treats a second lambda
+        # parameter as the element INDEX (the x_bm25 trap) — a k=k
+        # default would silently replace the tag with the position.
+        n_lit = F.lit(k).cast("long")
+        return F.transform(
+            shingles(toks, k=k),
+            lambda g: F.struct(n_lit.alias("n"), g.alias("gram")),
+        )
+
+    tagged = F.concat(*[_tag(k) for k in range(1, _DN_MAX + 1)])
+    g = docs.select(F.explode(tagged).alias("t")).select("t.n", "t.gram")
+    return (
+        g.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.countDistinct("gram").cast("long").alias("distinct_ngrams"),
+            F.approx_count_distinct("gram", 0.04).cast("long").alias("hll"),
+        )
+        .select(
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr(
+                "CAST(distinct_ngrams * 1000000 DIV total_ngrams AS BIGINT)"
+            ).alias("distinct_ppm"),
+            (
+                F.abs(F.col("hll") - F.col("distinct_ngrams"))
+                / F.col("distinct_ngrams")
+                < F.lit(0.10)
+            ).alias("sketch_ok"),
+        )
+    )

@@ -4066,3 +4066,218 @@ def c_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("filled_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time series: exponential moving average + rolling median (round 9)
+# ---------------------------------------------------------------------------
+
+_EWMA_L = 8  # lookback frame (rows); decay 1/2 per step
+
+_EWMA_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(value * 1000000) AS BIGINT) AS x_micro,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT a.user_id, a.event_id, a.x_micro,
+    CAST(SUM(b.x_micro * CAST(pow(2, b.rn - a.rn + {_EWMA_L} - 1) AS BIGINT)) AS BIGINT) AS num,
+    CAST(SUM(CAST(pow(2, b.rn - a.rn + {_EWMA_L} - 1) AS BIGINT)) AS BIGINT) AS den
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {_EWMA_L - 1} AND a.rn
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, event_id, x_micro,
+  CAST((CAST(num AS HUGEINT) * 1000000) // den AS BIGINT) AS ewma_pico
+FROM p
+"""
+
+
+@query("c_ewma", oracle=_EWMA_ORACLE)
+def c_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (decay 1/2 per
+    step) over the last 8 events — the standard smoothing pass for
+    metric streams, expressed so the answer is EXACT and engine-
+    independent: values quantize to integer micro-units, the frame's
+    weights are pure powers of two, so numerator and denominator are
+    exact integers, and the result ships as `ewma_pico` =
+    (num·10^6) DIV den — one integer division, ZERO floating point.
+    (A ROUND(num/den, 6) variant died on a genuine half-way tie at
+    the 6th decimal: num/255 rationals land on exact ties, where
+    Spark's BigDecimal HALF_UP and DuckDB's double rounding disagree
+    by one ulp.) The oracle weights every frame by 2^0..2^7 anchored
+    at the CURRENT row while the Spark fold anchors at the frame's
+    oldest row; the two weight vectors differ by a power-of-two
+    scalar on BOTH num and den, and integer division is invariant
+    under a common positive scalar, so the outputs are identical
+    (asserted by the hash match).
+
+    Scale shape: ONE shuffle on user_id for the window sort; the frame
+    fold is a per-row array aggregate inside codegen. The oracle's
+    O(frame²) self-join is the SQL statement of the semantics, not the
+    plan. Skew: user-keyed frames are the c_window_lag shape — the
+    bucket-and-stitch lane (functions/lagstitch.py) applies verbatim
+    if a hot user ever dominates."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(_EWMA_L - 1), Window.currentRow)
+    )
+    x = F.floor(F.col("value") * 1000000).cast("long")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", x.alias("x_micro")
+    )
+    vals = F.collect_list("x_micro").over(w)
+    num = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(0).cast("long").alias("num"), F.lit(1).cast("long").alias("wt")
+        ),
+        lambda acc, v: F.struct(
+            (acc.num + v * acc.wt).alias("num"), (acc.wt * 2).alias("wt")
+        ),
+        lambda acc: acc.num,
+    )
+    den = F.pow(F.lit(2.0), F.size(vals)).cast("long") - 1
+    return e.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        num.alias("num"),
+        den.alias("den"),
+    ).select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        # DECIMAL(38,0) widening before the ×10^6 so no corpus's value
+        # range can wrap the product; `div` truncates and `//` floors,
+        # identical here because x_micro (and so num) is non-negative.
+        F.expr(
+            "CAST(CAST(num AS DECIMAL(38,0)) * 1000000 DIV den AS BIGINT)"
+        ).alias("ewma_pico"),
+    )
+
+
+_RMED_L = 5  # rolling-median frame (rows)
+
+_RMED_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(value * 1000000) AS BIGINT) AS x_micro
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, x_micro,
+    list_sort(list(x_micro) OVER (
+      PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN {_RMED_L - 1} PRECEDING AND CURRENT ROW)) AS s
+  FROM e
+)
+SELECT user_id, event_id, x_micro,
+  CAST(CASE WHEN len(s) % 2 = 1 THEN 2 * s[(len(s) + 1) // 2]
+       ELSE s[len(s) // 2] + s[len(s) // 2 + 1] END AS BIGINT) AS med2_micro
+FROM f
+"""
+
+
+@query("c_window_rolling_median", oracle=_RMED_ORACLE)
+def c_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of the last 5 events per user. Medians do
+    not partial-aggregate, so the honest distributed form is the
+    window frame fold: collect the (constant-bounded) frame, sort 5
+    elements per row inside codegen, index the middle. The answer is
+    emitted as TWICE the median (`med2_micro`) so the even-frame
+    midpoint average stays an exact integer — no .5 binary-vs-decimal
+    rounding hazard between engines.
+
+    Scale shape: one user-keyed exchange for the window sort; the
+    per-row work is O(L log L) on a 5-element array — no corpus-sized
+    state anywhere (contrast percentile_approx, which is the right
+    tool for CORPUS quantiles but needless machinery for a bounded
+    frame). The frame is rows-based, so a hot user costs frame-length
+    work per row, not per-partition blowup; the lagstitch bucket lane
+    applies if user skew ever bites."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(_RMED_L - 1), Window.currentRow)
+    )
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("x_micro"),
+    )
+    s = F.array_sort(F.collect_list("x_micro").over(w))
+    n = F.size(s)
+    med2 = (
+        F.when(
+            n % 2 == 1, F.element_at(s, ((n + 1) / 2).cast("int")) * 2
+        ).otherwise(
+            F.element_at(s, (n / 2).cast("int"))
+            + F.element_at(s, (n / 2).cast("int") + 1)
+        )
+    ).cast("long")
+    return e.select("user_id", "event_id", "x_micro", med2.alias("med2_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Skew lane: salted shuffle equi-join (round 9)
+# ---------------------------------------------------------------------------
+
+_SALT_N = 8
+
+_JOIN_SALTED_ORACLE = """
+SELECT c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("c_join_salted", oracle=_JOIN_SALTED_ORACLE)
+def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE equi-join — the skew lane for the one join shape
+    the existing lanes don't cover: fact ⋈ dimension where the dim is
+    too big to broadcast AND the fact's join key is hot. A plain
+    shuffle join sends every row of a hot key to ONE reducer; salting
+    splits each fact key into `_SALT_N` sub-keys (salt = event_id %
+    N — deterministic, no RNG) and replicates the dimension row N
+    ways, so no task ever owns more than 1/N of a hot key. The oracle
+    states the plain join: the differential proves salting is
+    answer-invariant. Complements c_join_bloom (reduction before
+    shuffle) and the AQE skew-join (runtime splitting — the preferred
+    fix when stats expose the skew; salting is the static form that
+    works even when AQE can't see it, e.g. under a single stats-free
+    exchange).
+
+    Cost model: dim replication ×N shuffles N·|dim| rows — the win
+    requires |dim| ≪ |fact|/N, which is exactly the regime where the
+    dim is also too big to broadcast but the fact's hot key dominates
+    a reducer. SHUFFLE_HASH hint pins the join strategy so the lane
+    stays a shuffle join at any autoBroadcastJoinThreshold (asserted
+    in tests/test_plans.py)."""
+    events = table(spark, sf_dir, "events")
+    customer = table(spark, sf_dir, "customer")
+    fact = events.select(
+        "user_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micro"),
+        (F.col("event_id") % _SALT_N).cast("int").alias("salt"),
+    )
+    dim = customer.select("c_custkey", "c_mktsegment").crossJoin(
+        F.broadcast(
+            spark.range(_SALT_N).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    return (
+        fact.join(
+            dim.hint("SHUFFLE_HASH"),
+            (F.col("user_id") == F.col("c_custkey"))
+            & (fact["salt"] == dim["salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v_micro").cast("long").alias("value_micro"),
+        )
+    )

@@ -916,3 +916,23 @@ def test_join_estimate_stats_side_is_register_sized(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # 2 scans per table: the stats aggregate + the anchor count table
     assert plan.count("Location: InMemoryFileIndex") <= 4, plan
+
+
+def test_join_salted_stays_shuffle_join(spark, sf_dir):
+    """The salted lane exists for the dim-too-big-to-broadcast regime:
+    the hint must pin a ShuffledHashJoin (a broadcast would make the
+    salt pointless), the salt replication itself rides a broadcast
+    nested-loop over the 8-row salt range, and no SortMergeJoin or
+    cartesian appears."""
+    plan = plan_of(spark, sf_dir, "c_join_salted")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_and_rolling_median_single_user_exchange(spark, sf_dir):
+    """Both frame folds are one user-keyed window exchange + codegen
+    array work — no join, no second shuffle of the event rows."""
+    for name in ("c_ewma", "c_window_rolling_median"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Join" not in plan, name
+        assert op_count(plan, "Exchange") == 1, name
