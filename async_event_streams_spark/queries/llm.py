@@ -6167,3 +6167,328 @@ def x_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: inverted index + conjunctive BM25 search (round 9)
+# ---------------------------------------------------------------------------
+
+_INV_BLOCK = 200  # docs per posting block
+_INV_TOPK = 20  # terms reported by the index-build query
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posting table (term, doc_id, tf) — built once per dataset
+    and pinned (`artifact`), the build-once/probe-many discipline the
+    LSH band tables use. (term, doc_id) is unique by construction."""
+    def build():
+        docs = table(spark, sf_dir, "documents")
+        return (
+            docs.select(
+                "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+
+    return artifact(spark, f"invindex:{sf_dir}", build)
+
+
+def _doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length sidecar of the inverted index (doc_id, dl)."""
+    def build():
+        docs = table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+        )
+
+    return artifact(spark, f"doclen:{sf_dir}", build)
+
+
+_INVINDEX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+top AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf GROUP BY 1 ORDER BY df DESC, term LIMIT {_INV_TOPK}
+)
+SELECT tf.term, CAST(doc_id // {_INV_BLOCK} AS BIGINT) AS block_id,
+  CAST(COUNT(*) AS BIGINT) AS df_block,
+  CAST(SUM(tf) AS BIGINT) AS cf_block,
+  md5(string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)) AS postings_md5
+FROM tf JOIN top USING (term)
+GROUP BY 1, 2
+"""
+
+
+@query("x_inverted_index", oracle=_INVINDEX_ORACLE)
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the keyword-retrieval backbone next to
+    the ANN family: per-term posting lists laid out in BLOCKS of
+    {_INV_BLOCK} doc_ids, reported for the top-{_INV_TOPK} terms by
+    document frequency (deterministic df-desc/term-asc cut). Each
+    output row is one posting block: document frequency and corpus
+    frequency within the block plus an md5 over the ordered
+    "doc_id:tf" list — the full index content, hash-compact for the
+    driver.
+
+    Blocking is the scale point: a stopword's posting list at 100 TB
+    is corpus-sized, and ANY layout that builds it in one task
+    (one collect_list per term) dies there. Keyed by (term, block)
+    the heaviest group is bounded by the block width regardless of
+    term frequency — the skip-list/block-max layout real engines use,
+    and the groupBy stays partially aggregable. The posting table
+    itself is a pinned artifact (build once, probe per query —
+    x_keyword_search rides it)."""
+    tf = _postings(spark, sf_dir)
+    top = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(_INV_TOPK)
+    )
+    blocks = (
+        tf.join(F.broadcast(top.select("term")), "term")
+        .groupBy(
+            "term",
+            # integer DIV, not double-divide-then-cast: a float
+            # quotient one ulp under an integer would mis-block
+            F.expr(f"CAST(doc_id DIV {_INV_BLOCK} AS BIGINT)").alias(
+                "block_id"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_block"),
+            F.sum("tf").cast("long").alias("cf_block"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "tf"))
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s.doc_id.cast("string"),
+                            s.tf.cast("string"),
+                        ),
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("postings_md5"),
+        )
+    )
+    return blocks
+
+
+def _search_terms() -> list[str]:
+    return list(_BM25_TERMS)
+
+
+def _keyword_search_oracle() -> str:
+    terms = _search_terms()
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN tf ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    score_terms = " + ".join(
+        f"""(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)
+       * (tf_{i} * ({_BM25_K1} + 1.0))
+       / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"""
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS dl FROM documents
+),
+qt AS (SELECT * FROM tf WHERE term IN ({in_list})),
+cand AS (
+  SELECT doc_id, {tf_cols}
+  FROM qt GROUP BY doc_id HAVING COUNT(*) = {len(terms)}
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM dl) AS n_docs,
+    (SELECT AVG(dl) FROM dl) AS avgdl, {df_cols}
+  FROM qt
+),
+scored AS (
+  SELECT cand.doc_id, ROUND({score_terms}, 6) AS bm25
+  FROM cand JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+    AS rank,
+  doc_id, bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@query("x_keyword_search", oracle=_keyword_search_oracle())
+def x_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search answered FROM THE INVERTED INDEX —
+    the consumer that makes x_inverted_index's artifact earn its keep
+    (the c_bitmap_filter discipline): resolve the query terms'
+    postings, intersect by doc_id (every term must hit), BM25-rank the
+    survivors, return the top-10 with ranks. The document TEXT is
+    never touched at query time: term frequencies, document
+    frequencies and document lengths all come from the pinned index
+    tables, so a query's cost scales with |postings(query terms)|,
+    not corpus size. The oracle re-derives everything from raw text —
+    proving index-resolved search ≡ scan-resolved search.
+
+    The intersection is a per-doc count over the slim posting rows
+    (map-side combinable, HAVING count = |terms|); corpus stats
+    reduce to one broadcast row. Ranking happens on ROUND(score, 6)
+    with doc_id tiebreak in BOTH engines, so the top-10 cut is
+    deterministic. Scoring arithmetic is x_bm25's expression tree
+    verbatim — same IEEE op sequence both sides."""
+    terms = _search_terms()
+    tf = _postings(spark, sf_dir)
+    dl = _doclens(spark, sf_dir)
+    qt = tf.filter(F.col("term").isin(terms))
+    cand = (
+        qt.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            *[
+                F.sum(
+                    F.when(F.col("term") == t, F.col("tf")).otherwise(0)
+                ).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .filter(F.col("nt") == len(terms))
+        .drop("nt")
+    )
+    dstats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfs = qt.agg(
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = dstats.crossJoin(dfs)
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        tfi = F.col(f"tf_{i}")
+        term = idf * (tfi * (_BM25_K1 + 1.0)) / (
+            tfi
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = term if score is None else score + term
+    scored = (
+        cand.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return scored.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "bm25"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation reporting: per-source dataset card (round 9)
+# ---------------------------------------------------------------------------
+
+_DATASET_CARD_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang, text, len({_SQL_TOKS}) AS dl FROM documents
+),
+base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(dl) AS BIGINT) AS n_tokens,
+    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS nd,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM d GROUP BY source
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS cnt,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang)
+      AS rn
+  FROM d GROUP BY source, lang
+)
+SELECT base.source, n_docs, n_tokens,
+  CAST(n_tokens * 1000 // n_docs AS BIGINT) AS tokens_per_doc_milli,
+  CAST((n_docs - nd) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+  n_langs, lc.lang AS top_lang,
+  CAST(lc.cnt * 1000000 // n_docs AS BIGINT) AS top_lang_ppm
+FROM base JOIN lc ON base.source = lc.source AND lc.rn = 1
+"""
+
+
+@query("x_dataset_card", oracle=_DATASET_CARD_ORACLE)
+def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-page curation summary a data
+    release ships (docs, token volume, mean length, exact-dup rate,
+    language spread): composes the x_dedup_exact digest shape, token
+    counting and language profiling into one source-keyed report. All
+    ratios are integer DIV in milli/ppm units — no float anywhere.
+
+    Scale shape: one corpus scan feeds a source-keyed aggregation;
+    the exact-dup column distinct-counts 16-byte digests (the
+    x_dedup_exact cost — honest, a dup RATE needs it); the top
+    language rides a slim (source × lang) count table through a
+    window on counts with lang tiebreak. Source count is small, but
+    nothing here assumes it: every aggregate partial-combines."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.size(tokens(F.col("text"))).cast("long").alias("dl"),
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+        F.countDistinct("digest").cast("long").alias("nd"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    lc = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "lang")
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "cnt")
+    )
+    return base.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 1000 DIV n_docs AS BIGINT)").alias(
+            "tokens_per_doc_milli"
+        ),
+        F.expr("CAST((n_docs - nd) * 1000000 DIV n_docs AS BIGINT)").alias(
+            "dup_ppm"
+        ),
+        "n_langs",
+        "top_lang",
+        F.expr("CAST(cnt * 1000000 DIV n_docs AS BIGINT)").alias(
+            "top_lang_ppm"
+        ),
+    )
