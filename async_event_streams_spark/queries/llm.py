@@ -6492,3 +6492,171 @@ def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_lang_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: k-means training for the IVF coarse quantizer
+# (round 9)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8  # centroids
+_KM_ITERS = 2  # bounded Lloyd rounds (the x_knn_pagerank discipline)
+_KM_DIM = 64  # embedding dimensionality (asserted at runtime)
+
+
+def _km_assign_sql(vsrc: str, csrc: str, out: str) -> str:
+    """One Lloyd assignment in DuckDB: exact integer squared distance,
+    ROW_NUMBER tiebreak on centroid id."""
+    return f"""
+{out} AS (
+  SELECT vec_id, x, cid, d FROM (
+    SELECT v.vec_id, v.x, c.cid,
+      CAST(SUM((v.x[i] - c.c[i]) * (v.x[i] - c.c[i])) AS BIGINT) AS d,
+      ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY CAST(SUM((v.x[i] - c.c[i]) * (v.x[i] - c.c[i])) AS BIGINT),
+                 c.cid) AS rn
+    FROM {vsrc} v, {csrc} c, unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+    GROUP BY v.vec_id, v.x, c.cid
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update_sql(asrc: str, out: str) -> str:
+    """One Lloyd update in DuckDB: per-dimension integer sums,
+    truncating-division mean (DuckDB `//` truncates toward zero,
+    -7 // 3 = -2, exactly like Spark's DIV — verified, NOT a floor)."""
+    return f"""
+{out} AS (
+  SELECT cid, list(ci ORDER BY i) AS c FROM (
+    SELECT cid, i, CAST(SUM(x[i]) // COUNT(*) AS BIGINT) AS ci
+    FROM {asrc}, unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+)"""
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   e -> CAST(floor(e * 1000000) AS BIGINT)) AS x
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cid,
+    x AS c
+  FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KM_K}
+)"""
+    ]
+    src = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        parts.append(_km_assign_sql("v", src, f"a{it}"))
+        parts.append(_km_update_sql(f"a{it}", f"c{it}"))
+        src = f"c{it}"
+    parts.append(_km_assign_sql("v", src, "afinal"))
+    body = ",".join(parts)
+    return (
+        body
+        + """
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS d_micro2 FROM afinal
+"""
+    )
+
+
+def _km_assign(V: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment in Spark: broadcast the K centroids, exact
+    int64 squared distance inside codegen, window tiebreak on cid."""
+    d = F.aggregate(
+        F.zip_with(F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    return (
+        V.crossJoin(F.broadcast(cent))
+        .select("vec_id", "x", "cid", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """One Lloyd update in Spark: per-dimension integer sums,
+    truncating-division mean. Spark DIV and DuckDB `//` BOTH truncate
+    toward zero (-7 DIV 3 = -7 // 3 = -2 — verified on both engines;
+    a pmod-based floor variant diverged on every negative-mean
+    dimension)."""
+    ex = assigned.select("cid", F.posexplode("x").alias("i", "xi"))
+    s = ex.groupBy("cid", "i").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        s.select(
+            "cid",
+            "i",
+            F.expr("CAST(s DIV n AS BIGINT)").alias("ci"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ci"))),
+                lambda st: st.ci,
+            ).alias("c")
+        )
+    )
+
+
+@query("x_kmeans", oracle=_kmeans_oracle())
+def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Lloyd k-means over the embedding table — the
+    trainer for the coarse quantizer x_ann_ivf explicitly leaves as
+    "a production build would k-means them" (llm.py IVF docstring):
+    K=8 centroids, 2 update rounds, then the final assignment with its
+    exact squared distance. EVERYTHING is integer: vectors quantize to
+    micro-units once, squared distances are exact int64 sums (micro²
+    × 64 dims < 2^53 — no ulp anywhere, so the argmin needs no
+    rounding guard at all, unlike the double-scoring ANN lanes),
+    centroid means truncate-divide back onto the integer lattice
+    (quantized centroids — the k-means variant whose state is exactly
+    representable and engine-independent), and seeding is the
+    deterministic md5 order (pseudo-random, reproducible, no RNG).
+
+    Scale shape per round: assignment broadcasts K rows against N
+    (zero shuffle of the corpus — the IVF assignment plan), the
+    window tiebreak partitions by vec_id over exactly K rows per key
+    (unskewable), the update is one partial-aggregating
+    (cid × dim)-keyed sum — K·dim output rows per round, driver never
+    sees a vector. Rounds are genuinely sequential (Lloyd is
+    iterative); 2 rounds bound the unrolled oracle the same way
+    x_knn_pagerank bounds power iteration. Centroid tables are
+    re-pinned per round against lineage blowup (the BPE-train
+    lesson)."""
+    emb = table(spark, sf_dir, "embeddings")
+    V = materialize(
+        emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda e: F.floor(e.cast("double") * 1000000).cast("long"),
+            ).alias("x"),
+        )
+    )
+    w0 = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    cent = materialize(
+        V.select(
+            F.row_number().over(w0).cast("long").alias("cid"),
+            F.col("x").alias("c"),
+        ).filter(F.col("cid") <= _KM_K)
+    )
+    for _ in range(_KM_ITERS):
+        cent = materialize(_km_update(_km_assign(V, cent)))
+    return _km_assign(V, cent).select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster"),
+        F.col("d").alias("d_micro2"),
+    )
