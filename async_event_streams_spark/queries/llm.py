@@ -6611,6 +6611,43 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _km_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-quantized integer vectors (vec_id, x) — pinned, shared by
+    the trainer and the trained-IVF consumer."""
+
+    def build():
+        emb = table(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda e: F.floor(e.cast("double") * 1000000).cast("long"),
+            ).alias("x"),
+        )
+
+    return artifact(spark, f"km_vectors:{sf_dir}", build)
+
+
+def _km_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained centroid table (cid, c) after _KM_ITERS Lloyd
+    rounds — a pinned artifact (train once, index/search many)."""
+
+    def build():
+        V = _km_vectors(spark, sf_dir)
+        w0 = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        cent = materialize(
+            V.select(
+                F.row_number().over(w0).cast("long").alias("cid"),
+                F.col("x").alias("c"),
+            ).filter(F.col("cid") <= _KM_K)
+        )
+        for _ in range(_KM_ITERS):
+            cent = materialize(_km_update(_km_assign(V, cent)))
+        return cent
+
+    return artifact(spark, f"km_centroids:{sf_dir}", build)
+
+
 @query("x_kmeans", oracle=_kmeans_oracle())
 def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round Lloyd k-means over the embedding table — the
@@ -6635,28 +6672,125 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative); 2 rounds bound the unrolled oracle the same way
     x_knn_pagerank bounds power iteration. Centroid tables are
     re-pinned per round against lineage blowup (the BPE-train
-    lesson)."""
-    emb = table(spark, sf_dir, "embeddings")
-    V = materialize(
-        emb.select(
-            "vec_id",
-            F.transform(
-                F.col("embedding"),
-                lambda e: F.floor(e.cast("double") * 1000000).cast("long"),
-            ).alias("x"),
-        )
-    )
-    w0 = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    cent = materialize(
-        V.select(
-            F.row_number().over(w0).cast("long").alias("cid"),
-            F.col("x").alias("c"),
-        ).filter(F.col("cid") <= _KM_K)
-    )
-    for _ in range(_KM_ITERS):
-        cent = materialize(_km_update(_km_assign(V, cent)))
+    lesson); the trained table and the quantized vectors are
+    build-once artifacts the IVF consumer (x_ann_ivf_trained)
+    shares."""
+    V = _km_vectors(spark, sf_dir)
+    cent = _km_centroids(spark, sf_dir)
     return _km_assign(V, cent).select(
         "vec_id",
         F.col("cid").cast("long").alias("cluster"),
         F.col("d").alias("d_micro2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: IVF over the TRAINED quantizer (round 9)
+# ---------------------------------------------------------------------------
+
+_IVFT_Q = 10  # query set: vec_id < 10 (the x_ann_ivf convention)
+_IVFT_PROBES = 2  # cells probed per query
+_IVFT_TOPK = 5
+
+
+def _ivf_trained_oracle() -> str:
+    km = _kmeans_oracle()
+    # reuse the kmeans CTE chain up to the final assignment, then
+    # search: probe the _IVFT_PROBES nearest trained centroids per
+    # query, candidates = vectors in probed cells, exact integer L2
+    # top-k with vec_id tiebreak.
+    body = km[: km.index("SELECT vec_id, CAST(cid AS BIGINT)")]
+    return (
+        body
+        + f""",
+q AS (SELECT vec_id AS query_id, x AS qx FROM v WHERE vec_id < {_IVFT_Q}),
+probe AS (
+  SELECT query_id, qx, cid FROM (
+    SELECT q.query_id, q.qx, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY CAST(SUM((q.qx[i] - c.c[i]) * (q.qx[i] - c.c[i]))
+                      AS BIGINT), c.cid) AS rn
+    FROM q, c{_KM_ITERS} c, unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+    GROUP BY q.query_id, q.qx, c.cid
+  ) WHERE rn <= {_IVFT_PROBES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    CAST(SUM((p.qx[i] - a.x[i]) * (p.qx[i] - a.x[i])) AS BIGINT) AS d
+  FROM probe p JOIN afinal a ON a.cid = p.cid,
+    unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, d AS d_micro2,
+  CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, d,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {_IVFT_TOPK}
+"""
+    )
+
+
+@query("x_ann_ivf_trained", oracle=_ivf_trained_oracle())
+def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the TRAINED coarse quantizer — the composition
+    x_ann_ivf points at ("a production build would k-means them"):
+    cells come from x_kmeans' Lloyd-trained centroid artifact instead
+    of the deterministic vec_id<K seeds, and the whole path — train,
+    assign, probe, score — stays on the integer lattice, so unlike the
+    double-scoring IVF there is NO rounding guard anywhere: exact
+    int64 L2, ties broken by id, bit-reproducible on any engine.
+
+    Search shape (the scale contract): the trained K-row centroid
+    table broadcasts twice (cell assignment of the corpus — shared
+    with the trainer via the pinned artifact — and query probing);
+    candidates arrive through a cell-keyed EQUI-join of the query
+    probe list against the assignment table, never an all-pairs
+    scan; per-query work is |probes|/K of the corpus. A hot cell is
+    a skewed join key AQE splits (the x_ann_ivf note), and the
+    recall/cost dial is _IVFT_PROBES. The oracle replays training AND
+    search in one unrolled CTE chain — the full pipeline differential,
+    not just the last stage."""
+    V = _km_vectors(spark, sf_dir)
+    cent = _km_centroids(spark, sf_dir)
+    assigned = _km_assign(V, cent).select("vec_id", "cid", "x")
+    q = V.filter(F.col("vec_id") < _IVFT_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("x").alias("qx")
+    )
+    dprobe = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    wq = Window.partitionBy("query_id").orderBy("dp", "cid")
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qx", "cid", dprobe.alias("dp"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFT_PROBES)
+        .select("query_id", "qx", "cid")
+    )
+    dcand = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("x"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dcand.alias("d_micro2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("d_micro2", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _IVFT_TOPK)
+        .select("query_id", "neighbor_id", "d_micro2", "rank")
     )

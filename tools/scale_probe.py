@@ -110,6 +110,21 @@ PROBE_QUERIES = [
     "x_mix_schedule",
     "x_shard_assign",
     "x_ann_recall",
+    # r9 additions: the bounded-frame time-series pair (one user-keyed
+    # exchange each), the salted join (dim replication is the cost —
+    # must stay ~linear), KN's bigram-keyed join, the diversity metric
+    # (gram-keyed distinct — the honest corpus cost), the index build
+    # + index-resolved search, the per-source card, and integer Lloyd
+    "c_ewma",
+    "c_window_rolling_median",
+    "c_join_salted",
+    "x_kneser_ney",
+    "x_distinct_ngrams",
+    "x_inverted_index",
+    "x_keyword_search",
+    "x_dataset_card",
+    "x_kmeans",
+    "x_ann_ivf_trained",
 ]
 
 KEY_STRIDE = 100_000_000
