@@ -54,3 +54,48 @@ def archive_topic(
 
 def read_archive(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    quarantine_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-enforced JSONL ingestion — the raw-corpus entry path (web
+    dumps and crawl derivatives ship as JSONL long before anything is
+    parquet). An EXPLICIT schema is required on purpose: at 100 TB,
+    schema inference is a full extra pass over the corpus, and a
+    drifting inferred schema silently changes every downstream plan.
+    PERMISSIVE mode + a corrupt-record column turns malformed lines
+    into quarantinable rows instead of job failures — split on
+    `quarantine_col IS NOT NULL` and route the bad lines to a review
+    sink; the good rows carry NULL there and drop the column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if quarantine_col not in [f.name for f in schema.fields]:
+        schema = schema.add(quarantine_col, StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", quarantine_col)
+        .json(path)
+    )
+
+
+def split_quarantine(df: DataFrame, quarantine_col: str = "_corrupt_record"):
+    """(good_rows_without_the_column, quarantined_rows) from a
+    read_jsonl frame. The frame is pinned first: Spark refuses
+    referencing ONLY the corrupt-record column of a raw JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the
+    pin also guarantees both halves come from the same parse, so a
+    row can't flip sides between the two reads."""
+    from pyspark.sql import functions as F
+
+    pinned = df.localCheckpoint(eager=False)
+    good = pinned.filter(F.col(quarantine_col).isNull()).drop(quarantine_col)
+    bad = pinned.filter(F.col(quarantine_col).isNotNull())
+    return good, bad

@@ -59,3 +59,36 @@ def test_sql_sees_normalized_timestamps(spark, sf_dir):
     ).collect()[0]
     assert row.lo is not None and row.hi >= row.lo
     assert row.lo.year >= 2020
+
+
+def test_jsonl_ingestion_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """read_jsonl (io.py): explicit-schema JSONL ingestion returns the
+    same rows parquet holds; malformed lines quarantine as rows (with
+    the offending text) instead of failing the job."""
+    import json as _json
+
+    from async_event_streams_spark.io import read_jsonl, split_quarantine
+    from async_event_streams_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    rows = [r.asDict() for r in docs.collect()]
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+        f.write('{"doc_id": 999999999, "lang": "xx", BROKEN\n')  # corrupt
+    got = read_jsonl(
+        spark,
+        str(p),
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    good, bad = split_quarantine(got)
+    assert bad.count() == 1
+    assert "BROKEN" in bad.collect()[0]._corrupt_record
+    assert sorted(good.columns) == ["doc_id", "lang", "n_chars", "source"]
+    assert good.count() == len(rows)
+    assert {r.doc_id for r in good.select("doc_id").collect()} == {
+        r["doc_id"] for r in rows
+    }
