@@ -6794,3 +6794,83 @@ def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVFT_TOPK)
         .select("query_id", "neighbor_id", "d_micro2", "rank")
     )
+
+
+def _kmeans_quality_oracle() -> str:
+    km = _kmeans_oracle()
+    body = km[: km.index("SELECT vec_id, CAST(cid AS BIGINT)")]
+    return (
+        body
+        + f""",
+intra AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+    CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_d_micro2
+  FROM afinal GROUP BY cid
+),
+sep AS (
+  SELECT a.cid,
+    CAST(MIN(dd) AS BIGINT) AS sep_micro2
+  FROM (
+    SELECT a.cid, b.cid AS other,
+      CAST(SUM((a.c[i] - b.c[i]) * (a.c[i] - b.c[i])) AS BIGINT) AS dd
+    FROM c{_KM_ITERS} a JOIN c{_KM_ITERS} b ON a.cid <> b.cid,
+      unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+    GROUP BY a.cid, b.cid
+  ) a GROUP BY a.cid
+)
+SELECT CAST(intra.cid AS BIGINT) AS cluster, n_members, mean_d_micro2,
+  sep_micro2,
+  CAST(mean_d_micro2 < sep_micro2 AS BOOLEAN) AS compact
+FROM intra JOIN sep ON intra.cid = sep.cid
+"""
+    )
+
+
+@query("x_kmeans_quality", oracle=_kmeans_quality_oracle())
+def x_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report over the trained quantizer — the
+    Davies-Bouldin-flavored acceptance check before the x_kmeans
+    centroids are trusted to index a corpus: per cluster its size,
+    mean intra-cluster squared distance (cohesion, integer DIV) and
+    squared distance to the NEAREST other centroid (separation), plus
+    the `compact` verdict (cohesion < separation — the ratio test a
+    quantizer must pass for cell probing to be selective). Everything
+    rides the integer lattice: member distances are x_kmeans' exact
+    int64 d, the K×K centroid-separation table is K(K−1) exact
+    integer rows computed from the K-row artifact alone.
+
+    Scale shape: one broadcast assignment pass over the corpus (shared
+    with x_kmeans through the pinned artifacts — in a session that
+    already trained, this query costs ONE cid-keyed |K|-row rollup),
+    and the separation table never touches data at all."""
+    V = _km_vectors(spark, sf_dir)
+    cent = _km_centroids(spark, sf_dir)
+    assigned = _km_assign(V, cent)
+    intra = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.expr("CAST(SUM(d) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_d_micro2"
+        ),
+    )
+    b = cent.select(
+        F.col("cid").alias("other"), F.col("c").alias("c2")
+    )
+    dd = F.aggregate(
+        F.zip_with(F.col("c"), F.col("c2"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    sep = (
+        cent.crossJoin(F.broadcast(b))
+        .filter(F.col("cid") != F.col("other"))
+        .select("cid", dd.alias("dd"))
+        .groupBy("cid")
+        .agg(F.min("dd").cast("long").alias("sep_micro2"))
+    )
+    return intra.join(F.broadcast(sep), "cid").select(
+        F.col("cid").cast("long").alias("cluster"),
+        "n_members",
+        "mean_d_micro2",
+        "sep_micro2",
+        (F.col("mean_d_micro2") < F.col("sep_micro2")).alias("compact"),
+    )

@@ -125,6 +125,7 @@ PROBE_QUERIES = [
     "x_dataset_card",
     "x_kmeans",
     "x_ann_ivf_trained",
+    "x_kmeans_quality",
 ]
 
 KEY_STRIDE = 100_000_000
