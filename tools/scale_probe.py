@@ -126,6 +126,9 @@ PROBE_QUERIES = [
     "x_kmeans",
     "x_ann_ivf_trained",
     "x_kmeans_quality",
+    "c_cumulative_reach",
+    "c_histogram_equidepth",
+    "c_share_of_parent",
 ]
 
 KEY_STRIDE = 100_000_000
