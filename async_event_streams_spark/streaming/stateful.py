@@ -194,3 +194,65 @@ def _sessionize_tws(df: DataFrame, gap_seconds: float) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-frame EWMA (round 9): per-key SLIDING-FRAME state
+# ---------------------------------------------------------------------------
+
+EWMA_L = 8  # must track relational.c_ewma's frame
+
+EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, x_micro long, ewma_pico long"
+# state = the last (up to) 8 (event_id, x_micro) pairs, oldest first —
+# the one state family the max-merge (1 tuple) and dedup (set) shapes
+# don't cover: a bounded DEQUE per key.
+EWMA_STATE_SCHEMA = "event_ids array<long>, xs array<long>"
+
+
+def streaming_ewma(df: DataFrame) -> DataFrame:
+    """Streaming twin of `c_ewma`: per-user decay-1/2 EWMA over the
+    last EWMA_L events, emitted for EVERY input row with the exact
+    integer arithmetic of the batch query (power-of-two weights,
+    (num·10^6) DIV den — a replay reproduces identical outputs).
+
+    State is a bounded deque of the last EWMA_L (event_id, value)
+    pairs per key — O(keys · L), the frame-operator state class; the
+    store checkpoints it, so the frame survives restarts mid-window.
+    Rows are folded in event_id order WITHIN each batch; cross-batch
+    order is the arrival order, matching the batch query whenever the
+    stream delivers per-key rows in event order (the topic FIFO
+    guarantee)."""
+
+    def update(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids, xs = state.get if state.exists else ([], [])
+        ids, xs = list(ids), list(xs)
+        out_rows = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("event_id")
+            for eid, x in zip(pdf["event_id"], pdf["x_micro"]):
+                ids.append(int(eid))
+                xs.append(int(x))
+                ids, xs = ids[-EWMA_L:], xs[-EWMA_L:]
+                num = sum(v * (1 << i) for i, v in enumerate(xs))
+                den = (1 << len(xs)) - 1
+                out_rows.append(
+                    (key[0], int(eid), int(x), (num * 1_000_000) // den)
+                )
+        state.update((ids, xs))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["user_id", "event_id", "x_micro", "ewma_pico"],
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

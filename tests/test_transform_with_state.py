@@ -61,3 +61,53 @@ def test_sessionize_across_batches(spark, tmp_path):
         assert rows == {(1, 1000.0): (2, 3.0), (1, 1110.0): (1, 4.0)}
     finally:
         t.close()
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """streaming_ewma == the c_ewma fold, across micro-batch
+    boundaries: frames SPAN batches (the deque state must carry), and
+    every input row gets exactly one output row with the exact
+    integer arithmetic of the batch query."""
+    from async_event_streams_spark.streaming.stateful import streaming_ewma
+
+    t = Topic(
+        spark,
+        "ewma_t",
+        "user_id long, seq long, x_micro long",  # event_id is envelope
+        str(tmp_path / "topics"),
+        TopicRegistry(),
+    )
+    stream = t.subscribe().select(
+        "user_id", F.col("seq").alias("event_id"), "x_micro"
+    )
+    query, tbl = run_stream_to_memory(
+        streaming_ewma(stream), output_mode="append"
+    )
+    t.attach_query(query)
+    try:
+        rows = [
+            {"user_id": u, "seq": 100 * i + u, "x_micro": (i * 37 + u * 11) % 500}
+            for i in range(12)
+            for u in (1, 2)
+        ]
+        # three waves of 8 — every user's 8-frame spans batches
+        for lo in range(0, 24, 8):
+            t.send(rows[lo : lo + 8])
+        got = {
+            (r.user_id, r.event_id): (r.x_micro, r.ewma_pico)
+            for r in spark.sql(f"SELECT * FROM {tbl}").collect()
+        }
+        assert len(got) == len(rows)
+        hist: dict[int, list[int]] = {}
+        for r in sorted(rows, key=lambda r: r["seq"]):
+            h = hist.setdefault(r["user_id"], [])
+            h.append(r["x_micro"])
+            frame = h[-8:]
+            num = sum(v * (1 << i) for i, v in enumerate(frame))
+            den = (1 << len(frame)) - 1
+            assert got[(r["user_id"], r["seq"])] == (
+                r["x_micro"],
+                (num * 1_000_000) // den,
+            ), r
+    finally:
+        t.close()
