@@ -4481,3 +4481,71 @@ def c_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_total_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew lanes for the bounded-frame folds (round 9): the adversarial
+# probe measured the plain shapes at 4.3x under a 30%-hot user — the
+# lag/sessionize/scd2 exposure class, closed the same way. Same
+# oracles as the plain queries: the differential proves stitched ==
+# plain window.
+# ---------------------------------------------------------------------------
+
+
+def _ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("x_micro"),
+    )
+
+
+@query("c_ewma_bucketed", oracle=_EWMA_ORACLE)
+def c_ewma_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-and-stitch EWMA (functions/framestitch.py): local frame
+    collects per (user, event-id bucket) + an (L−1)-row tail carry
+    stitched from a BOUNDED window over the per-bucket summary — no
+    task ever owns more than one (user, bucket) of data. Same oracle
+    as c_ewma."""
+    from ..functions.framestitch import ewma_from_frame, frame_values_bucketed
+
+    return ewma_from_frame(
+        frame_values_bucketed(_ewma_events(spark, sf_dir), frame_len=8)
+    )
+
+
+@query("c_ewma_adaptive", oracle=_EWMA_ORACLE)
+def c_ewma_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT/COLD split EWMA — the production entry point (the
+    functions/asof.py rationale: whole-corpus stitching re-pays the
+    corpus exactly where plain is already optimal): a bounded hot-key
+    probe routes only hot users through the stitch. Same oracle; the
+    dispatch can change the plan, never the answer."""
+    from ..functions.framestitch import ewma_from_frame, frame_values
+
+    return ewma_from_frame(frame_values(_ewma_events(spark, sf_dir), frame_len=8))
+
+
+@query("c_rolling_median_bucketed", oracle=_RMED_ORACLE)
+def c_rolling_median_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-and-stitch rolling median — the same (L−1)-row carry
+    machinery with the exact 2×-median fold. Same oracle as
+    c_window_rolling_median."""
+    from ..functions.framestitch import (
+        frame_values_bucketed,
+        rolling_median_from_frame,
+    )
+
+    return rolling_median_from_frame(
+        frame_values_bucketed(_ewma_events(spark, sf_dir), frame_len=5)
+    )
+
+
+@query("c_rolling_median_adaptive", oracle=_RMED_ORACLE)
+def c_rolling_median_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT/COLD split rolling median — the production entry point."""
+    from ..functions.framestitch import frame_values, rolling_median_from_frame
+
+    return rolling_median_from_frame(
+        frame_values(_ewma_events(spark, sf_dir), frame_len=5)
+    )

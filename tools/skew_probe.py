@@ -45,6 +45,16 @@ SKEW_QUERIES = [
     "c_join_asof",  # union + user-keyed window: same bounded family
     "c_join_asof_bucketed",  # r7.2: bucket-and-stitch as-of twin
     "c_join_asof_adaptive",  # r7.2: hot/cold split (production entry)
+    # r9: the bounded-frame folds (per-row work is frame-constant, so
+    # the hot partition is one big sort, not super-linear state) and
+    # the salted join (exists FOR the hot key: ratio should be ~1)
+    "c_ewma",
+    "c_ewma_bucketed",
+    "c_ewma_adaptive",
+    "c_window_rolling_median",
+    "c_rolling_median_bucketed",
+    "c_rolling_median_adaptive",
+    "c_join_salted",
 ]
 
 
