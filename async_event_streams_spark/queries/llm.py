@@ -6874,3 +6874,144 @@ def x_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sep_micro2",
         (F.col("mean_d_micro2") < F.col("sep_micro2")).alias("compact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact integer-L2 baseline + trained-IVF recall
+# dashboard (round 9)
+# ---------------------------------------------------------------------------
+
+_L2_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   e -> CAST(floor(e * 1000000) AS BIGINT)) AS x
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, x AS qx FROM v WHERE vec_id < {_IVFT_Q}),
+pairs AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+    CAST(SUM((q.qx[i] - v.x[i]) * (q.qx[i] - v.x[i])) AS BIGINT) AS d
+  FROM q, v, unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+  WHERE v.vec_id <> q.query_id
+  GROUP BY q.query_id, v.vec_id
+)
+SELECT query_id, neighbor_id, d AS d_micro2, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, d,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {_IVFT_TOPK}
+"""
+
+
+@query("x_l2_topk", oracle=_L2_TOPK_ORACLE)
+def x_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-L2 top-5 — the brute-force baseline of the
+    Euclidean family (x_cosine_topk's counterpart on the quantized
+    lattice, and the ground truth x_ann_recall_trained measures
+    against): the 10-query set broadcast against the corpus, exact
+    int64 squared distances, id tiebreak — zero floating point, so
+    unlike the cosine baseline there is no rounding discipline to
+    state at all.
+
+    Scale shape: queries broadcast (never the corpus side), per-row
+    work is |queries|·dim inside codegen, and the top-k is a
+    query-keyed window over ≤|queries| rows per key after a
+    candidates-per-partition TakeOrdered-like rank. Production runs
+    this over a fixed evaluation sample — the honest-cost baseline
+    exists to be measured against."""
+    V = _km_vectors(spark, sf_dir)
+    q = V.filter(F.col("vec_id") < _IVFT_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("x").alias("qx")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("x"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("query_id").orderBy("d_micro2", "neighbor_id")
+    return (
+        V.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            d.alias("d_micro2"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _IVFT_TOPK)
+    )
+
+
+def _ann_recall_trained_oracle() -> str:
+    return f"""
+WITH exact_side AS ({_L2_TOPK_ORACLE}),
+ann_side AS ({_ivf_trained_oracle()}),
+hits AS (
+  SELECT e.query_id,
+    CAST(COUNT(*) AS BIGINT) AS n_exact,
+    CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact_side e LEFT JOIN ann_side a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, n_exact, n_hits,
+  CAST((n_hits * 1000000) // n_exact AS BIGINT) AS recall_ppm
+FROM hits
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n_exact) AS BIGINT),
+  CAST(SUM(n_hits) AS BIGINT),
+  CAST((SUM(n_hits) * 1000000) // SUM(n_exact) AS BIGINT)
+FROM hits
+"""
+
+
+@query("x_ann_recall_trained", oracle=_ann_recall_trained_oracle())
+def x_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 dashboard for the TRAINED-quantizer IVF path — the
+    x_ann_recall discipline applied to the round's new lane: per
+    query the overlap between x_ann_ivf_trained's top-5 and the exact
+    integer-L2 top-5 (x_l2_topk), in integer ppm, plus the corpus row
+    (query_id = −1). This is the dial that justifies _IVFT_PROBES:
+    probes=2 of K=8 cells scans ~25% of the corpus per query, and
+    THIS number says what that buys. Composition, not
+    reimplementation — both sides are the registered queries, the
+    oracle reuses their SQL verbatim as CTEs, and every distance on
+    both sides is an exact integer, so the dashboard itself carries
+    no rounding discipline at all."""
+    exact = x_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = x_ann_ivf_trained(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = (
+        exact.join(
+            ann,
+            (exact.query_id == ann.query_id)
+            & (exact.neighbor_id == ann.ann_neighbor),
+            "left",
+        )
+        .select(exact.query_id, "neighbor_id", "ann_neighbor")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("ann_neighbor").cast("long").alias("n_hits"),
+        )
+    )
+    hits = materialize(hits)
+    per_q = hits.select(
+        F.col("query_id").cast("long"),
+        "n_exact",
+        "n_hits",
+        F.expr("(n_hits * 1000000) DIV n_exact").cast("long").alias("recall_ppm"),
+    )
+    overall = hits.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.expr("(sum(n_hits) * 1000000) DIV sum(n_exact)")
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+    return per_q.unionAll(overall)

@@ -129,6 +129,8 @@ PROBE_QUERIES = [
     "c_cumulative_reach",
     "c_histogram_equidepth",
     "c_share_of_parent",
+    "x_l2_topk",
+    "x_ann_recall_trained",
 ]
 
 KEY_STRIDE = 100_000_000
