@@ -482,3 +482,43 @@ def test_bitmap_merge_invariant_under_random_splits(spark, rows, sizes):
         for r in build(spark.createDataFrame(rows, schema)).collect()
     }
     assert merged == want
+
+
+# ---------------------------------------------------------------------------
+# framestitch (round 9): bucketed frames == pure-Python frames on
+# ARBITRARY row layouts (key spread, id gaps, negative values, tiny
+# buckets) — the delta-log-merge-invariant discipline applied to the
+# (L-1)-row carry.
+# ---------------------------------------------------------------------------
+
+frame_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user (few keys: collisions)
+        st.integers(min_value=0, max_value=200),  # event id (gaps, clusters)
+        st.integers(min_value=-(10**9), max_value=10**9),  # value
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],  # unique event ids (the table invariant)
+)
+
+
+@given(frame_rows, st.sampled_from([3, 5, 8]), st.sampled_from([2, 4, 16]))
+@settings(**SETTINGS)
+def test_bucketed_frames_match_python_reference(spark, rows, L, bucket_rows):
+    from async_event_streams_spark.functions.framestitch import (
+        frame_values_bucketed,
+    )
+
+    df = spark.createDataFrame(rows, "user_id long, event_id long, x_micro long")
+    got = {
+        (r.user_id, r.event_id): list(r.frame)
+        for r in frame_values_bucketed(df, L, bucket_rows=bucket_rows).collect()
+    }
+    hist: dict[int, list[int]] = {}
+    want = {}
+    for u, e, x in sorted(rows, key=lambda t: t[1]):
+        h = hist.setdefault(u, [])
+        h.append(x)
+        want[(u, e)] = h[-L:]
+    assert got == want
