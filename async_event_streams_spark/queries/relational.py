@@ -4549,3 +4549,129 @@ def c_rolling_median_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_median_from_frame(
         frame_values(_ewma_events(spark, sf_dir), frame_len=5)
     )
+
+
+_ANOMALY_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(value * 1000000) AS BIGINT) AS x_micro,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT a.user_id, a.event_id, a.x_micro,
+    CAST((CAST(SUM(b.x_micro * CAST(pow(2, b.rn - a.rn + {_EWMA_L} - 1) AS BIGINT)) AS HUGEINT) * 1000000)
+      // CAST(SUM(CAST(pow(2, b.rn - a.rn + {_EWMA_L} - 1) AS BIGINT)) AS BIGINT) AS BIGINT) AS ewma_pico
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {_EWMA_L - 1} AND a.rn
+  GROUP BY 1, 2, 3
+),
+l AS (
+  SELECT user_id, event_id, x_micro,
+    x_micro * 1000000
+      - LAG(ewma_pico) OVER (PARTITION BY user_id ORDER BY event_id)
+      AS residual_pico,
+    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+    CAST(CAST(SUM(x_micro) OVER (PARTITION BY user_id) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+    CAST(CAST(SUM(CAST(x_micro AS HUGEINT) * x_micro)
+         OVER (PARTITION BY user_id) AS DECIMAL(38,0)) AS DOUBLE) AS q
+  FROM p
+)
+SELECT user_id, event_id, x_micro,
+  CAST(residual_pico AS BIGINT) AS residual_pico,
+  CAST(CASE WHEN residual_pico IS NULL THEN 0
+       WHEN (CAST(residual_pico AS DOUBLE) / 1000000)
+            * (CAST(residual_pico AS DOUBLE) / 1000000)
+            > 4.0 * ((q - s * s / n) / n) THEN 1 ELSE 0 END AS INTEGER)
+    AS anomaly
+FROM l
+"""
+
+
+@query("c_anomaly_ewma", oracle=_ANOMALY_ORACLE)
+def c_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-stream anomaly detection — the standard ops-dashboard
+    rule composed from this round's EWMA: each event's FORECAST is the
+    previous row's EWMA (a one-step-ahead smoother), the residual is
+    the exact integer difference in pico-units, and the flag fires
+    when the squared residual exceeds 4× the user's population
+    variance (the 2-sigma test of x_embedding_qc, per key). First
+    event per user has no forecast — NULL residual, flag 0, both
+    engines by the same CASE.
+
+    Determinism: the residual is exact (integer EWMA minus integer
+    value); the variance comparison derives from exact integer
+    moments (Σx widened to DECIMAL, Σx² widened BEFORE the per-row
+    square — micro² already passes int64 at corpus row counts)
+    through an identical IEEE op sequence in both engines.
+
+    Scale shape: the EWMA frame fold, the forecast LAG and the
+    per-user moment aggregates all ride ONE user-keyed exchange
+    (window aggregates over the same partitioning — no second
+    shuffle, no join); skew exposure equals c_ewma's, and the same
+    framestitch lane applies to the fold if a hot user bites."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wf = w.rowsBetween(-(_EWMA_L - 1), Window.currentRow)
+    wp = Window.partitionBy("user_id")
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("x_micro"),
+    )
+    vals = F.collect_list("x_micro").over(wf)
+    num = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(0).cast("long").alias("num"), F.lit(1).cast("long").alias("wt")
+        ),
+        lambda acc, v: F.struct(
+            (acc.num + v * acc.wt).alias("num"), (acc.wt * 2).alias("wt")
+        ),
+        lambda acc: acc.num,
+    )
+    den = F.pow(F.lit(2.0), F.size(vals)).cast("long") - 1
+    p = e.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        num.alias("num"),
+        den.alias("den"),
+    ).select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        F.expr(
+            "CAST(CAST(num AS DECIMAL(38,0)) * 1000000 DIV den AS BIGINT)"
+        ).alias("ewma_pico"),
+    )
+    l = p.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        (F.col("x_micro") * 1000000 - F.lag("ewma_pico").over(w)).alias(
+            "residual_pico"
+        ),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum(F.col("x_micro").cast("decimal(38,0)"))
+        .over(wp)
+        .cast("double")
+        .alias("s"),
+        F.sum(
+            F.col("x_micro").cast("decimal(19,0)")
+            * F.col("x_micro").cast("decimal(19,0)")
+        )
+        .over(wp)
+        .cast("double")
+        .alias("q"),
+    )
+    rp = F.col("residual_pico").cast("double") / 1000000
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    return l.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        F.col("residual_pico").cast("long").alias("residual_pico"),
+        F.when(F.col("residual_pico").isNull(), F.lit(0))
+        .otherwise((rp * rp > F.lit(4.0) * var).cast("int"))
+        .cast("int")
+        .alias("anomaly"),
+    )

@@ -131,6 +131,7 @@ PROBE_QUERIES = [
     "c_share_of_parent",
     "x_l2_topk",
     "x_ann_recall_trained",
+    "c_anomaly_ewma",
 ]
 
 KEY_STRIDE = 100_000_000
