@@ -6357,9 +6357,16 @@ def x_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc_id tiebreak in BOTH engines, so the top-10 cut is
     deterministic. Scoring arithmetic is x_bm25's expression tree
     verbatim — same IEEE op sequence both sides."""
-    terms = _search_terms()
-    tf = _postings(spark, sf_dir)
-    dl = _doclens(spark, sf_dir)
+    return bm25_search(
+        _postings(spark, sf_dir), _doclens(spark, sf_dir), _search_terms()
+    )
+
+
+def bm25_search(tf: DataFrame, dl: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunctive BM25 top-10 over an index table pair — the serving
+    path, shared between the batch query (pinned artifacts) and the
+    streamed index (streaming/index.py postings snapshot), so the
+    composed stream-then-serve test proves the SAME code path."""
     qt = tf.filter(F.col("term").isin(terms))
     cand = (
         qt.groupBy("doc_id")

@@ -85,6 +85,15 @@ def _blocks(tf: DataFrame) -> DataFrame:
     )
 
 
+def postings_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The CURRENT merged (term, doc_id, tf) posting table — the
+    index-table input the BM25 serving path (queries.llm.bm25_search)
+    consumes directly."""
+    if not state_dirs(state_dir):
+        return spark.createDataFrame([], "term string, doc_id long, tf long")
+    return mv_snapshot(spark, state_dir, merge_fn=_posting_merge)
+
+
 def index_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
     """The CURRENT block-partitioned index over every document seen."""
     if not state_dirs(state_dir):

@@ -84,3 +84,47 @@ def test_streaming_index_restart(spark, tmp_path):
     finally:
         h2.stop()
         src.close()
+
+
+def test_search_from_streamed_index_equals_batch_search(spark, sf_dir, tmp_path):
+    """The composed serving path: stream the REAL documents table
+    through the index pipe, then answer the conjunctive BM25 search
+    from the streamed postings snapshot — results must equal the
+    registered batch x_keyword_search (same bm25_search code path,
+    index built by stream instead of scan)."""
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.queries import QUERIES
+    from async_event_streams_spark.queries.llm import (
+        _search_terms,
+        bm25_search,
+    )
+    from async_event_streams_spark.streaming.index import postings_snapshot
+    from async_event_streams_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = [r.asDict() for r in docs.collect()]
+    reg = TopicRegistry()
+    src = Topic(spark, "idx_serve", _SCHEMA, str(tmp_path / "t"), reg)
+    sdir = str(tmp_path / "state")
+    h = index_pipe(src, sdir, name="idx-serve", compact_every=2)
+    try:
+        for lo in range(0, len(rows), 200):  # several waves
+            src.send(rows[lo : lo + 200], barrier="chain")
+        tf = postings_snapshot(spark, sdir)
+        dl = docs.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("dl"),
+        )
+        got = [
+            (r.rank, r.doc_id, r.bm25)
+            for r in bm25_search(tf, dl, _search_terms()).collect()
+        ]
+        want = [
+            (r.rank, r.doc_id, r.bm25)
+            for r in QUERIES["x_keyword_search"](spark, sf_dir).collect()
+        ]
+        assert got == want and got
+    finally:
+        h.stop()
+        src.close()
