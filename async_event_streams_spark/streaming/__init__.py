@@ -49,3 +49,16 @@ from .ann import (  # noqa: F401
     search_ivf_index,
     search_ivfpq_index,
 )
+from .topk import topk_batch_twin, topk_pipe, topk_snapshot  # noqa: F401
+from .reach import (  # noqa: F401
+    reach_batch_twin,
+    reach_pipe,
+    reach_snapshot,
+)
+from .index import (  # noqa: F401
+    index_batch_twin,
+    index_pipe,
+    index_snapshot,
+    postings_snapshot,
+)
+from .stateful import streaming_ewma  # noqa: F401
