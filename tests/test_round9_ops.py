@@ -165,3 +165,45 @@ def test_keyword_search_matches_python_reference(spark, sf_dir):
     assert [(r.bm25, r.doc_id) for r in sorted(got, key=lambda r: r.rank)] == [
         (s, d) for s, d in want
     ]
+
+
+def test_anomaly_ewma_matches_python_reference(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("event_id")
+    hist: dict[int, list[int]] = collections.defaultdict(list)
+    fc = {}  # event_id -> forecast (prev row's ewma_pico) or None
+    prev_ewma: dict[int, int] = {}
+    xs: dict[int, list[int]] = collections.defaultdict(list)
+    order = []
+    for _, r in ev.iterrows():
+        x = math.floor(r.value * 1_000_000)
+        u = int(r.user_id)
+        fc[int(r.event_id)] = prev_ewma.get(u)
+        h = hist[u]
+        h.append(x)
+        frame = h[-8:]
+        num = sum(v * (1 << i) for i, v in enumerate(frame))
+        den = (1 << len(frame)) - 1
+        prev_ewma[u] = (num * 1_000_000) // den
+        xs[u].append(x)
+        order.append((u, int(r.event_id), x))
+    stats = {
+        u: (len(v), float(sum(v)), float(sum(q * q for q in v)))
+        for u, v in xs.items()
+    }
+    got = {
+        r.event_id: (r.x_micro, r.residual_pico, r.anomaly)
+        for r in QUERIES["c_anomaly_ewma"](spark, sf_dir).collect()
+    }
+    n_flagged = 0
+    for u, eid, x in order:
+        f = fc[eid]
+        if f is None:
+            assert got[eid] == (x, None, 0), eid
+            continue
+        residual = x * 1_000_000 - f
+        n, s, q = stats[u]
+        var = (q - s * s / n) / n
+        want_flag = int((residual / 1_000_000) * (residual / 1_000_000) > 4.0 * var)
+        assert got[eid] == (x, residual, want_flag), eid
+        n_flagged += want_flag
+    assert 0 < n_flagged < len(order)  # the rule actually discriminates
