@@ -7031,3 +7031,90 @@ def x_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_ppm"),
     )
     return per_q.unionAll(overall)
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep: quality-ordered curriculum phases (round 9)
+# ---------------------------------------------------------------------------
+
+_CURR_PHASE_TOKENS = 2000  # tokens per curriculum phase
+
+_CURRICULUM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+    CAST(len(replace(trim(text), ' ', '')) AS BIGINT) AS n_nonspace
+  FROM documents
+),
+d AS (
+  SELECT doc_id, n_tokens,
+    CAST(n_nonspace * 1000 // GREATEST(n_tokens, 1) AS BIGINT)
+      AS difficulty_milli
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_tokens, difficulty_milli,
+    CAST(ROW_NUMBER() OVER (ORDER BY difficulty_milli, doc_id) AS INTEGER)
+      AS rank,
+    CAST(SUM(n_tokens) OVER (
+      ORDER BY difficulty_milli, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM d
+)
+SELECT doc_id, n_tokens, difficulty_milli, rank, cum_tokens,
+  CAST((cum_tokens - n_tokens) // {_CURR_PHASE_TOKENS} AS BIGINT) AS phase
+FROM r
+"""
+
+
+@query("x_curriculum_order", oracle=_CURRICULUM_ORACLE)
+def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering — the easy-first training schedule: docs
+    ranked by a difficulty proxy (mean word length in integer
+    milli-chars: short words first, the classic readability-derived
+    curriculum key), cumulative token offsets along that order, and
+    the PHASE each doc's first token lands in (start-offset DIV
+    phase-budget — a doc belongs to the phase where it begins, so
+    phases are contiguous spans of the schedule). Deterministic: the
+    (difficulty, doc_id) tiebreak pins the total order; every number
+    is an integer.
+
+    Scale shape: the oracle SAYS ROW_NUMBER/SUM OVER a global order;
+    the Spark side rides `global_row_number` + `global_running_sum`
+    (range-partitioned prefix machinery — rows never leave their
+    partition, only per-partition counts/totals centralize; the
+    c_histogram_equidepth lesson applied at design time rather than
+    after the probe). The x_shuffle_order / x_pack_sequences family:
+    same helpers, curriculum semantics."""
+    from ..functions.order import global_row_number, global_running_sum
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(F.trim(F.col("text")), " ", ""))
+        .cast("long")
+        .alias("n_nonspace"),
+    )
+    d = t.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(n_nonspace * 1000 DIV GREATEST(n_tokens, 1) AS BIGINT)"
+        ).alias("difficulty_milli"),
+    )
+    ranked = global_row_number(d, ["difficulty_milli", "doc_id"], "rank")
+    summed = global_running_sum(
+        ranked, ["difficulty_milli", "doc_id"], "n_tokens", "cum_tokens"
+    )
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        "difficulty_milli",
+        "rank",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.expr(
+            f"CAST((cum_tokens - n_tokens) DIV {_CURR_PHASE_TOKENS}"
+            " AS BIGINT)"
+        ).alias("phase"),
+    )

@@ -4675,3 +4675,78 @@ def c_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reporting: period-over-period movers (round 9)
+# ---------------------------------------------------------------------------
+
+_POP_ORACLE = """
+WITH nm AS (
+  SELECT n.n_name AS nation,
+    CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS revenue_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, CAST(month AS VARCHAR) AS month, revenue_c,
+  CAST(revenue_c - LAG(revenue_c) OVER w AS BIGINT) AS delta_c,
+  CAST(CAST(
+      (revenue_c - LAG(revenue_c) OVER w) AS HUGEINT) * 1000000
+    // LAG(revenue_c) OVER w AS BIGINT) AS pct_change_ppm
+FROM nm
+WINDOW w AS (PARTITION BY nation ORDER BY month)
+"""
+
+
+@query("c_period_over_period", oracle=_POP_ORACLE)
+def c_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period movers (the MoM board report): monthly
+    revenue per nation with the absolute and relative change vs the
+    nation's PREVIOUS REPORTED month (LAG skips empty months — the
+    standard reporting semantics; the date-spine family exists when
+    zero-months must appear). First month per nation: NULL delta and
+    pct, both engines. Relative change is an integer ppm DIV on
+    DECIMAL-widened products (the c_share_of_parent overflow lesson).
+
+    Scale shape: the fact table aggregates ONCE to the
+    (nation × month) grain (map-side combinable, dimensions
+    broadcast); the window runs over that slim result — |nations|
+    partitions of |months| rows, metadata-sized at any corpus."""
+    o = table(spark, sf_dir, "orders")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    nm = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+        )
+        .agg(F.sum(cents).cast("long").alias("revenue_c"))
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    prev = F.lag("revenue_c").over(w)
+    return nm.select(
+        "nation",
+        F.col("month").cast("string").alias("month"),
+        "revenue_c",
+        (F.col("revenue_c") - prev).cast("long").alias("delta_c"),
+        F.col("revenue_c").alias("__rc"),
+        prev.alias("__prev"),
+    ).select(
+        "nation",
+        "month",
+        "revenue_c",
+        "delta_c",
+        F.expr(
+            "CAST(CAST((__rc - __prev) AS DECIMAL(38,0)) * 1000000"
+            " DIV __prev AS BIGINT)"
+        ).alias("pct_change_ppm"),
+    )
