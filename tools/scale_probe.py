@@ -132,6 +132,8 @@ PROBE_QUERIES = [
     "x_l2_topk",
     "x_ann_recall_trained",
     "c_anomaly_ewma",
+    "x_curriculum_order",
+    "c_period_over_period",
 ]
 
 KEY_STRIDE = 100_000_000
