@@ -4750,3 +4750,310 @@ def c_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV __prev AS BIGINT)"
         ).alias("pct_change_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: session statistics, funnel latency, key-skew Gini
+# (round 9)
+# ---------------------------------------------------------------------------
+
+_SESS_STATS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+         ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+), sess AS (
+  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS dur_sec
+  FROM s GROUP BY user_id, session_id
+), re AS (
+  SELECT n_events,
+    ROW_NUMBER() OVER (ORDER BY n_events, user_id, session_id) AS rn
+  FROM sess
+), rd AS (
+  SELECT dur_sec,
+    ROW_NUMBER() OVER (ORDER BY dur_sec, user_id, session_id) AS rn
+  FROM sess
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sess)
+SELECT (SELECT n FROM tot) AS n_sessions,
+  CAST((SELECT SUM(n_events * (CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END))
+        FROM re, tot WHERE rn IN ((n + 1) // 2, (n + 2) // 2)) AS BIGINT)
+    AS med2_events,
+  CAST((SELECT SUM(dur_sec * (CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END))
+        FROM rd, tot WHERE rn IN ((n + 1) // 2, (n + 2) // 2)) AS BIGINT)
+    AS med2_duration_sec,
+  CAST((SELECT MAX(n_events) FROM sess) AS BIGINT) AS max_events,
+  CAST((SELECT COUNT(*) FILTER (n_events = 1) * 1000000 FROM sess)
+    // (SELECT n FROM tot) AS BIGINT) AS singleton_ppm
+"""
+
+
+def _sessions_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_id, n_events, dur_sec) — the c_sessionize_gaps
+    session table reduced to slim integer rows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    gap = sec(F.col("ts")) - sec(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    s = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .withColumn(
+            "session_id",
+            F.sum(new_s).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.max(F.col("ts").cast("timestamp").cast("long"))
+            - F.min(F.col("ts").cast("timestamp").cast("long"))
+        )
+        .cast("long")
+        .alias("dur_sec"),
+    )
+
+
+def _med2_over(sess: DataFrame, col: str) -> DataFrame:
+    """One-row frame holding 2× the exact median of `col` over slim
+    rows: middle rank(s) picked by a GLOBAL rank, weighted 2 when the
+    count is odd — no per-group array gather, and the rank rides the
+    global_row_number prefix machinery, not an un-partitioned window
+    (sessions are corpus-order rows when users are sparse — the
+    c_histogram_equidepth lesson)."""
+    from ..functions.order import global_row_number
+
+    tot = sess.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = global_row_number(
+        sess.select(F.col(col).alias("v"), "user_id", "session_id"),
+        ["v", "user_id", "session_id"],
+        "rn",
+    ).crossJoin(F.broadcast(tot))
+    return ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    ).agg(
+        F.sum(
+            F.col("v")
+            * F.when(F.col("n") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
+        )
+        .cast("long")
+        .alias("med2")
+    )
+
+
+@query("c_sessionize_stats", oracle=_SESS_STATS_ORACLE)
+def c_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level distribution report — the consumer that turns the
+    sessionization output into product metrics (the index-consumer
+    discipline): session count, EXACT medians of session size and
+    duration (2×median so even counts stay integer — the
+    c_window_rolling_median rule), the longest session, and the
+    singleton share in ppm. Sessions come from the same gap rule as
+    c_sessionize_gaps (its oracle CTE reused verbatim).
+
+    Scale shape: sessionization is the known one-exchange shape; all
+    statistics run over SLIM one-row-per-session rows. The exact
+    medians pick the middle rank(s) from a sort of those slim rows
+    (weight 2 when odd — no per-group array gather); at 100 TB the
+    rank rides the global_row_number prefix machinery or swaps for
+    the approx-quantile sketch, both documented lanes."""
+    sess = materialize(_sessions_slim(spark, sf_dir))
+    base = sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_events"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_singleton"),
+    )
+    me = _med2_over(sess, "n_events").select(
+        F.col("med2").alias("med2_events")
+    )
+    md = _med2_over(sess, "dur_sec").select(
+        F.col("med2").alias("med2_duration_sec")
+    )
+    return (
+        base.crossJoin(F.broadcast(me))
+        .crossJoin(F.broadcast(md))
+        .select(
+            "n_sessions",
+            "med2_events",
+            "med2_duration_sec",
+            "max_events",
+            F.expr(
+                "CAST(n_singleton * 1000000 DIV n_sessions AS BIGINT)"
+            ).alias("singleton_ppm"),
+        )
+    )
+
+
+
+
+@query(
+    "c_funnel_time",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id),
+lat AS (
+  SELECT 'view->click' AS step, s2.user_id,
+    CAST(floor(epoch(t2)) - floor(epoch(t1)) AS BIGINT) AS lat_sec
+  FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+  UNION ALL
+  SELECT 'click->purchase' AS step, s3.user_id,
+    CAST(floor(epoch(t3)) - floor(epoch(t2)) AS BIGINT) AS lat_sec
+  FROM s3 JOIN s2 ON s2.user_id = s3.user_id),
+r AS (
+  SELECT step, lat_sec,
+    ROW_NUMBER() OVER (PARTITION BY step ORDER BY lat_sec, user_id) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY step) AS BIGINT) AS n
+  FROM lat)
+SELECT step, MAX(n) AS n_users,
+  CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+       THEN lat_sec * (CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END)
+       ELSE 0 END) AS BIGINT) AS med2_latency_sec
+FROM r GROUP BY step
+""",
+)
+def c_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step LATENCY — c_funnel_steps counts who converts; this
+    reports how long each conversion takes: per funnel edge the user
+    count and the EXACT median seconds between the user's first
+    qualifying events (2×median integer — the even-count rule). The
+    step tables are c_funnel_steps' oracle CTEs verbatim.
+
+    Scale shape: the step tables are user-keyed MIN aggregates
+    (map-side combinable) joined slim-to-slim; latencies are one row
+    per converting user, and the median picks middle ranks from a
+    per-step window over those slim rows — the corpus is scanned
+    exactly once per step filter, never per user."""
+    ev = table(spark, sf_dir, "events")
+    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s2 = materialize(s2.join(s1, "user_id"))
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = (
+        s2.select(
+            F.lit("view->click").alias("step"),
+            "user_id",
+            (sec(F.col("t2")) - sec(F.col("t1"))).cast("long").alias("lat_sec"),
+        )
+    ).unionByName(
+        s3.join(s2.select("user_id", "t2"), "user_id").select(
+            F.lit("click->purchase").alias("step"),
+            "user_id",
+            (sec(F.col("t3")) - sec(F.col("t2"))).cast("long").alias("lat_sec"),
+        )
+    )
+    wr = Window.partitionBy("step").orderBy("lat_sec", "user_id")
+    wn = Window.partitionBy("step")
+    r = lat.select(
+        "step",
+        "lat_sec",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    return r.groupBy("step").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.sum(
+            F.when(
+                (F.col("rn") == F.expr("(n + 1) DIV 2"))
+                | (F.col("rn") == F.expr("(n + 2) DIV 2")),
+                F.col("lat_sec")
+                * F.when(F.col("n") % 2 == 1, F.lit(2)).otherwise(F.lit(1)),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("med2_latency_sec"),
+    )
+
+
+_GINI_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+  GROUP BY user_id
+),
+r AS (
+  SELECT cnt,
+    CAST(ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS BIGINT) AS i
+  FROM c
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS total,
+    SUM(CAST(2 * i - 1 AS HUGEINT) * cnt) AS w
+  FROM r
+)
+SELECT n AS n_keys, total,
+  CAST((w - CAST(n AS HUGEINT) * total) * 1000000
+    // (CAST(n AS HUGEINT) * total) AS BIGINT) AS gini_ppm
+FROM t
+"""
+
+
+@query("c_data_skew_gini", oracle=_GINI_ORACLE)
+def c_data_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the key distribution — the one-number skew
+    summary beside c_skew_report's top-k detail (0 = uniform keys,
+    →1 = one whale owns everything): G = (Σ(2i−1)·x_i − n·Σx) /
+    (n·Σx) over counts sorted ascending, emitted in integer ppm with
+    every product DECIMAL/HUGEINT-widened (n·Σx alone passes int64 at
+    corpus scale). This is the number a capacity planner trends to
+    decide WHEN the adaptive skew lanes start paying.
+
+    Scale shape: one map-side-combined per-key count, then a rank
+    over the SLIM count table. The rank is a window here; at real key
+    cardinality it rides global_row_number's prefix machinery —
+    either way the fact rows are touched once."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("cnt", "user_id")
+    r = c.select("cnt", F.row_number().over(w).cast("long").alias("i"))
+    t = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.sum(
+            (F.lit(2) * F.col("i") - 1).cast("decimal(38,0)") * F.col("cnt")
+        ).alias("w"),
+    )
+    return t.select(
+        F.col("n").alias("n_keys"),
+        "total",
+        F.expr(
+            "CAST((w - CAST(n AS DECIMAL(38,0)) * total) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

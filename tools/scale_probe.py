@@ -134,6 +134,9 @@ PROBE_QUERIES = [
     "c_anomaly_ewma",
     "x_curriculum_order",
     "c_period_over_period",
+    "c_sessionize_stats",
+    "c_funnel_time",
+    "c_data_skew_gini",
 ]
 
 KEY_STRIDE = 100_000_000
