@@ -7118,3 +7118,103 @@ def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("phase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene: snapshot drift monitor (round 9)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, vec_id % 2 AS snap,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   e -> CAST(floor(e * 1000000) AS BIGINT)) AS x
+  FROM embeddings
+),
+cnt AS (
+  SELECT label, snap, CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY label, snap
+),
+c AS (
+  SELECT label, snap, list(ci ORDER BY i) AS cent FROM (
+    SELECT label, snap, i, CAST(SUM(x[i]) // COUNT(*) AS BIGINT) AS ci
+    FROM v, unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+    GROUP BY label, snap, i
+  ) GROUP BY label, snap
+)
+SELECT CAST(a.label AS BIGINT) AS label,
+  na.n AS n_old, nb.n AS n_new,
+  CAST(SUM((a.cent[i] - b.cent[i]) * (a.cent[i] - b.cent[i])) AS BIGINT)
+    AS drift_micro2
+FROM c a
+JOIN c b ON a.label = b.label AND a.snap = 0 AND b.snap = 1
+JOIN cnt na ON na.label = a.label AND na.snap = 0
+JOIN cnt nb ON nb.label = b.label AND nb.snap = 1,
+  unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+GROUP BY a.label, na.n, nb.n
+"""
+
+@query("x_embedding_drift", oracle=_DRIFT_ORACLE)
+def x_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding snapshot drift — the monitor an embedding-serving
+    pipeline runs when the encoder is retrained or the corpus shifts:
+    per label, the squared distance between the OLD and NEW snapshot
+    centroids (here snapshots are the deterministic vec_id parity
+    split — in production, two table versions). Centroids are
+    quantized to the integer lattice via truncating-division means
+    (the x_kmeans trick), so the drift is an exact int64 — a drift
+    ALERT must not itself be float-noisy.
+
+    Scale shape: one (label, snap, dim)-keyed partial aggregation
+    (per-dimension integer sums — K·2·dim slim rows out), centroid
+    assembly and the K-row drift join never touch vectors again. The
+    oracle re-derives both centroid tables and the distance in one
+    CTE chain."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.transform(
+            F.col("embedding"),
+            lambda e: F.floor(e.cast("double") * 1000000).cast("long"),
+        ).alias("x"),
+    )
+    ex = v.select("label", "snap", F.posexplode("x").alias("i", "xi"))
+    c = (
+        ex.groupBy("label", "snap", "i")
+        .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "label",
+            "snap",
+            "i",
+            F.expr("CAST(s DIV cnt AS BIGINT)").alias("ci"),
+            F.col("cnt"),
+        )
+        .groupBy("label", "snap")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ci"))),
+                lambda st: st.ci,
+            ).alias("cent"),
+            F.max("cnt").cast("long").alias("n"),
+        )
+    )
+    a = c.filter(F.col("snap") == 0).select(
+        "label", F.col("n").alias("n_old"), F.col("cent").alias("c_old")
+    )
+    b = c.filter(F.col("snap") == 1).select(
+        "label", F.col("n").alias("n_new"), F.col("cent").alias("c_new")
+    )
+    drift = F.aggregate(
+        F.zip_with(
+            F.col("c_old"), F.col("c_new"), lambda p, q: (p - q) * (p - q)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return a.join(b, "label").select(
+        F.col("label").cast("long").alias("label"),
+        "n_old",
+        "n_new",
+        drift.alias("drift_micro2"),
+    )

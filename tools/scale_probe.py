@@ -137,6 +137,7 @@ PROBE_QUERIES = [
     "c_sessionize_stats",
     "c_funnel_time",
     "c_data_skew_gini",
+    "x_embedding_drift",
 ]
 
 KEY_STRIDE = 100_000_000
