@@ -138,6 +138,7 @@ PROBE_QUERIES = [
     "c_funnel_time",
     "c_data_skew_gini",
     "x_embedding_drift",
+    "c_sliding_reach",
 ]
 
 KEY_STRIDE = 100_000_000
