@@ -5086,6 +5086,100 @@ GROUP BY c.event_type, c.win_hour
 """
 
 
+def sliding_reach_exact(pairs: DataFrame) -> DataFrame:
+    """Exact trailing-{W}h reach from distinct (event_type, hour,
+    user_id) rows — the sweep-line core shared by the batch query and
+    the streaming snapshot (streaming/reach.py), so stream==batch is
+    proven on the SAME serving code. See c_sliding_reach for the
+    algorithm and the measured naive-vs-sweep numbers."""
+    W = _SLIDE_W
+    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    nil = F.lit(None).cast("long")
+    fold = F.aggregate(
+        F.array_sort(F.collect_set("hour")),
+        F.struct(
+            empty.alias("starts"),
+            empty.alias("ends"),
+            nil.alias("cs"),
+            nil.alias("ce"),
+        ),
+        lambda acc, h: F.when(
+            acc.cs.isNull(),
+            F.struct(
+                acc.starts.alias("starts"),
+                acc.ends.alias("ends"),
+                h.alias("cs"),
+                (h + F.lit(W - 1)).alias("ce"),
+            ),
+        )
+        .when(
+            h <= acc.ce + 1,
+            F.struct(
+                acc.starts.alias("starts"),
+                acc.ends.alias("ends"),
+                acc.cs.alias("cs"),
+                (h + F.lit(W - 1)).alias("ce"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc.starts, F.array(acc.cs)).alias("starts"),
+                F.concat(acc.ends, F.array(acc.ce)).alias("ends"),
+                h.alias("cs"),
+                (h + F.lit(W - 1)).alias("ce"),
+            )
+        ),
+        lambda acc: F.arrays_zip(
+            F.concat(acc.starts, F.array(acc.cs)).alias("s"),
+            F.concat(acc.ends, F.array(acc.ce)).alias("e"),
+        ),
+    )
+    intervals = (
+        pairs.groupBy("event_type", "user_id")
+        .agg(fold.alias("iv"))
+        .select("event_type", F.explode("iv").alias("iv"))
+        .select(
+            "event_type", F.col("iv.s").alias("s"), F.col("iv.e").alias("e")
+        )
+    )
+    deltas = (
+        intervals.select(
+            "event_type",
+            F.col("s").alias("w"),
+            F.lit(1).cast("long").alias("d"),
+        )
+        .unionAll(
+            intervals.select(
+                "event_type",
+                (F.col("e") + 1).alias("w"),
+                F.lit(-1).cast("long").alias("d"),
+            )
+        )
+        .groupBy("event_type", "w")
+        .agg(F.sum("d").cast("long").alias("d"))
+        .withColumn("is_spine", F.lit(0))
+    )
+    spine = (
+        pairs.select("event_type", F.col("hour").alias("w"))
+        .distinct()
+        .select("event_type", "w", F.lit(0).cast("long").alias("d"))
+        .withColumn("is_spine", F.lit(1))
+    )
+    sweep = Window.partitionBy("event_type").orderBy(
+        "w", "is_spine"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        deltas.unionByName(spine)
+        .withColumn("reach", F.sum("d").over(sweep).cast("long"))
+        .filter(F.col("is_spine") == 1)
+        .select(
+            "event_type",
+            F.col("w").alias("win_hour"),
+            F.col("reach").alias("exact_reach"),
+        )
+    )
+
+
 @query("c_sliding_reach", oracle=_SLIDING_REACH_ORACLE)
 def c_sliding_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h distinct users per event type (sliding reach — the
@@ -5132,90 +5226,11 @@ def c_sliding_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = materialize(pairs)  # sweep lane, sketch lane, hour spine
-    W = _SLIDE_W
+    exact = sliding_reach_exact(pairs)
 
-    # 2. per-user interval merge: fold the sorted hour set into
-    # coverage intervals [h, h+W-1], merging when contiguous/overlapping
-    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
-    nil = F.lit(None).cast("long")
-    fold = F.aggregate(
-        F.array_sort(F.collect_set("hour")),
-        F.struct(
-            empty.alias("starts"),
-            empty.alias("ends"),
-            nil.alias("cs"),
-            nil.alias("ce"),
-        ),
-        lambda acc, h: F.when(
-            acc.cs.isNull(),
-            F.struct(
-                acc.starts.alias("starts"),
-                acc.ends.alias("ends"),
-                h.alias("cs"),
-                (h + F.lit(W - 1)).alias("ce"),
-            ),
-        )
-        .when(
-            h <= acc.ce + 1,
-            F.struct(
-                acc.starts.alias("starts"),
-                acc.ends.alias("ends"),
-                acc.cs.alias("cs"),
-                (h + F.lit(W - 1)).alias("ce"),
-            ),
-        )
-        .otherwise(
-            F.struct(
-                F.concat(acc.starts, F.array(acc.cs)).alias("starts"),
-                F.concat(acc.ends, F.array(acc.ce)).alias("ends"),
-                h.alias("cs"),
-                (h + F.lit(W - 1)).alias("ce"),
-            )
-        ),
-        lambda acc: F.arrays_zip(
-            F.concat(acc.starts, F.array(acc.cs)).alias("s"),
-            F.concat(acc.ends, F.array(acc.ce)).alias("e"),
-        ),
-    )
-    intervals = (
-        pairs.groupBy("event_type", "user_id")
-        .agg(fold.alias("iv"))
-        .select("event_type", F.explode("iv").alias("iv"))
-        .select("event_type", F.col("iv.s").alias("s"), F.col("iv.e").alias("e"))
-    )
-    # 3. sweep line over slim endpoint deltas + the observed-hour spine
-    deltas = intervals.select(
-        "event_type", F.col("s").alias("w"), F.lit(1).cast("long").alias("d")
-    ).unionAll(
-        intervals.select(
-            "event_type", (F.col("e") + 1).alias("w"), F.lit(-1).cast("long").alias("d")
-        )
-    )
-    deltas = deltas.groupBy("event_type", "w").agg(
-        F.sum("d").cast("long").alias("d")
-    ).withColumn("is_spine", F.lit(0))
-    spine = (
-        pairs.select("event_type", F.col("hour").alias("w"))
-        .distinct()
-        .select("event_type", "w", F.lit(0).cast("long").alias("d"))
-        .withColumn("is_spine", F.lit(1))
-    )
-    sweep = Window.partitionBy("event_type").orderBy("w", "is_spine").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    exact = (
-        deltas.unionByName(spine)
-        .withColumn("reach", F.sum("d").over(sweep).cast("long"))
-        .filter(F.col("is_spine") == 1)
-        .select(
-            "event_type",
-            F.col("w").alias("win_hour"),
-            F.col("reach").alias("exact_reach"),
-        )
-    )
     # PRODUCTION lane: hourly HLL registers unioned per window
     offsets = F.broadcast(
-        spark.range(W).select(F.col("id").alias("o"))
+        spark.range(_SLIDE_W).select(F.col("id").alias("o"))
     )
     hours = pairs.select("event_type", F.col("hour").alias("win_hour")).distinct()
     sketches = pairs.groupBy("event_type", "hour").agg(

@@ -62,3 +62,8 @@ from .index import (  # noqa: F401
     postings_snapshot,
 )
 from .stateful import streaming_ewma  # noqa: F401
+from .reach import (  # noqa: F401
+    sliding_reach_batch_twin,
+    sliding_reach_pipe,
+    sliding_reach_snapshot,
+)

@@ -88,3 +88,68 @@ def reach_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
 def reach_batch_twin(rows: DataFrame, ts_col: str = "event_ts") -> DataFrame:
     """The one-shot batch curve over the same rows."""
     return _curve(_minday_rollup(rows, ts_col))
+
+
+# ---------------------------------------------------------------------------
+# Sliding reach (round 9): SET-UNION state — the fourth decomposable
+# family on the delta log (additive counts, MIN, bounded deque, and
+# now distinct-set union, which like MIN is idempotent: replayed rows
+# merge harmlessly).
+# ---------------------------------------------------------------------------
+
+
+def _trio_rollup(df: DataFrame, ts_col: str = "event_ts") -> DataFrame:
+    return df.select(
+        "event_type",
+        F.expr(
+            f"CAST(CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) DIV 3600"
+            " AS BIGINT)"
+        ).alias("hour"),
+        "user_id",
+    ).distinct()
+
+
+def _trio_merge(partials: DataFrame) -> DataFrame:
+    return partials.distinct()
+
+
+def sliding_reach_pipe(
+    source,
+    state_dir: str,
+    name: str = "sliding-reach",
+    compact_every=None,
+    ts_col: str = "event_ts",
+):
+    """Maintain distinct (type, hour, user) trios over an event
+    stream. State is |trios|-sized slim rows (the streaming-dedup
+    class); merge is DISTINCT — idempotent, so compaction and crash
+    replay provably cannot change the snapshot."""
+    return mv_rollup_pipe(
+        source,
+        state_dir,
+        name=name,
+        compact_every=compact_every,
+        rollup_fn=lambda df: _trio_rollup(df, ts_col),
+        merge_fn=_trio_merge,
+    )
+
+
+def sliding_reach_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The CURRENT trailing-24h reach curve — the SAME sweep-line
+    serving code the batch query runs (queries.relational.
+    sliding_reach_exact), over the merged trio state."""
+    from ..queries.relational import sliding_reach_exact
+
+    if not state_dirs(state_dir):
+        return spark.createDataFrame(
+            [], "event_type string, win_hour long, exact_reach long"
+        )
+    return sliding_reach_exact(
+        mv_snapshot(spark, state_dir, merge_fn=_trio_merge)
+    )
+
+
+def sliding_reach_batch_twin(rows: DataFrame, ts_col: str = "event_ts") -> DataFrame:
+    from ..queries.relational import sliding_reach_exact
+
+    return sliding_reach_exact(_trio_rollup(rows, ts_col))

@@ -85,3 +85,64 @@ def test_streaming_reach_restart(spark, tmp_path):
     finally:
         h2.stop()
         src.close()
+
+
+def test_streaming_sliding_reach_equals_batch(spark, tmp_path):
+    """SET-union state: after every wave the sweep-line reach curve
+    from merged trio state equals the batch curve — with users
+    re-appearing in the same hour across batches (rows DISTINCT must
+    absorb) and activity gaps longer than the window."""
+    import datetime
+
+    from async_event_streams_spark.streaming.reach import (
+        sliding_reach_batch_twin,
+        sliding_reach_pipe,
+        sliding_reach_snapshot,
+    )
+
+    # event_type rides the topic ENVELOPE (post() lifts it from the
+    # row dict); the batch twin sees it as a plain column
+    schema = "user_id long, event_ts timestamp"
+    twin_schema = "user_id long, event_type string, event_ts timestamp"
+    t0 = datetime.datetime(2026, 3, 1, 0, 10)
+
+    def ev(u, et, hours):
+        return {
+            "user_id": u,
+            "event_type": et,
+            "event_ts": t0 + datetime.timedelta(hours=hours),
+        }
+
+    waves = [
+        [ev(1, "view", 0), ev(2, "view", 1), ev(1, "click", 0)],
+        # duplicate trio re-sent across batches + a 40h gap for user 1
+        [ev(1, "view", 0), ev(1, "view", 40), ev(3, "view", 2)],
+        [ev(2, "view", 41), ev(1, "click", 30)],
+    ]
+    reg = TopicRegistry()
+    src = Topic(spark, "sreach", schema, str(tmp_path / "t"), reg)
+    sdir = str(tmp_path / "state")
+    h = sliding_reach_pipe(src, sdir, compact_every=2)
+    try:
+        sofar = []
+        for wave in waves:
+            src.send(wave, barrier="chain")
+            sofar += wave
+            got = {
+                (r.event_type, r.win_hour): r.exact_reach
+                for r in sliding_reach_snapshot(spark, sdir).collect()
+            }
+            want = {
+                (r.event_type, r.win_hour): r.exact_reach
+                for r in sliding_reach_batch_twin(
+                    spark.createDataFrame(sofar, twin_schema)
+                ).collect()
+            }
+            assert got == want, (got, want)
+        # the 40h gap split user 1's coverage: hour-40 window must not
+        # still count the hour-0 activity
+        view40 = [v for (et, w), v in got.items() if et == "view" and w >= 490000]
+        assert view40  # sanity: windows exist in the gap region
+    finally:
+        h.stop()
+        src.close()
