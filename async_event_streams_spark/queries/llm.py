@@ -7218,3 +7218,86 @@ def x_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         drift.alias("drift_micro2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: hybrid search via reciprocal-rank fusion (round 9)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_VEC_QUERY = 0  # the semantic side: trained-IVF results for query 0
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+WITH kw AS ({_keyword_search_oracle()}),
+ann AS ({_ivf_trained_oracle()}),
+contrib AS (
+  SELECT doc_id, CAST(1000000 // ({_RRF_K} + rank) AS BIGINT) AS pts
+  FROM kw
+  UNION ALL
+  SELECT neighbor_id AS doc_id,
+    CAST(1000000 // ({_RRF_K} + rank) AS BIGINT) AS pts
+  FROM ann WHERE query_id = {_RRF_VEC_QUERY}
+),
+fused AS (
+  SELECT doc_id, CAST(SUM(pts) AS BIGINT) AS rrf_ppm,
+    CAST(COUNT(*) AS BIGINT) AS n_sides
+  FROM contrib GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+    AS rank,
+  doc_id, rrf_ppm, n_sides
+FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 10
+"""
+
+
+@query("x_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search — reciprocal-rank fusion of the KEYWORD side
+    (x_keyword_search's conjunctive BM25 top-10, index-resolved) and
+    the VECTOR side (x_ann_ivf_trained's top-5 for the semantic query,
+    over the trained quantizer): the standard two-tower serving
+    recipe, with RRF points as INTEGER ppm (1e6 DIV (60 + rank) — RRF
+    is rank-only by design, so exact integers capture it fully and no
+    float ever enters the fusion). Docs hit by both sides accumulate
+    both contributions (`n_sides` = 2 marks the consensus results the
+    fusion exists to surface).
+
+    Composition, not reimplementation: both sides ARE the registered
+    queries riding their pinned index/quantizer artifacts, and the
+    oracle embeds both sides' oracle SQL verbatim as CTEs — so the
+    fused list definitionally measures what the engine serves. Fusion
+    itself is metadata-sized (≤15 candidate rows)."""
+    kw = x_keyword_search(spark, sf_dir).select(
+        "doc_id", F.expr(f"CAST(1000000 DIV ({_RRF_K} + rank) AS BIGINT)").alias("pts")
+    )
+    ann = (
+        x_ann_ivf_trained(spark, sf_dir)
+        .filter(F.col("query_id") == _RRF_VEC_QUERY)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.expr(
+                f"CAST(1000000 DIV ({_RRF_K} + rank) AS BIGINT)"
+            ).alias("pts"),
+        )
+    )
+    fused = (
+        kw.unionAll(ann)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("pts").cast("long").alias("rrf_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_sides"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_ppm"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf_ppm"), "doc_id")
+        .limit(10)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id",
+            "rrf_ppm",
+            "n_sides",
+        )
+    )

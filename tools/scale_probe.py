@@ -139,6 +139,7 @@ PROBE_QUERIES = [
     "c_data_skew_gini",
     "x_embedding_drift",
     "c_sliding_reach",
+    "x_hybrid_rrf",
 ]
 
 KEY_STRIDE = 100_000_000
