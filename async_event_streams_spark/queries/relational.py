@@ -5259,3 +5259,80 @@ def c_sliding_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit(0.15)
         ).alias("sketch_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Joins: banded interval join (round 9) — the two-big-sides range
+# join done as an equi-join
+# ---------------------------------------------------------------------------
+
+_IVB_WIN = 600  # trailing window, seconds (= the band width, on purpose)
+
+_JOIN_INTERVAL_ORACLE = f"""
+WITH err AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'error'
+),
+v AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'view'
+)
+SELECT err.event_id, err.user_id,
+  CAST(COUNT(v.t) AS BIGINT) AS n_prior_views
+FROM err LEFT JOIN v
+  ON v.user_id = err.user_id
+  AND v.t >= err.t - {_IVB_WIN} AND v.t < err.t
+GROUP BY err.event_id, err.user_id
+"""
+
+
+@query("c_join_interval_banded", oracle=_JOIN_INTERVAL_ORACLE)
+def c_join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join between two BIG event sets — for every error, the
+    count of the same user's views in the trailing 10 minutes (the
+    error-correlation query every incident dashboard runs). The
+    oracle states the plain range join; a plain range join of two
+    corpus-sized sides is a per-user nested loop, and when a hot user
+    owns the log that's quadratic in their history. The shipped form
+    is TIME-BANDED: with the band width equal to the window, every
+    view can satisfy errors in at most TWO bands, so views explode
+    ×2 onto (user, band) keys and the join becomes a plain EQUI-join
+    with a residual timestamp filter — per-pair work is bounded by
+    band occupancy, never by a user's whole history. This is the
+    join-side analogue of the framestitch carry (and the standard
+    stream-stream join layout, stated in batch).
+
+    LEFT semantics preserved through the banding: the error side is
+    never exploded, so zero-view errors survive with count 0."""
+    ev = table(spark, sf_dir, "events")
+    t = F.expr("CAST(CAST(CAST(ts AS TIMESTAMP) AS LONG) AS BIGINT)")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", t.alias("t"),
+        F.expr(f"CAST(CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV {_IVB_WIN}"
+               " AS BIGINT)").alias("band"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), t.alias("vt")
+    )
+    # each view serves its own band and the next one (window == width)
+    vb = views.select(
+        "v_user",
+        "vt",
+        F.explode(
+            F.array(
+                F.expr(f"CAST(vt DIV {_IVB_WIN} AS BIGINT)"),
+                F.expr(f"CAST(vt DIV {_IVB_WIN} + 1 AS BIGINT)"),
+            )
+        ).alias("band"),
+    )
+    joined = err.join(
+        vb,
+        (F.col("user_id").eqNullSafe(F.col("v_user")))
+        & (err["band"] == vb["band"])
+        & (F.col("vt") >= F.col("t") - _IVB_WIN)
+        & (F.col("vt") < F.col("t")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("vt").cast("long").alias("n_prior_views")
+    )

@@ -140,6 +140,7 @@ PROBE_QUERIES = [
     "x_embedding_drift",
     "c_sliding_reach",
     "x_hybrid_rrf",
+    "c_join_interval_banded",
 ]
 
 KEY_STRIDE = 100_000_000

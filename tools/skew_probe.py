@@ -55,6 +55,7 @@ SKEW_QUERIES = [
     "c_rolling_median_bucketed",
     "c_rolling_median_adaptive",
     "c_join_salted",
+    "c_join_interval_banded",
 ]
 
 
