@@ -46,6 +46,9 @@ def main() -> None:
         "query_id", "rank"
     ).show(10)
 
+    print("== hybrid search: keyword + vector RRF fusion ==")
+    QUERIES["x_hybrid_rrf"](spark, sf_dir).orderBy("rank").show(10)
+
     ev = drain_artifact_events()
     builds = sum(1 for _, kind in ev if kind == "build")
     hits = sum(1 for _, kind in ev if kind == "hit")
