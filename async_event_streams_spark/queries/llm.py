@@ -7301,3 +7301,55 @@ def x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sides",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep: class-balanced subsample (round 9)
+# ---------------------------------------------------------------------------
+
+_BALANCED_ORACLE = """
+WITH c AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+),
+floor_n AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM c),
+r AS (
+  SELECT vec_id, label,
+    ROW_NUMBER() OVER (
+      PARTITION BY label
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label
+FROM r, floor_n WHERE rn <= k
+"""
+
+
+@query("x_sample_balanced", oracle=_BALANCED_ORACLE)
+def x_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced subsample — the classifier-training prep that
+    downsamples every label to the MINORITY class size: per label,
+    the first min-class-count rows of the md5(vec_id) order
+    (deterministic pseudo-random — no RNG, reproducible across runs
+    and engines, the x_sample_* family discipline). Exactly k rows
+    per label by construction, where k = |smallest class|.
+
+    Scale shape: one slim per-label count + a 1-row broadcast floor;
+    the per-label rank is a label-keyed window whose heaviest
+    partition is the LARGEST class — at severe imbalance that is the
+    corpus, so at 100 TB the rank swaps onto the per-key variant of
+    the prefix machinery or (when k ≪ class sizes) a per-label
+    TakeOrdered(k); the md5-order semantics and the floor are
+    unchanged under either plan."""
+    emb = table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    k = counts.agg(F.min("n").cast("long").alias("k"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        emb.select("vec_id", F.col("label").cast("long").alias("label"))
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("vec_id", "label")
+    )

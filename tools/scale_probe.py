@@ -141,6 +141,7 @@ PROBE_QUERIES = [
     "c_sliding_reach",
     "x_hybrid_rrf",
     "c_join_interval_banded",
+    "x_sample_balanced",
 ]
 
 KEY_STRIDE = 100_000_000
