@@ -7353,3 +7353,75 @@ def x_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("k"))
         .select("vec_id", "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: out-of-vocabulary rate per document (round 9)
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 1000  # the pinned top-K vocabulary
+
+_OOV_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+d AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+),
+tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY term
+),
+vocab AS (
+  SELECT term FROM tf ORDER BY n DESC, term LIMIT {_OOV_VOCAB_K}
+),
+j AS (
+  SELECT d.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov
+  FROM d LEFT JOIN vocab v ON d.term = v.term
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+  CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+FROM j
+"""
+
+
+@query("x_oov_rate", oracle=_OOV_ORACLE)
+def x_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-1000
+    vocabulary (frequency-desc, term-asc cut — deterministic): the
+    tokenizer-design sibling of x_vocab_coverage (corpus-level mass
+    curve) and x_tokenizer_fertility (tokens-per-word) — a doc whose
+    tokens mostly fall outside the head vocabulary is boilerplate,
+    another language, or junk, and OOV ppm is the gate that catches
+    it. Zero-token docs have no token rows and no output row, both
+    engines.
+
+    Scale shape: one corpus term-frequency aggregation cut to a
+    K-row vocabulary that BROADCASTS back onto the token stream (the
+    unigram-LM split — vocab is small by construction, unlike the
+    bigram table); membership is a broadcast LEFT join counted
+    per doc, integer DIV for the rate."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vocab = tf.orderBy(F.desc("n"), "term").limit(_OOV_VOCAB_K).select(
+        "term", F.lit(1).alias("in_v")
+    )
+    j = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("in_v").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "oov_ppm"
+        ),
+    )

@@ -142,6 +142,7 @@ PROBE_QUERIES = [
     "x_hybrid_rrf",
     "c_join_interval_banded",
     "x_sample_balanced",
+    "x_oov_rate",
 ]
 
 KEY_STRIDE = 100_000_000
