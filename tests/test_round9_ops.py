@@ -207,3 +207,44 @@ def test_anomaly_ewma_matches_python_reference(spark, sf_dir):
         assert got[eid] == (x, residual, want_flag), eid
         n_flagged += want_flag
     assert 0 < n_flagged < len(order)  # the rule actually discriminates
+
+
+def test_sample_balanced_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    counts = collections.Counter(int(x) for x in emb.label)
+    k = min(counts.values())
+    want = set()
+    for lbl in counts:
+        rows = sorted(
+            (int(v) for v in emb[emb.label == lbl].vec_id),
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )
+        want.update((v, lbl) for v in rows[:k])
+    got = {(r.vec_id, r.label) for r in QUERIES["x_sample_balanced"](spark, sf_dir).collect()}
+    assert got == want
+    per_label = collections.Counter(lbl for _, lbl in got)
+    assert set(per_label.values()) == {k}  # exactly k per label
+
+
+def test_oov_rate_matches_python_reference(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tf = collections.Counter()
+    toks_by_doc = {}
+    for _, r in docs.iterrows():
+        t = _toks(r.text)
+        toks_by_doc[int(r.doc_id)] = t
+        tf.update(t)
+    vocab = {
+        t for t, _ in sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_ppm)
+        for r in QUERIES["x_oov_rate"](spark, sf_dir).collect()
+    }
+    want_docs = {d: t for d, t in toks_by_doc.items() if t}
+    assert len(got) == len(want_docs)
+    for d, t in want_docs.items():
+        oov = sum(1 for x in t if x not in vocab)
+        assert got[d] == (len(t), oov, oov * 1_000_000 // len(t)), d
