@@ -5336,3 +5336,82 @@ def c_join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("vt").cast("long").alias("n_prior_views")
     )
+
+
+@query("c_anomaly_adaptive", oracle=_ANOMALY_ORACLE)
+def c_anomaly_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant anomaly flags — the adversarial probe measured
+    plain c_anomaly_ewma at **5.36×** under the 30%-hot user (it
+    stacks THREE user-partition windows: frame fold, forecast LAG,
+    moment aggregates). This twin recomposes all three from the
+    existing adaptive lanes, same oracle: the EWMA rides
+    `frame_values` (hot/cold framestitch dispatch), the forecast LAG
+    rides `lagstitch.lag_prev` on the derived EWMA rows (the stitch
+    is generic over its value column — here the value IS the EWMA),
+    and the moments become a plain per-user partial aggregation
+    (groupBy partial-combines map-side, so a hot key is absorbed
+    before the shuffle — no window needed at all) joined back on the
+    user key. Probe: **0.77×** skewed vs uniform (skew-immune, the bucketed-lane pattern); uniform wall is ~4.5× the plain shape at local[32] (the pin, the dual hot-key probes and the join-vs-window moments all cost real time on small uniform data) — the standing structural-win caveat: plain stays the default, the probe-driven dispatch exists for the corpus where the hot key owns a task."""
+    from ..functions.framestitch import frame_values
+    from ..functions.lagstitch import lag_prev
+
+    e = _ewma_events(spark, sf_dir)
+    fv = frame_values(e, frame_len=_EWMA_L)
+    num = F.aggregate(
+        F.col("frame"),
+        F.struct(
+            F.lit(0).cast("long").alias("num"), F.lit(1).cast("long").alias("wt")
+        ),
+        lambda acc, v: F.struct(
+            (acc.num + v * acc.wt).alias("num"), (acc.wt * 2).alias("wt")
+        ),
+        lambda acc: acc.num,
+    )
+    den = F.pow(F.lit(2.0), F.size("frame")).cast("long") - 1
+    ew = fv.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        num.alias("num"),
+        den.alias("den"),
+    ).select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        F.expr(
+            "CAST(CAST(num AS DECIMAL(38,0)) * 1000000 DIV den AS BIGINT)"
+        ).alias("ewma_pico"),
+    )
+    ew = materialize(ew)
+    prev = lag_prev(
+        ew.select("event_id", "user_id", F.col("ewma_pico").alias("value"))
+    ).select(
+        "event_id", F.col("value").alias("ewma_pico"),
+        F.col("prev_value").alias("prev_pico"),
+    )
+    mom = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x_micro").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(
+            F.col("x_micro").cast("decimal(19,0)")
+            * F.col("x_micro").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("q"),
+    )
+    j = ew.select("user_id", "event_id", "x_micro").join(
+        prev, "event_id"
+    ).join(mom, "user_id")
+    residual = F.col("x_micro") * 1000000 - F.col("prev_pico")
+    rp = residual.cast("double") / 1000000
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    return j.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        residual.cast("long").alias("residual_pico"),
+        F.when(F.col("prev_pico").isNull(), F.lit(0))
+        .otherwise((rp * rp > F.lit(4.0) * var).cast("int"))
+        .cast("int")
+        .alias("anomaly"),
+    )

@@ -56,6 +56,8 @@ SKEW_QUERIES = [
     "c_rolling_median_adaptive",
     "c_join_salted",
     "c_join_interval_banded",
+    "c_anomaly_ewma",
+    "c_anomaly_adaptive",
 ]
 
 
