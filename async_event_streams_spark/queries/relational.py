@@ -5415,3 +5415,97 @@ def c_anomaly_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("anomaly"),
     )
+
+
+_BOLL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(value * 1000000) AS BIGINT) AS x_micro,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT a.user_id, a.event_id, a.x_micro,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(b.x_micro) AS BIGINT) AS s,
+    CAST(SUM(CAST(b.x_micro AS HUGEINT) * b.x_micro) AS HUGEINT) AS q
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {_EWMA_L - 1} AND a.rn
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, event_id, x_micro, n,
+  CAST(CASE WHEN n < 2 THEN 0
+       WHEN CAST(x_micro AS HUGEINT) * n - s >= 0
+            AND (CAST(x_micro AS HUGEINT) * n - s)
+              * (CAST(x_micro AS HUGEINT) * n - s)
+              > 4 * (q * n - CAST(s AS HUGEINT) * s) THEN 1
+       WHEN CAST(x_micro AS HUGEINT) * n - s < 0
+            AND (CAST(x_micro AS HUGEINT) * n - s)
+              * (CAST(x_micro AS HUGEINT) * n - s)
+              > 4 * (q * n - CAST(s AS HUGEINT) * s) THEN -1
+       ELSE 0 END AS INTEGER) AS band_break
+FROM f
+"""
+
+
+@query("c_window_bollinger", oracle=_BOLL_ORACLE)
+def c_window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band break detection over the rolling 8-event frame —
+    the rolling-variance sibling of c_anomaly_ewma (which tests
+    against the CORPUS variance; trading-style band breaks test
+    against the LOCAL frame's): flag +1/−1 when the current value
+    sits more than 2 rolling standard deviations above/below the
+    rolling mean. The test is evaluated WITHOUT computing mean or
+    std: (x − s/n)² > 4·(qn − s²)/n² cross-multiplies to
+    (x·n − s)² > 4·(q·n − s²) — every side an exact integer (DECIMAL/
+    HUGEINT-widened products; micro² already passes int64), so the
+    verdict carries zero float anywhere, including the sign split.
+    Frames shorter than 2 have no variance and flag 0, both engines.
+
+    Scale shape: one user-keyed window exchange, frame moments as
+    in-codegen array folds (the oracle's O(frame²) self-join states
+    the semantics, not the plan); the framestitch lane applies to the
+    fold exactly as for c_ewma if a hot user bites."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(_EWMA_L - 1), Window.currentRow)
+    )
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("x_micro"),
+    )
+    vals = F.collect_list("x_micro").over(w)
+    f = e.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        F.size(vals).cast("long").alias("n"),
+        F.aggregate(
+            vals, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("s"),
+        F.aggregate(
+            vals,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, v: acc
+            + v.cast("decimal(19,0)") * v.cast("decimal(19,0)"),
+        ).alias("q"),
+    )
+    dev = F.expr("CAST(x_micro AS DECIMAL(38,0)) * n - s")
+    lhs = F.expr(
+        "(CAST(x_micro AS DECIMAL(38,0)) * n - s)"
+        " * (CAST(x_micro AS DECIMAL(38,0)) * n - s)"
+    )
+    rhs = F.expr("4 * (q * n - CAST(s AS DECIMAL(38,0)) * s)")
+    return f.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        "n",
+        F.when(F.col("n") < 2, F.lit(0))
+        .when((dev >= 0) & (lhs > rhs), F.lit(1))
+        .when((dev < 0) & (lhs > rhs), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("band_break"),
+    )

@@ -143,6 +143,7 @@ PROBE_QUERIES = [
     "c_join_interval_banded",
     "x_sample_balanced",
     "x_oov_rate",
+    "c_window_bollinger",
 ]
 
 KEY_STRIDE = 100_000_000
