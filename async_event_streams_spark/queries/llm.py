@@ -7425,3 +7425,65 @@ def x_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family: structural template detection (round 9)
+# ---------------------------------------------------------------------------
+
+_TPL_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+    md5(regexp_replace(regexp_replace(regexp_replace(trim(text),
+      '[0-9]+', '#', 'g'),
+      '[A-Za-z]+', 'w', 'g'),
+      '\\s+', ' ', 'g')) AS tpl
+  FROM documents
+)
+SELECT tpl AS template_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(doc_id) AS BIGINT) AS example_doc,
+  CAST(SUM(CASE WHEN doc_id <> m THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_redundant
+FROM (SELECT doc_id, tpl, MIN(doc_id) OVER (PARTITION BY tpl) AS m FROM t)
+GROUP BY tpl HAVING COUNT(*) > 1
+"""
+
+
+@query("x_template_detect", oracle=_TPL_ORACLE)
+def x_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural template detection — the boilerplate/spam-farm
+    catcher that exact and near dedup both miss: class every digit
+    run to '#' and every letter run to 'w' (then collapse whitespace),
+    so documents generated from one template collapse to one
+    structural skeleton even when their words and numbers all differ.
+    Reported per template with >1 member: group size, the keeper
+    (min doc_id — the x_dedup_exact convention) and the redundant
+    count. This is the cheap first pass a template-heavy crawl gets
+    before the n-gram machinery runs.
+
+    Scale shape: the classing is three per-row regexes inside codegen
+    (the x_pii_redact family); the only exchange is a digest-keyed
+    partial-agg groupBy — the exact-dedup cost class, and the skeleton
+    digests are 32 bytes regardless of document size."""
+    docs = table(spark, sf_dir, "documents")
+    tpl = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.trim(F.col("text")), "[0-9]+", "#"),
+                "[A-Za-z]+",
+                "w",
+            ),
+            r"\s+",
+            " ",
+        ).cast("binary")
+    )
+    return (
+        docs.select("doc_id", tpl.alias("template_md5"))
+        .groupBy("template_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_redundant"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -144,6 +144,7 @@ PROBE_QUERIES = [
     "x_sample_balanced",
     "x_oov_rate",
     "c_window_bollinger",
+    "x_template_detect",
 ]
 
 KEY_STRIDE = 100_000_000
