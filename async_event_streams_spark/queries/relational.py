@@ -5509,3 +5509,46 @@ def c_window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("band_break"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(value * 1000000) AS BIGINT) AS x_micro
+  FROM events
+)
+SELECT user_id, event_id, x_micro,
+  CAST(MAX(x_micro) OVER w AS BIGINT) AS peak_micro,
+  CAST(MAX(x_micro) OVER w - x_micro AS BIGINT) AS drawdown_micro
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("c_window_drawdown", oracle=_DRAWDOWN_ORACLE)
+def c_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown per user (the risk-metric staple:
+    how far below the best-so-far is the series right now): one
+    expanding MAX window in exact micro-units — drawdown is a pure
+    integer difference, zero float. Shares the single user-keyed
+    exchange with the whole c_window_* family (expanding MAX is a
+    streaming-friendly fold, unlike the bounded frames: the streaming
+    twin is literally the B8 running-max state)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("x_micro"),
+    )
+    peak = F.max("x_micro").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        peak.cast("long").alias("peak_micro"),
+        (peak - F.col("x_micro")).cast("long").alias("drawdown_micro"),
+    )

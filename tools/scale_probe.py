@@ -145,6 +145,7 @@ PROBE_QUERIES = [
     "x_oov_rate",
     "c_window_bollinger",
     "x_template_detect",
+    "c_window_drawdown",
 ]
 
 KEY_STRIDE = 100_000_000
