@@ -936,3 +936,19 @@ def test_ewma_and_rolling_median_single_user_exchange(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "Join" not in plan, name
         assert op_count(plan, "Exchange") == 1, name
+
+
+def test_equidepth_sketch_lane_has_no_rank_machinery(spark, sf_dir):
+    """The r9 verdict's done-bar for the sketch lane: no prefix-rank
+    checkpoint, no window, no NTILE — just the GK edge literals fused
+    into the scan projection plus two partial-aggregating passes. The
+    exact lane (c_histogram_equidepth) keeps the global_row_number
+    machinery as the differential anchor; the production lane must
+    never inherit it."""
+    plan = plan_of(spark, sf_dir, "c_histogram_equidepth_sketch")
+    assert "Window" not in plan
+    assert "NTILE" not in plan.upper()
+    assert "Join" in plan  # the B-row spine join only
+    assert "CartesianProduct" not in plan
+    # two aggregation passes, each map-side combined
+    assert plan.count("HashAggregate") >= 2
