@@ -67,3 +67,11 @@ from .reach import (  # noqa: F401
     sliding_reach_pipe,
     sliding_reach_snapshot,
 )
+from .timeseries import (  # noqa: F401
+    anomaly_batch_twin,
+    anomaly_view,
+    bollinger_batch_twin,
+    drawdown_batch_twin,
+    ewma_batch_twin,
+    timeseries_stream,
+)
