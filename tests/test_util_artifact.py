@@ -280,3 +280,37 @@ def test_hot_key_profile_is_pinned_across_adaptive_lanes(spark, sf_dir):
     hot_key_profile(spark, sf_dir, ("events", "user_id"))
     ev3 = [e for e in drain_artifact_events() if e[0].startswith("hotkeys:")]
     assert [kind for _, kind in ev3] == ["hit"], ev3
+
+
+def test_hot_key_profile_equals_direct_probe(spark, sf_dir):
+    """The pinned profile must be VALUE-equivalent to the per-query
+    `hot_keys` probe it replaces (same counts, same threshold rule) —
+    on the real table and on a forced-skew frame via the union spec."""
+    from async_event_streams_spark.functions.sessionize import (
+        hot_key_profile,
+        hot_keys,
+    )
+    from async_event_streams_spark.tables import table
+
+    clear_artifacts(spark)
+    ev = table(spark, sf_dir, "events")
+    direct = sorted(hot_keys(ev, "user_id"), key=str)
+    pinned = sorted(
+        hot_key_profile(spark, sf_dir, ("events", "user_id")), key=str
+    )
+    assert pinned == direct
+    # union axis: events.user_id ∪ orders.o_custkey, the as-of spec
+    ords = table(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    u = ev.select(F.col("user_id").alias("k")).unionByName(
+        ords.select(F.col("o_custkey").alias("k"))
+    )
+    direct_u = sorted(hot_keys(u, "k"), key=str)
+    pinned_u = sorted(
+        hot_key_profile(
+            spark, sf_dir, [("events", "user_id"), ("orders", "o_custkey")]
+        ),
+        key=str,
+    )
+    assert pinned_u == direct_u
