@@ -73,5 +73,6 @@ from .timeseries import (  # noqa: F401
     bollinger_batch_twin,
     drawdown_batch_twin,
     ewma_batch_twin,
+    rolling_median_batch_twin,
     timeseries_stream,
 )

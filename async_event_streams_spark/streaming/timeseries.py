@@ -20,7 +20,10 @@ row per event carrying every frame-local metric:
 - `peak_micro` / `drawdown_micro` — the c_window_drawdown running max
   (max-merge state: idempotent, so replayed rows merge harmlessly);
 - `band_break` — the c_window_bollinger ±2-rolling-sigma verdict,
-  frame-local hence final.
+  frame-local hence final;
+- `med2_micro` — the c_window_rolling_median exact 2×-median over the
+  last MED_L=5 values (the 5-frame rides inside the same 8-deep
+  deque), frame-local hence final.
 
 The ONE column that is not final per event is c_anomaly_ewma's flag:
 it tests the residual against the user's WHOLE-HISTORY population
@@ -41,13 +44,13 @@ SURVEY §8-H5 guarantee); an out-of-order event_id is a contract
 violation upstream, dropped defensively exactly as scd2.py does.
 
 `streaming/stateful.py`'s `streaming_ewma` is the older single-metric
-twin (EWMA only, no FIFO watermark); this pass computes all four
+twin (EWMA only, no FIFO watermark); this pass computes all five
 family metrics from ONE state tuple and one shuffle — the production
 lane. Both stay tested.
 
 Stream==batch is asserted wave-by-wave (incl. a mid-stream restart on
 a durable sink + checkpoint) in tests/test_streaming_timeseries.py,
-against batch twins that are themselves asserted equal to the four
+against batch twins that are themselves asserted equal to the five
 registered queries on the full table — one semantics, two execution
 shapes, pinned from both ends.
 """
@@ -76,11 +79,12 @@ except Exception:
 
 
 FRAME_L = 8  # the c_ewma/_EWMA_L lookback; decay 1/2 per step
+MED_L = 5  # the c_window_rolling_median frame (rides inside the deque)
 
 TS_OUTPUT_SCHEMA = (
     "user_id long, event_id long, x_micro long, ewma_pico long, "
     "residual_pico long, peak_micro long, drawdown_micro long, "
-    "band_break int"
+    "band_break int, med2_micro long"
 )
 # v0..v7: the frame deque, oldest-first (only the first `cnt` are live);
 # prev_ewma is the one-step-ahead forecast carried across batches;
@@ -113,7 +117,7 @@ def timeseries_stream(df: DataFrame) -> DataFrame:
             deque, peak, prev_ewma, last_eid = [], _NO_PREV, _NO_PREV, -(1 << 62)
         out: dict[str, list] = {k: [] for k in (
             "event_id", "x_micro", "ewma_pico", "residual_pico",
-            "peak_micro", "drawdown_micro", "band_break",
+            "peak_micro", "drawdown_micro", "band_break", "med2_micro",
         )}
         pdf = ordered_events(pdf_iter, sort_cols=("event_id",))
         if pdf is not None:
@@ -149,6 +153,12 @@ def timeseries_stream(df: DataFrame) -> DataFrame:
                         if dev * dev <= 4 * (q * n - s * s)
                         else (1 if dev >= 0 else -1)
                     )
+                m = sorted(deque[-MED_L:])
+                med2 = (
+                    2 * m[len(m) // 2]
+                    if len(m) % 2 == 1
+                    else m[len(m) // 2 - 1] + m[len(m) // 2]
+                )
                 out["event_id"].append(eid)
                 out["x_micro"].append(x)
                 out["ewma_pico"].append(ewma)
@@ -156,6 +166,7 @@ def timeseries_stream(df: DataFrame) -> DataFrame:
                 out["peak_micro"].append(peak)
                 out["drawdown_micro"].append(peak - x)
                 out["band_break"].append(band)
+                out["med2_micro"].append(med2)
                 prev_ewma = ewma
         padded = deque + [0] * (FRAME_L - len(deque))
         state.update(
@@ -173,6 +184,7 @@ def timeseries_stream(df: DataFrame) -> DataFrame:
                 "peak_micro": out["peak_micro"],
                 "drawdown_micro": out["drawdown_micro"],
                 "band_break": pd.array(out["band_break"], dtype="int32"),
+                "med2_micro": out["med2_micro"],
             }
         )
 
@@ -321,6 +333,28 @@ def bollinger_batch_twin(df: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("int")
         .alias("band_break"),
+    )
+
+
+def rolling_median_batch_twin(df: DataFrame) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(MED_L - 1), Window.currentRow)
+    )
+    s = F.array_sort(F.collect_list("x_micro").over(w))
+    n = F.size(s)
+    med2 = F.when(
+        n % 2 == 1, F.element_at(s, ((n + 1) / 2).cast("int")) * 2
+    ).otherwise(
+        F.element_at(s, (n / 2).cast("int"))
+        + F.element_at(s, (n / 2).cast("int") + 1)
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        "x_micro",
+        med2.cast("long").alias("med2_micro"),
     )
 
 

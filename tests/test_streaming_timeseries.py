@@ -23,6 +23,7 @@ from async_event_streams_spark.streaming import (
     bollinger_batch_twin,
     drawdown_batch_twin,
     ewma_batch_twin,
+    rolling_median_batch_twin,
     timeseries_stream,
 )
 from async_event_streams_spark.tables import table
@@ -49,6 +50,7 @@ def test_batch_twins_equal_registered_queries(spark, sf_dir):
         ("c_ewma", ewma_batch_twin),
         ("c_window_drawdown", drawdown_batch_twin),
         ("c_window_bollinger", bollinger_batch_twin),
+        ("c_window_rolling_median", rolling_median_batch_twin),
         ("c_anomaly_ewma", anomaly_batch_twin),
     ]
     for name, twin in pairs:
@@ -95,6 +97,11 @@ def _check_all(spark, emitted, sofar_df):
     assert bb == {
         (r.user_id, r.event_id, r.x_micro, r.band_break)
         for r in bollinger_batch_twin(sofar_df).collect()
+    }
+    rm = {tuple(r) for r in emitted.select(
+        "user_id", "event_id", "x_micro", "med2_micro").collect()}
+    assert rm == {
+        tuple(r) for r in rolling_median_batch_twin(sofar_df).collect()
     }
     an = {tuple(r) for r in anomaly_view(emitted).collect()}
     assert an == {tuple(r) for r in anomaly_batch_twin(sofar_df).collect()}
@@ -161,7 +168,7 @@ def test_timeseries_stream_restart_resumes_state(spark, sf_dir, tmp_path):
         emitted = spark.read.schema(
             "user_id long, event_id long, x_micro long, ewma_pico long, "
             "residual_pico long, peak_micro long, drawdown_micro long, "
-            "band_break int"
+            "band_break int, med2_micro long"
         ).parquet(out)
         allrows = [r for w in waves for r in w]
         sofar_df = spark.createDataFrame(
