@@ -76,3 +76,29 @@ def test_frame_consumers_agree_between_shapes(spark):
         }
         b = {tuple(r) for r in fold(frame_values_plain(df, 8)).collect()}
         assert a == b
+
+
+def test_anomaly_split_with_forced_hot_set(spark):
+    """The r10 c_anomaly_adaptive hot/cold split must be
+    answer-invariant under a FORCED hot set (the skew probe pins this
+    on the 10M-row corpus; this pins it in CI on the adversarial
+    layout): plain-on-everything == union(plain on cold, stitched on
+    hot), flags included — moments are per-user, so the per-user
+    split is exact by construction, and this test keeps that
+    construction from regressing."""
+    from async_event_streams_spark.queries.relational import (
+        _anomaly_plain_on,
+        _anomaly_stitched_on,
+    )
+
+    df = spark.createDataFrame(_rows(), _SCHEMA)
+    want = {tuple(r) for r in _anomaly_plain_on(df).collect()}
+    for hot in ([1], [1, 2]):
+        is_hot = F.coalesce(F.col("user_id").isin(hot), F.lit(False))
+        got = {
+            tuple(r)
+            for r in _anomaly_plain_on(df.filter(~is_hot))
+            .unionByName(_anomaly_stitched_on(df.filter(is_hot), hot))
+            .collect()
+        }
+        assert got == want, hot
