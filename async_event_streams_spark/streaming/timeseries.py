@@ -97,99 +97,112 @@ TS_STATE_SCHEMA = (
 _NO_PREV = -(1 << 62)
 
 
+def _trunc_div(n: int, d: int) -> int:
+    """Truncating integer division — SQL DIV's semantics, which the
+    batch c_ewma uses. Python's // FLOORS, which differs on negative
+    numerators (a frame of negative micro-values): -7 DIV 2 = -3 but
+    -7 // 2 = -4. The corpus is non-negative so the difference never
+    shows there; a twin must match the batch definition everywhere
+    (caught by driving the twin with negative values)."""
+    q = abs(n) // d
+    return q if n >= 0 else -q
+
+
+def _update(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The per-key state transition (module-level so the Spark-free
+    property test, tests/test_timeseries_properties.py, can drive it
+    directly against a prefix-recompute reference)."""
+    if state.exists:
+        st = state.get
+        deque = [int(v) for v in st[:FRAME_L]][: int(st[FRAME_L])]
+        peak, prev_ewma, last_eid = (
+            int(st[FRAME_L + 1]),
+            int(st[FRAME_L + 2]),
+            int(st[FRAME_L + 3]),
+        )
+    else:
+        deque, peak, prev_ewma, last_eid = [], _NO_PREV, _NO_PREV, -(1 << 62)
+    out: dict[str, list] = {k: [] for k in (
+        "event_id", "x_micro", "ewma_pico", "residual_pico",
+        "peak_micro", "drawdown_micro", "band_break", "med2_micro",
+    )}
+    pdf = ordered_events(pdf_iter, sort_cols=("event_id",))
+    if pdf is not None:
+        for eid, x in zip(pdf["event_id"], pdf["x_micro"]):
+            eid, x = int(eid), int(x)
+            if eid <= last_eid:
+                continue  # per-key FIFO contract violation: drop
+            last_eid = eid
+            deque.append(x)
+            if len(deque) > FRAME_L:
+                deque.pop(0)
+            # c_ewma fold: oldest weight 1, doubling per step
+            num, wt = 0, 1
+            for v in deque:
+                num += v * wt
+                wt *= 2
+            den = (1 << len(deque)) - 1
+            ewma = _trunc_div(num * 1000000, den)
+            residual = (
+                None if prev_ewma == _NO_PREV else x * 1000000 - prev_ewma
+            )
+            peak = x if peak == _NO_PREV else max(peak, x)
+            # c_window_bollinger exact-integer band test
+            n = len(deque)
+            if n < 2:
+                band = 0
+            else:
+                s = sum(deque)
+                q = sum(v * v for v in deque)
+                dev = x * n - s
+                band = (
+                    0
+                    if dev * dev <= 4 * (q * n - s * s)
+                    else (1 if dev >= 0 else -1)
+                )
+            m = sorted(deque[-MED_L:])
+            med2 = (
+                2 * m[len(m) // 2]
+                if len(m) % 2 == 1
+                else m[len(m) // 2 - 1] + m[len(m) // 2]
+            )
+            out["event_id"].append(eid)
+            out["x_micro"].append(x)
+            out["ewma_pico"].append(ewma)
+            out["residual_pico"].append(residual)
+            out["peak_micro"].append(peak)
+            out["drawdown_micro"].append(peak - x)
+            out["band_break"].append(band)
+            out["med2_micro"].append(med2)
+            prev_ewma = ewma
+    padded = deque + [0] * (FRAME_L - len(deque))
+    state.update(
+        tuple(padded) + (len(deque), peak, prev_ewma, last_eid)
+    )
+    if not out["event_id"]:
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out["event_id"]),
+            "event_id": out["event_id"],
+            "x_micro": out["x_micro"],
+            "ewma_pico": out["ewma_pico"],
+            "residual_pico": pd.array(out["residual_pico"], dtype="Int64"),
+            "peak_micro": out["peak_micro"],
+            "drawdown_micro": out["drawdown_micro"],
+            "band_break": pd.array(out["band_break"], dtype="int32"),
+            "med2_micro": out["med2_micro"],
+        }
+    )
+
 def timeseries_stream(df: DataFrame) -> DataFrame:
     """(user_id, event_id, x_micro) stream → one enriched row per
     event with every frame-local time-series metric (see module doc).
     State is O(keys): FRAME_L values + 3 scalars per user."""
-
-    def update(
-        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            st = state.get
-            deque = [int(v) for v in st[:FRAME_L]][: int(st[FRAME_L])]
-            peak, prev_ewma, last_eid = (
-                int(st[FRAME_L + 1]),
-                int(st[FRAME_L + 2]),
-                int(st[FRAME_L + 3]),
-            )
-        else:
-            deque, peak, prev_ewma, last_eid = [], _NO_PREV, _NO_PREV, -(1 << 62)
-        out: dict[str, list] = {k: [] for k in (
-            "event_id", "x_micro", "ewma_pico", "residual_pico",
-            "peak_micro", "drawdown_micro", "band_break", "med2_micro",
-        )}
-        pdf = ordered_events(pdf_iter, sort_cols=("event_id",))
-        if pdf is not None:
-            for eid, x in zip(pdf["event_id"], pdf["x_micro"]):
-                eid, x = int(eid), int(x)
-                if eid <= last_eid:
-                    continue  # per-key FIFO contract violation: drop
-                last_eid = eid
-                deque.append(x)
-                if len(deque) > FRAME_L:
-                    deque.pop(0)
-                # c_ewma fold: oldest weight 1, doubling per step
-                num, wt = 0, 1
-                for v in deque:
-                    num += v * wt
-                    wt *= 2
-                den = (1 << len(deque)) - 1
-                ewma = num * 1000000 // den
-                residual = (
-                    None if prev_ewma == _NO_PREV else x * 1000000 - prev_ewma
-                )
-                peak = x if peak == _NO_PREV else max(peak, x)
-                # c_window_bollinger exact-integer band test
-                n = len(deque)
-                if n < 2:
-                    band = 0
-                else:
-                    s = sum(deque)
-                    q = sum(v * v for v in deque)
-                    dev = x * n - s
-                    band = (
-                        0
-                        if dev * dev <= 4 * (q * n - s * s)
-                        else (1 if dev >= 0 else -1)
-                    )
-                m = sorted(deque[-MED_L:])
-                med2 = (
-                    2 * m[len(m) // 2]
-                    if len(m) % 2 == 1
-                    else m[len(m) // 2 - 1] + m[len(m) // 2]
-                )
-                out["event_id"].append(eid)
-                out["x_micro"].append(x)
-                out["ewma_pico"].append(ewma)
-                out["residual_pico"].append(residual)
-                out["peak_micro"].append(peak)
-                out["drawdown_micro"].append(peak - x)
-                out["band_break"].append(band)
-                out["med2_micro"].append(med2)
-                prev_ewma = ewma
-        padded = deque + [0] * (FRAME_L - len(deque))
-        state.update(
-            tuple(padded) + (len(deque), peak, prev_ewma, last_eid)
-        )
-        if not out["event_id"]:
-            return
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(out["event_id"]),
-                "event_id": out["event_id"],
-                "x_micro": out["x_micro"],
-                "ewma_pico": out["ewma_pico"],
-                "residual_pico": pd.array(out["residual_pico"], dtype="Int64"),
-                "peak_micro": out["peak_micro"],
-                "drawdown_micro": out["drawdown_micro"],
-                "band_break": pd.array(out["band_break"], dtype="int32"),
-                "med2_micro": out["med2_micro"],
-            }
-        )
-
     return df.groupBy("user_id").applyInPandasWithState(
-        update,
+        _update,
         outputStructType=TS_OUTPUT_SCHEMA,
         stateStructType=TS_STATE_SCHEMA,
         outputMode="append",
