@@ -239,8 +239,11 @@ def streaming_ewma(df: DataFrame) -> DataFrame:
                 ids, xs = ids[-EWMA_L:], xs[-EWMA_L:]
                 num = sum(v * (1 << i) for i, v in enumerate(xs))
                 den = (1 << len(xs)) - 1
+                # SQL DIV truncation, not Python floor — they differ
+                # on negative numerators (see timeseries._trunc_div)
+                q = abs(num * 1_000_000) // den
                 out_rows.append(
-                    (key[0], int(eid), int(x), (num * 1_000_000) // den)
+                    (key[0], int(eid), int(x), q if num >= 0 else -q)
                 )
         state.update((ids, xs))
         if out_rows:
