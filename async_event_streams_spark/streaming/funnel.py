@@ -53,66 +53,68 @@ FUNNEL_STATE_SCHEMA = (
 _STEPS = ("view", "click", "purchase")
 
 
+def _update(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The per-key state transition (module-level so the Spark-free
+    property test, tests/test_timeseries_properties.py's funnel
+    sibling, can drive it against a prefix-recompute reference)."""
+    t1, t2, t3, last_us, last_eid = (
+        state.get
+        if state.exists
+        else (UNSET_US, UNSET_US, UNSET_US, UNSET_US, -1)
+    )
+    out_stage: list[int] = []
+    out_at: list[int] = []
+    pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
+    if pdf is not None:
+        for t_us, eid, etype in zip(
+            ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"]
+        ):
+            t_us, eid = int(t_us), int(eid)
+            if (t_us, eid) <= (last_us, last_eid):
+                continue  # per-key FIFO contract violation: drop
+            last_us, last_eid = t_us, eid
+            if etype == _STEPS[0] and t1 == UNSET_US:
+                t1 = t_us
+                out_stage.append(1)
+                out_at.append(t_us)
+            elif (
+                etype == _STEPS[1]
+                and t2 == UNSET_US
+                and t1 != UNSET_US
+                and t_us > t1
+            ):
+                t2 = t_us
+                out_stage.append(2)
+                out_at.append(t_us)
+            elif (
+                etype == _STEPS[2]
+                and t3 == UNSET_US
+                and t2 != UNSET_US
+                and t_us > t2
+            ):
+                t3 = t_us
+                out_stage.append(3)
+                out_at.append(t_us)
+    state.update((t1, t2, t3, last_us, last_eid))
+    if not out_stage:
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_stage),
+            "stage": out_stage,
+            "reached_at": pd.to_datetime(out_at, unit="us"),
+        }
+    )
+
 def funnel_stage_stream(df: DataFrame) -> DataFrame:
     """(user_id, event_type, ts, event_id) stream → one append row per
     stage ADVANCE: (user_id, stage 1..3, reached_at). A user's rows
     are strictly increasing in stage; the latest row is their current
     funnel position."""
-
-    def update(
-        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        t1, t2, t3, last_us, last_eid = (
-            state.get
-            if state.exists
-            else (UNSET_US, UNSET_US, UNSET_US, UNSET_US, -1)
-        )
-        out_stage: list[int] = []
-        out_at: list[int] = []
-        pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
-        if pdf is not None:
-            for t_us, eid, etype in zip(
-                ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"]
-            ):
-                t_us, eid = int(t_us), int(eid)
-                if (t_us, eid) <= (last_us, last_eid):
-                    continue  # per-key FIFO contract violation: drop
-                last_us, last_eid = t_us, eid
-                if etype == _STEPS[0] and t1 == UNSET_US:
-                    t1 = t_us
-                    out_stage.append(1)
-                    out_at.append(t_us)
-                elif (
-                    etype == _STEPS[1]
-                    and t2 == UNSET_US
-                    and t1 != UNSET_US
-                    and t_us > t1
-                ):
-                    t2 = t_us
-                    out_stage.append(2)
-                    out_at.append(t_us)
-                elif (
-                    etype == _STEPS[2]
-                    and t3 == UNSET_US
-                    and t2 != UNSET_US
-                    and t_us > t2
-                ):
-                    t3 = t_us
-                    out_stage.append(3)
-                    out_at.append(t_us)
-        state.update((t1, t2, t3, last_us, last_eid))
-        if not out_stage:
-            return
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(out_stage),
-                "stage": out_stage,
-                "reached_at": pd.to_datetime(out_at, unit="us"),
-            }
-        )
-
     return df.groupBy("user_id").applyInPandasWithState(
-        update,
+        _update,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="append",
