@@ -56,51 +56,53 @@ SCD2_STATE_SCHEMA = (
 )
 
 
+def _update(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The per-key state transition (module-level so the Spark-free
+    property test, tests/test_scd2_properties.py, can drive it
+    against a prefix-recompute reference)."""
+    cur_type, from_us, last_us, last_eid = (
+        state.get if state.exists else (None, UNSET_US, UNSET_US, -1)
+    )
+    out_type: list[str] = []
+    out_from: list[int] = []
+    out_to: list[int] = []
+    pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
+    if pdf is not None:
+        for t_us, eid, etype in zip(
+            ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"]
+        ):
+            t_us, eid = int(t_us), int(eid)
+            if (t_us, eid) <= (last_us, last_eid):
+                continue  # per-key FIFO contract violation: drop
+            last_us, last_eid = t_us, eid
+            if cur_type is None:
+                cur_type, from_us = str(etype), t_us
+            elif str(etype) != cur_type:
+                out_type.append(cur_type)
+                out_from.append(from_us)
+                out_to.append(t_us)
+                cur_type, from_us = str(etype), t_us
+    state.update((cur_type, from_us, last_us, last_eid))
+    if not out_type:
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_type),
+            "event_type": out_type,
+            "valid_from": pd.to_datetime(out_from, unit="us"),
+            "valid_to": pd.to_datetime(out_to, unit="us"),
+        }
+    )
+
 def scd2_intervals_stream(df: DataFrame) -> DataFrame:
     """(user_id, event_type, ts, event_id) stream → closed SCD2
     interval rows [valid_from, valid_to). The OPEN interval per key is
     state, not output — append-mode downstream sinks only ever see
     finalized history rows (emitting the open row would retract)."""
-
-    def update(
-        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        cur_type, from_us, last_us, last_eid = (
-            state.get if state.exists else (None, UNSET_US, UNSET_US, -1)
-        )
-        out_type: list[str] = []
-        out_from: list[int] = []
-        out_to: list[int] = []
-        pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
-        if pdf is not None:
-            for t_us, eid, etype in zip(
-                ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"]
-            ):
-                t_us, eid = int(t_us), int(eid)
-                if (t_us, eid) <= (last_us, last_eid):
-                    continue  # per-key FIFO contract violation: drop
-                last_us, last_eid = t_us, eid
-                if cur_type is None:
-                    cur_type, from_us = str(etype), t_us
-                elif str(etype) != cur_type:
-                    out_type.append(cur_type)
-                    out_from.append(from_us)
-                    out_to.append(t_us)
-                    cur_type, from_us = str(etype), t_us
-        state.update((cur_type, from_us, last_us, last_eid))
-        if not out_type:
-            return
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(out_type),
-                "event_type": out_type,
-                "valid_from": pd.to_datetime(out_from, unit="us"),
-                "valid_to": pd.to_datetime(out_to, unit="us"),
-            }
-        )
-
     return df.groupBy("user_id").applyInPandasWithState(
-        update,
+        _update,
         outputStructType=SCD2_OUTPUT_SCHEMA,
         stateStructType=SCD2_STATE_SCHEMA,
         outputMode="append",
