@@ -5073,13 +5073,19 @@ def c_data_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     decide WHEN the adaptive skew lanes start paying.
 
     Scale shape: one map-side-combined per-key count, then a rank
-    over the SLIM count table. The rank is a window here; at real key
-    cardinality it rides global_row_number's prefix machinery —
-    either way the fact rows are touched once."""
+    over the SLIM count table riding global_row_number(mode="auto") —
+    the plain window at small estimated inputs, the range-partitioned
+    prefix-sum at real key cardinality (billions of users is exactly
+    the whale-skew scenario this monitor exists for; a single-task
+    sort of the key table would defeat its purpose). Either way the
+    fact rows are touched once."""
+    from ..functions.order import global_row_number
+
     ev = table(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w = Window.orderBy("cnt", "user_id")
-    r = c.select("cnt", F.row_number().over(w).cast("long").alias("i"))
+    r = global_row_number(c, ["cnt", "user_id"], pos_col="i").select(
+        "cnt", F.col("i").cast("long").alias("i")
+    )
     t = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cnt").cast("long").alias("total"),
