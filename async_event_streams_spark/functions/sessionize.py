@@ -140,8 +140,20 @@ def hot_key_profile(
     from ..tables import table as _table
     from ..util import artifact
 
-    if isinstance(specs, tuple):
+    # Discriminate the scalar shape by ELEMENT type, not container
+    # type: a tuple-of-tuples spec (("events","user_id"),("orders",
+    # "o_custkey")) must union the axes, not be wrapped as one spec
+    # and fail deep inside _table with a confusing error.
+    if specs and isinstance(specs[0], str):
         specs = [specs]
+    specs = [tuple(s) for s in specs]
+    if not specs or not all(
+        len(s) == 2 and all(isinstance(p, str) for p in s) for s in specs
+    ):
+        raise ValueError(
+            "specs must be ('table', 'key_col') or a sequence of such "
+            f"pairs, got {specs!r}"
+        )
     memo_key = (
         "hotkeys:"
         + "+".join(f"{t}.{c}" for t, c in specs)

@@ -5741,8 +5741,19 @@ def c_histogram_equidepth_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("edges"),
         F.count(F.lit(1)).cast("long").alias("n"),
     ).collect()[0]
-    edges = [int(e) for e in sk["edges"]]
     n = int(sk["n"])
+    if not n or sk["edges"] is None:
+        # Zero-row corpus: percentile_approx yields NULL edges, so the
+        # literal-building loop below would crash before the n==0 math
+        # is reached — return the zero-filled spine directly (every
+        # bucket trivially within tolerance of the 0-depth NTILE).
+        spine = spark.range(1, B + 1).select(F.col("id").alias("bucket"))
+        return spine.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.lit(0).cast("long").alias("n_total"),
+            F.lit(True).alias("depth_ok"),
+        )
+    edges = [int(e) for e in sk["edges"]]
     # bucket = 1 + #edges strictly below the value: branch-free integer
     # sum the codegen fuses into the scan projection.
     bucket = F.lit(1)

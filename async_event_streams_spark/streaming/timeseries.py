@@ -88,13 +88,16 @@ TS_OUTPUT_SCHEMA = (
 )
 # v0..v7: the frame deque, oldest-first (only the first `cnt` are live);
 # prev_ewma is the one-step-ahead forecast carried across batches;
-# last_eid is the FIFO watermark. All simple int64 — the scd2 rule.
+# last_eid is the FIFO watermark; n_seen counts accepted events — the
+# explicit "have we seen anything yet" flag (peak/prev_ewma/last_eid
+# are meaningless until n_seen > 0). No magic sentinel: state admits
+# unbounded int64 inputs, so a value doubling as "no peak yet" would
+# silently reset the running peak if a row legitimately carried it.
+# All simple int64 — the scd2 rule.
 TS_STATE_SCHEMA = (
     ", ".join(f"v{i} long" for i in range(FRAME_L))
-    + ", cnt long, peak long, prev_ewma long, last_eid long"
+    + ", cnt long, peak long, prev_ewma long, last_eid long, n_seen long"
 )
-
-_NO_PREV = -(1 << 62)
 
 
 def _trunc_div(n: int, d: int) -> int:
@@ -117,13 +120,14 @@ def _update(
     if state.exists:
         st = state.get
         deque = [int(v) for v in st[:FRAME_L]][: int(st[FRAME_L])]
-        peak, prev_ewma, last_eid = (
+        peak, prev_ewma, last_eid, n_seen = (
             int(st[FRAME_L + 1]),
             int(st[FRAME_L + 2]),
             int(st[FRAME_L + 3]),
+            int(st[FRAME_L + 4]),
         )
     else:
-        deque, peak, prev_ewma, last_eid = [], _NO_PREV, _NO_PREV, -(1 << 62)
+        deque, peak, prev_ewma, last_eid, n_seen = [], 0, 0, 0, 0
     out: dict[str, list] = {k: [] for k in (
         "event_id", "x_micro", "ewma_pico", "residual_pico",
         "peak_micro", "drawdown_micro", "band_break", "med2_micro",
@@ -132,7 +136,7 @@ def _update(
     if pdf is not None:
         for eid, x in zip(pdf["event_id"], pdf["x_micro"]):
             eid, x = int(eid), int(x)
-            if eid <= last_eid:
+            if n_seen and eid <= last_eid:
                 continue  # per-key FIFO contract violation: drop
             last_eid = eid
             deque.append(x)
@@ -145,10 +149,9 @@ def _update(
                 wt *= 2
             den = (1 << len(deque)) - 1
             ewma = _trunc_div(num * 1000000, den)
-            residual = (
-                None if prev_ewma == _NO_PREV else x * 1000000 - prev_ewma
-            )
-            peak = x if peak == _NO_PREV else max(peak, x)
+            residual = None if not n_seen else x * 1000000 - prev_ewma
+            peak = x if not n_seen else max(peak, x)
+            n_seen += 1
             # c_window_bollinger exact-integer band test
             n = len(deque)
             if n < 2:
@@ -179,7 +182,7 @@ def _update(
             prev_ewma = ewma
     padded = deque + [0] * (FRAME_L - len(deque))
     state.update(
-        tuple(padded) + (len(deque), peak, prev_ewma, last_eid)
+        tuple(padded) + (len(deque), peak, prev_ewma, last_eid, n_seen)
     )
     if not out["event_id"]:
         return

@@ -974,3 +974,20 @@ def test_gini_rank_rides_prefix_at_scale(spark, sf_dir, monkeypatch):
     )
     assert "hashpartitioning(__pid" in plan
     assert [r.asDict() for r in df.collect()] == [r.asDict() for r in small]
+
+
+def test_equidepth_sketch_survives_empty_corpus(spark, sf_dir, tmp_path):
+    """percentile_approx over zero rows yields NULL edges; the sketch
+    lane must return the zero-filled B-row spine (n_total=0, depth_ok
+    true) instead of crashing while building the edge literals."""
+    from async_event_streams_spark.queries import QUERIES
+    from async_event_streams_spark.tables import table
+
+    table(spark, sf_dir, "events").limit(0).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    rows = QUERIES["c_histogram_equidepth_sketch"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 8
+    assert all(r.n_total == 0 and r.depth_ok for r in rows)

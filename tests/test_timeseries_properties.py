@@ -167,3 +167,27 @@ def test_stream_update_bollinger_boundary_is_exact():
         brk_dn = [(i, 0) for i in range(1, 7)] + [(7, -4 * k)]
         rows = _run_stream(brk_dn, [])
         assert rows[-1][6] == -1, rows[-1]
+
+
+def test_sentinel_valued_state_is_honored():
+    """Regression (r10 advice): the state used to overload one magic
+    int64 (-(1<<62)) as both "no peak yet" and "no forecast yet" — a
+    checkpointed state legitimately carrying that value would silently
+    suppress the next residual and reset the running peak. The state
+    now carries an explicit n_seen counter, so the full int64 domain
+    is admissible state."""
+    sentinel = -(1 << 62)
+    state = _FakeState()
+    # a restored checkpoint: one event seen, forecast/peak AT the old
+    # sentinel value (n_seen=1 says they are live)
+    state.update((0,) * FRAME_L + (0, sentinel, sentinel, 1, 1))
+    pdf = pd.DataFrame({"event_id": [2], "x_micro": [-5]})
+    (frame,) = _update((7,), iter([pdf]), state)
+    # residual = x*1e6 - prev_ewma must be PRESENT (old code: None)
+    assert int(frame.residual_pico[0]) == -5 * 1000000 - sentinel
+    assert int(frame.peak_micro[0]) == -5
+    # and a genuinely-new user still gets residual None on event 1
+    fresh = _FakeState()
+    (f2,) = _update((8,), iter([pdf]), fresh)
+    assert pd.isna(f2.residual_pico[0])
+    assert fresh.get[-1] == 1  # n_seen persisted

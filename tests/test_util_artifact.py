@@ -314,3 +314,33 @@ def test_hot_key_profile_equals_direct_probe(spark, sf_dir):
         key=str,
     )
     assert pinned_u == direct_u
+
+
+def test_hot_key_profile_spec_shapes(spark, sf_dir):
+    """Spec parsing discriminates by element type: a tuple-of-tuples
+    unions the axes exactly like the list form (it used to be wrapped
+    as ONE spec and fail deep inside table()), and malformed specs
+    raise a clear ValueError up front."""
+    import pytest
+
+    from async_event_streams_spark.functions.sessionize import (
+        hot_key_profile,
+    )
+
+    clear_artifacts(spark)
+    as_list = sorted(
+        hot_key_profile(
+            spark, sf_dir, [("events", "user_id"), ("orders", "o_custkey")]
+        ),
+        key=str,
+    )
+    as_tuple = sorted(
+        hot_key_profile(
+            spark, sf_dir, (("events", "user_id"), ("orders", "o_custkey"))
+        ),
+        key=str,
+    )
+    assert as_tuple == as_list
+    for bad in ((), ("events",), [("events", "user_id", "extra")], [(1, 2)]):
+        with pytest.raises(ValueError, match="specs must be"):
+            hot_key_profile(spark, sf_dir, bad)
