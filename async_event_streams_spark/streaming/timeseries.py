@@ -111,14 +111,15 @@ def _trunc_div(n: int, d: int) -> int:
     return q if n >= 0 else -q
 
 
-def _update(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """The per-key state transition (module-level so the Spark-free
-    property test, tests/test_timeseries_properties.py, can drive it
-    directly against a prefix-recompute reference)."""
-    if state.exists:
-        st = state.get
+def _fold_events(st: tuple | None, events) -> tuple[dict, tuple]:
+    """The per-key fold — ONE transition shared verbatim by both
+    streaming engines (applyInPandasWithState and
+    transformWithStateInPandas) and driven Spark-free by the property
+    tests: (state tuple | None, iterable of (event_id, x_micro)) →
+    (per-event output columns, new state tuple). Keeping the fold
+    engine-agnostic is what makes the tws port a wiring change, not a
+    second implementation to diverge."""
+    if st is not None:
         deque = [int(v) for v in st[:FRAME_L]][: int(st[FRAME_L])]
         peak, prev_ewma, last_eid, n_seen = (
             int(st[FRAME_L + 1]),
@@ -132,61 +133,61 @@ def _update(
         "event_id", "x_micro", "ewma_pico", "residual_pico",
         "peak_micro", "drawdown_micro", "band_break", "med2_micro",
     )}
-    pdf = ordered_events(pdf_iter, sort_cols=("event_id",))
-    if pdf is not None:
-        for eid, x in zip(pdf["event_id"], pdf["x_micro"]):
-            eid, x = int(eid), int(x)
-            if n_seen and eid <= last_eid:
-                continue  # per-key FIFO contract violation: drop
-            last_eid = eid
-            deque.append(x)
-            if len(deque) > FRAME_L:
-                deque.pop(0)
-            # c_ewma fold: oldest weight 1, doubling per step
-            num, wt = 0, 1
-            for v in deque:
-                num += v * wt
-                wt *= 2
-            den = (1 << len(deque)) - 1
-            ewma = _trunc_div(num * 1000000, den)
-            residual = None if not n_seen else x * 1000000 - prev_ewma
-            peak = x if not n_seen else max(peak, x)
-            n_seen += 1
-            # c_window_bollinger exact-integer band test
-            n = len(deque)
-            if n < 2:
-                band = 0
-            else:
-                s = sum(deque)
-                q = sum(v * v for v in deque)
-                dev = x * n - s
-                band = (
-                    0
-                    if dev * dev <= 4 * (q * n - s * s)
-                    else (1 if dev >= 0 else -1)
-                )
-            m = sorted(deque[-MED_L:])
-            med2 = (
-                2 * m[len(m) // 2]
-                if len(m) % 2 == 1
-                else m[len(m) // 2 - 1] + m[len(m) // 2]
+    for eid, x in events:
+        eid, x = int(eid), int(x)
+        if n_seen and eid <= last_eid:
+            continue  # per-key FIFO contract violation: drop
+        last_eid = eid
+        deque.append(x)
+        if len(deque) > FRAME_L:
+            deque.pop(0)
+        # c_ewma fold: oldest weight 1, doubling per step
+        num, wt = 0, 1
+        for v in deque:
+            num += v * wt
+            wt *= 2
+        den = (1 << len(deque)) - 1
+        ewma = _trunc_div(num * 1000000, den)
+        residual = None if not n_seen else x * 1000000 - prev_ewma
+        peak = x if not n_seen else max(peak, x)
+        n_seen += 1
+        # c_window_bollinger exact-integer band test
+        n = len(deque)
+        if n < 2:
+            band = 0
+        else:
+            s = sum(deque)
+            q = sum(v * v for v in deque)
+            dev = x * n - s
+            band = (
+                0
+                if dev * dev <= 4 * (q * n - s * s)
+                else (1 if dev >= 0 else -1)
             )
-            out["event_id"].append(eid)
-            out["x_micro"].append(x)
-            out["ewma_pico"].append(ewma)
-            out["residual_pico"].append(residual)
-            out["peak_micro"].append(peak)
-            out["drawdown_micro"].append(peak - x)
-            out["band_break"].append(band)
-            out["med2_micro"].append(med2)
-            prev_ewma = ewma
+        m = sorted(deque[-MED_L:])
+        med2 = (
+            2 * m[len(m) // 2]
+            if len(m) % 2 == 1
+            else m[len(m) // 2 - 1] + m[len(m) // 2]
+        )
+        out["event_id"].append(eid)
+        out["x_micro"].append(x)
+        out["ewma_pico"].append(ewma)
+        out["residual_pico"].append(residual)
+        out["peak_micro"].append(peak)
+        out["drawdown_micro"].append(peak - x)
+        out["band_break"].append(band)
+        out["med2_micro"].append(med2)
+        prev_ewma = ewma
     padded = deque + [0] * (FRAME_L - len(deque))
-    state.update(
-        tuple(padded) + (len(deque), peak, prev_ewma, last_eid, n_seen)
+    new_state = tuple(padded) + (
+        len(deque), peak, prev_ewma, last_eid, n_seen,
     )
-    if not out["event_id"]:
-        return
-    yield pd.DataFrame(
+    return out, new_state
+
+
+def _out_frame(key: tuple, out: dict) -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "user_id": [key[0]] * len(out["event_id"]),
             "event_id": out["event_id"],
@@ -200,16 +201,88 @@ def _update(
         }
     )
 
-def timeseries_stream(df: DataFrame) -> DataFrame:
+
+def _update(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The applyInPandasWithState wrapper around `_fold_events`."""
+    pdf = ordered_events(pdf_iter, sort_cols=("event_id",))
+    events = [] if pdf is None else zip(pdf["event_id"], pdf["x_micro"])
+    out, new_state = _fold_events(
+        tuple(state.get) if state.exists else None, events
+    )
+    state.update(new_state)
+    if out["event_id"]:
+        yield _out_frame(key, out)
+
+
+class TimeseriesProcessor:
+    """The transformWithStateInPandas wrapper around `_fold_events`
+    (Spark 4 state API v2: typed ValueState handle, RocksDB-backed,
+    timers/TTL available). Duck-typed rather than subclassing
+    StatefulProcessor so the transition is testable without protobuf
+    (the v2 engine's Python<->JVM state server dependency — absent in
+    this container, same gate as streaming/stateful.sessionize);
+    `timeseries_stream(engine="tws")` wires it in where available."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("ts_state", TS_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues=None
+    ) -> Iterator[pd.DataFrame]:
+        pdf = ordered_events(rows, sort_cols=("event_id",))
+        events = [] if pdf is None else zip(pdf["event_id"], pdf["x_micro"])
+        out, new_state = _fold_events(
+            tuple(self._state.get()) if self._state.exists() else None,
+            events,
+        )
+        self._state.update(new_state)
+        if out["event_id"]:
+            yield _out_frame(key, out)
+
+    def close(self) -> None:
+        pass
+
+
+def timeseries_stream(df: DataFrame, engine: str = "auto") -> DataFrame:
     """(user_id, event_id, x_micro) stream → one enriched row per
     event with every frame-local time-series metric (see module doc).
-    State is O(keys): FRAME_L values + 3 scalars per user."""
-    return df.groupBy("user_id").applyInPandasWithState(
-        _update,
+    State is O(keys): FRAME_L values + 4 scalars per user.
+
+    engine="tws" rides transformWithStateInPandas (requires protobuf);
+    "compat" rides applyInPandasWithState; "auto" picks tws when
+    available. Both wrap the SAME `_fold_events` transition, so the
+    engines cannot diverge semantically — the property suite drives
+    the fold once for both."""
+    from .stateful import _protobuf_available
+
+    if engine == "auto":
+        engine = "tws" if _protobuf_available() else "compat"
+    if engine == "compat":
+        return df.groupBy("user_id").applyInPandasWithState(
+            _update,
+            outputStructType=TS_OUTPUT_SCHEMA,
+            stateStructType=TS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if engine != "tws":
+        raise ValueError(f"unknown engine {engine!r} (tws|compat|auto)")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # Graft the duck-typed processor onto the abstract base the v2 API
+    # type-checks for (kept separate so the class imports cleanly in
+    # containers without protobuf).
+    cls = type(
+        "TimeseriesStatefulProcessor", (StatefulProcessor,),
+        dict(TimeseriesProcessor.__dict__),
+    )
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=cls(),
         outputStructType=TS_OUTPUT_SCHEMA,
-        stateStructType=TS_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeMode="none",
     )
 
 
