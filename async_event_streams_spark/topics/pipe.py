@@ -91,6 +91,7 @@ def pipe(
     subscribe_from: str = "latest",
     trigger_interval: str = "50 milliseconds",
     bulk_threshold: int = 10_000,
+    max_segments_per_batch: int = 1000,
 ) -> PipeHandle:
     """Wire source → fn → (target and/or sink_fn) as a streaming query.
 
@@ -101,6 +102,12 @@ def pipe(
     get fresh event ids on the target topic but keep `source_event_id`
     lineage (auto-set to the consumed event_id before `fn`; `fn` may
     override it).
+
+    `max_segments_per_batch=1` is PER-EVENT FIDELITY mode (SURVEY
+    §8-H1): every micro-batch admits exactly one published segment, so
+    barrier/ordering granularity matches the reference's per-event
+    `send_event` — at micro-batch-rate throughput cost (measured in
+    BASELINE.md's per-event lane).
 
     Republish path is size-dependent: batches up to `bulk_threshold`
     rows go through the driver-side segment log (control-plane FIFO);
@@ -128,6 +135,7 @@ def pipe(
             subscribe_from=subscribe_from,
             trigger_interval=trigger_interval,
             bulk_threshold=bulk_threshold,
+            max_segments_per_batch=max_segments_per_batch,
         )
     pipe_name = name or f"pipe-{source.name}-{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(source.dir, "_checkpoints", pipe_name)
@@ -189,7 +197,10 @@ def pipe(
                 error_handler(exc)
             raise
 
-    stream = source.subscribe(subscribe_from=subscribe_from)
+    stream = source.subscribe(
+        subscribe_from=subscribe_from,
+        max_segments_per_batch=max_segments_per_batch,
+    )
     query = (
         stream.writeStream.foreachBatch(batch_fn)
         .queryName(pipe_name)

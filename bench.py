@@ -87,6 +87,7 @@ def main() -> None:
     # too, so spin-up cost stays visible and rounds stay comparable.
     topic_runs = [_topic_throughput(spark) for _ in range(2)]
     ptopic_runs = [_partitioned_topic_throughput(spark) for _ in range(2)]
+    pe_rate, pe_p50_ms = _per_event_fidelity(spark)
 
     # Output layout is tail-robust: the recording harness keeps only
     # the last ~2000 chars of stdout and tries to parse the final line.
@@ -108,6 +109,8 @@ def main() -> None:
         "topic_events_per_sec_first": topic_runs[0],
         "partitioned_topic_events_per_sec": max(ptopic_runs),
         "partitioned_topic_events_per_sec_first": ptopic_runs[0],
+        "per_event_mode_events_per_sec": pe_rate,
+        "per_event_mode_p50_latency_ms": pe_p50_ms,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -172,6 +175,59 @@ def _topic_throughput(spark, n_batches: int = 20, batch_size: int = 500) -> floa
         dt = time.perf_counter() - t0
         assert sum(seen) == n_batches * batch_size + 1
         return round(n_batches * batch_size / dt, 1)
+    finally:
+        t.close()
+
+
+def _per_event_fidelity(spark, n_events: int = 30) -> tuple[float, float]:
+    """PER-EVENT FIDELITY mode (SURVEY §8-H1): the reference's
+    `send_event` blocks per event (src/lib.rs:47-52); the engine's
+    conformance lane is `max_segments_per_batch=1` — every micro-batch
+    admits exactly ONE published segment, so barrier and ordering
+    granularity match the reference exactly. This measures what that
+    fidelity costs: single-event posts through a 1-segment-per-batch
+    pipe, returning (events/sec, p50 end-to-end latency ms) — the
+    number BASELINE.md keeps beside the bulk lanes so the relaxation
+    is a measured trade, not a sentence."""
+    import tempfile
+
+    from async_event_streams_spark.topics import Topic, TopicRegistry, pipe
+
+    root = tempfile.mkdtemp(prefix="bench-pe-")
+    t = Topic(spark, "benchpe", "n long, v double", root, TopicRegistry())
+    arrivals: dict[int, float] = {}
+
+    def on_batch(df, batch_id):
+        now = time.perf_counter()
+        for r in df.select("n").collect():
+            arrivals[int(r.n)] = now
+
+    pipe(
+        t,
+        sink_fn=on_batch,
+        name="bench-pe-sub",
+        max_segments_per_batch=1,
+        trigger_interval="0 milliseconds",
+    )
+    try:
+        t.post([{"n": -1, "v": 0.0}])  # spin-up outside the window
+        t.barrier()
+        # the reference's send_event BLOCKS per event: post, await the
+        # delivery barrier, only then produce the next — so latency is
+        # a round-trip, never queueing
+        lats = []
+        t0 = time.perf_counter()
+        for i in range(n_events):
+            sent = time.perf_counter()
+            t.post([{"n": i, "v": float(i)}])
+            t.barrier()
+            lats.append((arrivals[i] - sent) * 1000.0)
+        dt = time.perf_counter() - t0
+        lats.sort()
+        return (
+            round(n_events / dt, 1),
+            round(lats[len(lats) // 2], 1),
+        )
     finally:
         t.close()
 

@@ -305,3 +305,31 @@ def test_batch_df_roundtrip(spark, topic_root, registry):
     assert [r.s for r in rows] == ["x", "y"]
     assert all(r.event_type == "tp" for r in rows)
     assert rows[0].ts is not None
+
+
+def test_per_event_fidelity_mode_one_segment_per_batch(
+    spark, topic_root, registry
+):
+    """SURVEY §8-H1 conformance lane: with max_segments_per_batch=1
+    every micro-batch admits exactly ONE published segment, so barrier
+    and ordering granularity match the reference's per-event
+    send_event — three pre-queued posts drain as three distinct
+    batches, each carrying one event, in publish order."""
+    t = Topic(spark, "pe", "n long", topic_root, registry)
+    batches: list[list[int]] = []
+    pipe(
+        t,
+        sink_fn=lambda df, b: batches.append(
+            [r.n for r in df.select("n").collect()]
+        ),
+        name="pe-sub",
+        max_segments_per_batch=1,
+    )
+    try:
+        for i in range(3):
+            t.post([{"n": i}])  # queued BEFORE the drain catches up
+        t.barrier()
+        nonempty = [b for b in batches if b]
+        assert nonempty == [[0], [1], [2]]
+    finally:
+        t.close()
