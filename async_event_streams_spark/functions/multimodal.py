@@ -3,13 +3,16 @@ metadata, processed via Arrow-batched mapInPandas (driver mandate,
 SURVEY.md §2-C).
 
 The Spark-side machinery is real — schemas, content addressing,
-batch-shaped UDF signatures, partition-aware iteration. The image codec
-is real WHEN Pillow is importable, and the video codec is real WHEN
-PyAV is importable (both optional dependencies); without them,
-`fake=True` substitutes a deterministic structural decode so the
-pipeline shape (binary → features, video → frame fan-out) stays
-testable end-to-end, and the real-codec request fails fast ON THE
-DRIVER with an actionable message (never per-row on executors).
+batch-shaped UDF signatures, partition-aware iteration. Real decode has
+TWO backends per modality: Pillow / PyAV when importable (production —
+any format), and the pure-stdlib PNG / YUV4MPEG2 codecs in
+functions/codecs.py (always importable — the conformance anchor that
+keeps the decode → feature arithmetic tested on real pixel data even
+in codec-less containers). `fake=True` additionally substitutes a
+deterministic structural decode so the pipeline shape (binary →
+features, video → frame fan-out) is testable independent of any codec,
+and a missing optional backend fails fast ON THE DRIVER with an
+actionable message (never per-row on executors).
 """
 
 from __future__ import annotations
@@ -19,6 +22,8 @@ import io
 from collections.abc import Iterator
 
 import pandas as pd
+
+from . import codecs as _codecs
 
 try:  # optional dependency: real image codec when available
     from PIL import Image as _PILImage
@@ -42,6 +47,7 @@ try:
     from pyspark import cloudpickle as _cloudpickle
 
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    _cloudpickle.register_pickle_by_value(_codecs)
 except Exception:
     pass
 
@@ -92,26 +98,45 @@ def to_assets(df: DataFrame, payload_col: str, modality: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
-    """Decode image bytes → (width, height, feature). Real decode via
-    Pillow when importable: true dimensions plus a deterministic
-    16-float feature (4x4 grayscale thumbnail, /255). fake=True forces
-    the structural stand-in (dimensions and a tiny 'feature' derived
-    from the digest) — always available, used by the oracle-checked
-    plumbing tests. Without Pillow and without fake=True this raises
-    NotImplementedError."""
+def _resolve_image_codec(codec: str) -> str:
+    """codec= backends: "pillow" (any format Pillow reads — the
+    production lane), "pure" (the stdlib PNG codec in
+    functions/codecs.py — always importable, the conformance anchor
+    that keeps the real-decode arithmetic tested in codec-less
+    containers), "auto" (pillow when importable, else pure)."""
+    if codec == "auto":
+        return "pillow" if _PILImage is not None else "pure"
+    if codec not in ("pillow", "pure"):
+        raise ValueError(f"unknown image codec {codec!r} (pillow|pure|auto)")
+    if codec == "pillow" and _PILImage is None:
+        raise NotImplementedError(
+            "image codec needs the optional Pillow dependency "
+            "(pip install Pillow); pass fake=True for the deterministic "
+            "structural decode, or codec='pure' for the stdlib PNG lane"
+        )
+    return codec
+
+
+def decode_image(
+    payload: bytes, fake: bool = False, codec: str = "pillow"
+) -> tuple[int, int, list[float]]:
+    """Decode image bytes → (width, height, feature): true dimensions
+    plus a deterministic 16-float feature (4x4 box-averaged grayscale
+    thumbnail, /255). Backends per `_resolve_image_codec` — the "pure"
+    stdlib PNG lane is the normative integer definition of the feature
+    contract (codecs.gray_thumb); the Pillow lane matches it up to
+    resampling filter differences. fake=True forces the structural
+    stand-in (dimensions and a tiny 'feature' derived from the digest)
+    — used by the oracle-checked plumbing tests."""
     if fake:
         digest = hashlib.sha256(payload or b"").digest()
         width = 16 + digest[0] % 64
         height = 16 + digest[1] % 64
         feature = [b / 255.0 for b in digest[:8]]
         return width, height, feature
-    if _PILImage is None:
-        raise NotImplementedError(
-            "image codec needs the optional Pillow dependency "
-            "(pip install Pillow); pass fake=True for the deterministic "
-            "structural decode"
-        )
+    if _resolve_image_codec(codec) == "pure":
+        width, height, ch, pix = _codecs.png_decode(payload or b"")
+        return width, height, _codecs.gray_thumb(width, height, ch, pix)
     with _PILImage.open(io.BytesIO(payload or b"")) as im:
         width, height = im.size
         thumb = im.convert("L").resize((4, 4))
@@ -119,27 +144,28 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[flo
     return width, height, feature
 
 
-def extract_features(assets: DataFrame, fake_decode: bool = False) -> DataFrame:
+def extract_features(
+    assets: DataFrame, fake_decode: bool = False, codec: str = "pillow"
+) -> DataFrame:
     """binary → features via mapInPandas: Arrow-batched, partition-
     parallel, constant memory per batch (never materializes a partition
     of payloads at once). At scale the decode cost dominates, so
     parallelism == input partitions — repartition upstream to match
     cluster cores.
 
-    Real decode requires Pillow; checked HERE, driver-side, so a missing
+    Backend availability is checked HERE, driver-side, so a missing
     codec fails at plan construction with one clear error instead of N
-    executor task failures."""
-    if not fake_decode and _PILImage is None:
-        raise NotImplementedError(
-            "extract_features(fake_decode=False) needs the optional "
-            "Pillow dependency (pip install Pillow); pass "
-            "fake_decode=True for the structural stand-in"
-        )
+    executor task failures (codec="pure" is always available but only
+    reads PNG payloads — bad rows surface as task errors, which is data
+    quality, not a missing dependency)."""
+    if not fake_decode:
+        codec = _resolve_image_codec(codec)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                decode_image(p, fake=fake_decode) for p in pdf["payload"]
+                decode_image(p, fake=fake_decode, codec=codec)
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
@@ -155,7 +181,8 @@ def extract_features(assets: DataFrame, fake_decode: bool = False) -> DataFrame:
 
 
 def resize_payload(
-    payload: bytes, width: int, height: int, fake: bool = False
+    payload: bytes, width: int, height: int, fake: bool = False,
+    codec: str = "pillow",
 ) -> bytes:
     """Resize image bytes to (width, height). Real resize via Pillow
     when importable (PNG-encoded output — deterministic given fixed
@@ -163,18 +190,19 @@ def resize_payload(
     SHAPE — output size scales with the target dimensions (3
     bytes/pixel, content seeded by the source digest) so partition-size/
     memory behavior downstream is realistic. Without Pillow and without
-    fake=True raises NotImplementedError."""
+    fake=True raises NotImplementedError. codec="pure" resizes PNG
+    payloads with the stdlib codec (box-average, PNG filter-0 output —
+    bit-deterministic with no dependency at all)."""
     if fake:
         seed = hashlib.sha256(
             (payload or b"") + f"{width}x{height}".encode()
         ).digest()
         n = width * height * 3
         return (seed * (n // len(seed) + 1))[:n]
-    if _PILImage is None:
-        raise NotImplementedError(
-            "image codec needs the optional Pillow dependency "
-            "(pip install Pillow); pass fake=True for the deterministic "
-            "structural resize"
+    if _resolve_image_codec(codec) == "pure":
+        w0, h0, ch, pix = _codecs.png_decode(payload or b"")
+        return _codecs.png_encode(
+            width, height, _codecs.box_resize_rgb(w0, h0, ch, pix, width, height)
         )
     with _PILImage.open(io.BytesIO(payload or b"")) as im:
         out = io.BytesIO()
@@ -183,7 +211,8 @@ def resize_payload(
 
 
 def resize_images(
-    assets: DataFrame, width: int, height: int, fake_codec: bool = False
+    assets: DataFrame, width: int, height: int, fake_codec: bool = False,
+    codec: str = "pillow",
 ) -> DataFrame:
     """Asset → asset transform (image resize): mapInPandas, output
     re-content-addressed (resized bytes get their own sha256 asset_id,
@@ -191,18 +220,18 @@ def resize_images(
     Arrow-batched; memory per task bounded by the Arrow batch size, not
     the partition — safe when payloads are MBs each.
 
-    Real resize requires Pillow; checked driver-side (fail fast at plan
-    construction, not per-row on executors)."""
-    if not fake_codec and _PILImage is None:
-        raise NotImplementedError(
-            "resize_images(fake_codec=False) needs the optional Pillow "
-            "dependency (pip install Pillow); pass fake_codec=True for "
-            "the structural stand-in"
-        )
+    Backend availability is checked driver-side (fail fast at plan
+    construction, not per-row on executors); see extract_features for
+    the codec="pure" envelope."""
+    if not fake_codec:
+        codec = _resolve_image_codec(codec)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [resize_payload(p, width, height, fake=fake_codec) for p in pdf["payload"]]
+            out = [
+                resize_payload(p, width, height, fake=fake_codec, codec=codec)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": [hashlib.sha256(b).hexdigest() for b in out],
@@ -228,20 +257,41 @@ FRAME_SCHEMA = StructType(
 _FAKE_FRAME_BYTES = 256  # the stub codec's fixed 'frame' stride
 
 
-def decode_video_frames(
-    payload: bytes, every_n: int, max_frames: int
-) -> list[tuple[int, bytes]]:
-    """Real video decode via PyAV (optional dependency): demux + decode
-    the first video stream, keep every `every_n`-th frame up to
-    `max_frames`, each as raw RGB24 bytes (no Pillow needed). Returns
-    [(frame_index, rgb_bytes)]. Raises NotImplementedError without
-    PyAV."""
-    if _av is None:
+def _resolve_video_codec(codec: str) -> str:
+    """Backends: "pyav" (any container/codec FFmpeg reads), "pure"
+    (the stdlib YUV4MPEG2 demuxer in functions/codecs.py — always
+    importable), "auto" (pyav when importable, else pure)."""
+    if codec == "auto":
+        return "pyav" if _av is not None else "pure"
+    if codec not in ("pyav", "pure"):
+        raise ValueError(f"unknown video codec {codec!r} (pyav|pure|auto)")
+    if codec == "pyav" and _av is None:
         raise NotImplementedError(
             "video codec needs the optional PyAV dependency "
             "(pip install av); pass fake_codec=True for the "
-            "fixed-stride structural sampler"
+            "fixed-stride structural sampler, or codec='pure' for the "
+            "stdlib YUV4MPEG2 lane"
         )
+    return codec
+
+
+def decode_video_frames(
+    payload: bytes, every_n: int, max_frames: int, codec: str = "pyav"
+) -> list[tuple[int, bytes]]:
+    """Real video decode: demux + decode the first video stream, keep
+    every `every_n`-th frame up to `max_frames`, each as raw RGB24
+    bytes. Backends per `_resolve_video_codec` — PyAV for real
+    containers, the stdlib Y4M demuxer as the always-available
+    conformance lane. Returns [(frame_index, rgb_bytes)]."""
+    if _resolve_video_codec(codec) == "pure":
+        out: list[tuple[int, bytes]] = []
+        for i, _w, _h, rgb in _codecs.y4m_frames(payload or b""):
+            if i % every_n:
+                continue
+            if len(out) >= max_frames:
+                break
+            out.append((i, rgb))
+        return out
     out: list[tuple[int, bytes]] = []
     with _av.open(io.BytesIO(payload or b"")) as container:
         stream = container.streams.video[0]
@@ -259,6 +309,7 @@ def sample_frames(
     every_n: int = 10,
     max_frames: int = 8,
     fake_codec: bool = False,
+    codec: str = "pyav",
 ) -> DataFrame:
     """Video → frames (1→N row fan-out): every `every_n`-th frame, at
     most `max_frames` per video, one output row per sampled frame.
@@ -272,12 +323,8 @@ def sample_frames(
     same deliverable — mapInPandas yielding MORE rows than it consumes,
     per-frame rows independently repartitionable downstream, memory
     bounded per Arrow batch (frames of one video never co-reside)."""
-    if not fake_codec and _av is None:
-        raise NotImplementedError(
-            "sample_frames(fake_codec=False) needs the optional PyAV "
-            "dependency (pip install av); pass fake_codec=True for the "
-            "fixed-stride structural sampler"
-        )
+    if not fake_codec:
+        codec = _resolve_video_codec(codec)
     if every_n < 1 or max_frames < 1:
         raise ValueError("every_n and max_frames must be >= 1")
 
@@ -304,7 +351,9 @@ def sample_frames(
                         )
                         taken += 1
                 else:
-                    frames = decode_video_frames(payload, every_n, max_frames)
+                    frames = decode_video_frames(
+                        payload, every_n, max_frames, codec=codec
+                    )
                 for fi, fp in frames:
                     ids.append(aid)
                     idxs.append(fi)

@@ -203,3 +203,133 @@ def test_real_video_codec_extracts_frames(spark):
     assert all(r.n_bytes == 16 * 8 * 3 for r in frames)  # full RGB24 frames
     payloads = {bytes(r.frame_payload) for r in frames}
     assert len(payloads) == 2  # distinguishable content per frame
+
+
+def test_pure_codec_decodes_real_png_through_spark(spark):
+    """The always-available real-decode lane (codec="pure", stdlib PNG
+    codec): genuine PNG bytes decode to TRUE dimensions and the
+    box-average grayscale feature contract, end-to-end through the
+    same mapInPandas plumbing — so the real-codec arithmetic is
+    verified on real pixel data even without Pillow (r10 verdict
+    "What's missing" #3)."""
+    from async_event_streams_spark.functions import codecs as C
+    from async_event_streams_spark.functions.multimodal import (
+        decode_image,
+        extract_features,
+        resize_images,
+        to_assets,
+    )
+
+    red = C.png_encode(20, 10, bytes([255, 0, 0] * 200))
+    # left half black, right half white -> thumbnail columns 0,0,1,1
+    bw = C.png_encode(
+        8, 4, b"".join(
+            (b"\x00\x00\x00" if x < 4 else b"\xff\xff\xff")
+            for _ in range(4) for x in range(8)
+        ),
+    )
+    raw = spark.createDataFrame([(0, red), (1, bw)], "id long, blob binary")
+    assets = to_assets(raw, "blob", "image")
+    feats = {
+        (r.width, r.height): list(r.feature)
+        for r in extract_features(assets, codec="pure").collect()
+    }
+    assert set(feats) == {(20, 10), (8, 4)}
+    lum_red = (255 * 299 // 1000) / 255.0
+    assert feats[(20, 10)] == pytest.approx([lum_red] * 16)
+    assert feats[(8, 4)] == pytest.approx([0.0, 0.0, 1.0, 1.0] * 4)
+    # resize: output decodes to the target size with averaged content
+    resized = resize_images(assets, 5, 3, codec="pure").collect()
+    assert len(resized) == 2
+    for r in resized:
+        w, h, feat = decode_image(bytes(r.payload), codec="pure")
+        assert (w, h) == (5, 3) and len(feat) == 16
+    # deterministic: identical bytes -> identical content address
+    again = {r.asset_id for r in resize_images(assets, 5, 3, codec="pure").collect()}
+    assert {r.asset_id for r in resized} == again
+
+
+def test_pure_codec_png_filters_roundtrip():
+    """png_decode must invert all five scanline filters: forward-filter
+    a known image with each type and decode back to the same pixels."""
+    import struct
+    import zlib
+
+    from async_event_streams_spark.functions import codecs as C
+
+    w = h = 6
+    rng = __import__("random").Random(7)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    stride = w * 3
+
+    def forward(ftype: int) -> bytes:
+        rows = []
+        prev = bytes(stride)
+        for y in range(h):
+            line = rgb[y * stride : (y + 1) * stride]
+            enc = bytearray([ftype])
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((line[i] - pred) & 0xFF)
+            rows.append(bytes(enc))
+            prev = line
+        body = zlib.compress(b"".join(rows))
+
+        def chunk(t, b):
+            return struct.pack(">I", len(b)) + t + b + struct.pack(
+                ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", body)
+            + chunk(b"IEND", b"")
+        )
+
+    for ftype in range(5):
+        W, H, ch, pix = C.png_decode(forward(ftype))
+        assert (W, H, ch) == (w, h, 3)
+        assert bytes(pix) == rgb, f"filter {ftype}"
+
+
+def test_pure_codec_extracts_real_y4m_frames(spark):
+    """The always-available real-video lane (codec="pure", stdlib
+    YUV4MPEG2 demuxer): a genuine multi-frame Y4M stream fans out to
+    true frame indices with full-size RGB24 payloads whose content
+    round-trips the color transform (solid frames recover their fill
+    value within YUV quantization)."""
+    from async_event_streams_spark.functions import codecs as C
+    from async_event_streams_spark.functions.multimodal import (
+        sample_frames,
+        to_assets,
+    )
+
+    w, h, n = 6, 4, 9
+    fills = [(i * 25 % 256) for i in range(n)]
+    y4m = C.y4m_encode(w, h, [bytes([f, f, f] * (w * h)) for f in fills])
+    raw = spark.createDataFrame([(0, y4m)], "id long, blob binary")
+    vids = to_assets(raw, "blob", "video")
+    rows = sorted(
+        sample_frames(vids, every_n=3, max_frames=2, codec="pure").collect(),
+        key=lambda r: r.frame_index,
+    )
+    assert [r.frame_index for r in rows] == [0, 3]
+    for r, fi in zip(rows, (0, 3)):
+        assert r.n_bytes == w * h * 3 == len(r.frame_payload)
+        got = bytes(r.frame_payload)
+        assert all(abs(b - fills[fi]) <= 2 for b in got)
