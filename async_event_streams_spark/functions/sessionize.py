@@ -220,9 +220,17 @@ def sessionize_plain(
     verification fingerprint pins that exact source, and the adaptive
     dispatch needs a callable, not a query."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
-    gap = sec(F.col("ts")) - sec(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    # MICROSECOND-exact gap (r11, caught by the true-sf1 sweep): the
+    # oracle's epoch() and Spark's own F.session_window both keep
+    # sub-second precision, so truncating each timestamp to whole
+    # seconds before differencing mis-classifies gaps inside
+    # (gap_sec, gap_sec+1) — ~24 expected boundary hits per 1M events
+    # on this corpus, invisible at sf0.1.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    new_s = F.when(
+        gap.isNull() | (gap > gap_sec * 1_000_000), 1
+    ).otherwise(0)
     return (
         events.select("user_id", "event_id", "ts")
         .withColumn(
@@ -263,13 +271,18 @@ def sessionize_bucketed(
     columnar source through a fused window beats writing and
     re-shuffling an intermediate the optimizer can no longer reason
     about."""
-    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    # microsecond-exact end to end (the sessionize_plain precision
+    # contract): bucket ids, local gaps and the stitch comparison all
+    # ride unix_micros so bucket-and-stitch stays EXACTLY equal to the
+    # plain shape at any timestamp precision
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gap_us, bucket_us = gap_sec * 1_000_000, bucket_sec * 1_000_000
     e = events.select("user_id", "event_id", "ts").withColumn(
-        "__b", F.floor(sec("ts") / bucket_sec)
+        "__b", F.floor(us("ts") / bucket_us)
     )
     w_local = Window.partitionBy("user_id", "__b").orderBy("ts", "event_id")
-    gap = sec("ts") - F.lag(sec("ts")).over(w_local)
-    new_s = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    gap = us("ts") - F.lag(us("ts")).over(w_local)
+    new_s = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
     loc = e.withColumn(
         "__ls",
         F.sum(new_s).over(
@@ -279,13 +292,13 @@ def sessionize_bucketed(
     # One summary row per (user, bucket); groupBy keys == the window
     # partitioning, so this rollup adds no exchange of its own.
     summ = loc.groupBy("user_id", "__b").agg(
-        F.min(sec("ts")).alias("__first"),
-        F.max(sec("ts")).alias("__last"),
+        F.min(us("ts")).alias("__first"),
+        F.max(us("ts")).alias("__last"),
         F.max("__ls").alias("__n"),
     )
     w_user = Window.partitionBy("user_id").orderBy("__b")
     merged = F.when(
-        F.col("__first") - F.lag("__last").over(w_user) <= gap_sec, 1
+        F.col("__first") - F.lag("__last").over(w_user) <= gap_us, 1
     ).otherwise(0)
     stitched = summ.withColumn("__m", merged).withColumn(
         "__off",

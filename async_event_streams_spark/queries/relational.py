@@ -2548,11 +2548,16 @@ def c_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id keeps the row order — and therefore the numbering —
     engine-independent."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts arrives TIMESTAMP_NTZ (nanos parquet); hop via TIMESTAMP in the
-    # UTC-pinned session so epoch seconds agree with DuckDB's epoch()
-    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
-    gap = sec(F.col("ts")) - sec(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # MICROSECOND-exact gap (r11, caught by the true-sf1 sweep): the
+    # oracle's epoch() keeps sub-second precision — and so does
+    # F.session_window (c_stream_session agreed with the oracle at sf1
+    # while this lane was 14 sessions short) — so the gap must be
+    # differenced at full precision, not after per-timestamp
+    # truncation to seconds, which mis-classifies gaps inside
+    # (1800, 1801). Timezone cancels in the difference.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sessions = (
         table(spark, sf_dir, "events")
         .select("user_id", "event_id", "ts")
@@ -4837,9 +4842,12 @@ def _sessions_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, session_id, n_events, dur_sec) — the c_sessionize_gaps
     session table reduced to slim integer rows."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
-    gap = sec(F.col("ts")) - sec(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # gap is microsecond-exact (the c_sessionize_gaps precision
+    # contract); dur_sec deliberately stays floor-of-epoch per
+    # timestamp, matching the oracle's floor(epoch(...)) spelling
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     s = (
         table(spark, sf_dir, "events")
         .select("user_id", "event_id", "ts")

@@ -11,8 +11,14 @@ then the fingerprint of the code the driver actually checked. Rules:
   matches the current source — a rewritten query (or oracle) silently
   loses its badge and re-enters the driver's ~50-entry check window;
 - `--bootstrap` grants greens from ALL correctness rounds (one-off
-  migration); `--drop NAME` excludes names known rewritten since their
-  green round.
+  migration); `--drop NAME` removes a name entirely — both from the
+  fresh grants and from retained entries (for queries whose SHARED
+  HELPER was rewritten, which the fingerprint cannot see).
+
+MID-ROUND reruns: the newest correctness file checked the code as of
+round start, but greens are granted at the CURRENT fingerprint — so a
+query edited since round start would wrongly re-badge. Pass --drop for
+every query (or helper-consumer) edited this round.
 
 Also refreshes `_BENCH_SEC` entries from the newest BENCH_r*.json
 per-query seconds (measured values displace hand estimates).
@@ -115,8 +121,12 @@ def main() -> None:
 
     current = {n: query_fingerprint(n) for n in QUERIES}
     recorded: dict[str, str] = {}
-    # keep prior entries whose source is unchanged
+    # keep prior entries whose source is unchanged — except explicit
+    # drops: --drop marks a query whose SHARED HELPER was rewritten
+    # (invisible to the fingerprint), so its badge must not survive
     for name, fp in _EXTERNALLY_VERIFIED.items():
+        if name in drops:
+            continue
         if current.get(name) == fp:
             recorded[name] = fp
     # grant fresh greens at their current fingerprint
