@@ -56,7 +56,10 @@ def main() -> None:
     # numbers are not standalone costs).
     from async_event_streams_spark.util import drain_artifact_events
 
-    N_PASSES = 3
+    # SPARK_GRAFT_BENCH_PASSES overrides for expensive off-default
+    # runs (e.g. a full-registry pass at sf1, where 3 passes cost an
+    # hour and min-of-2 already separates plan cost from noise).
+    N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     runs: dict[str, list[float]] = {}
     artifact_uses: dict[str, dict[str, list[str]]] = {}
     t_suite = time.perf_counter()
