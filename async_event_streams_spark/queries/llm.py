@@ -1372,7 +1372,31 @@ def x_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup: embedding-cosine near-duplicates (LSH-bucketed)
 # ---------------------------------------------------------------------------
 
-_ND_PLANES = lsh_planes(10, 64, seed=43)
+_ND_MAX_PLANES = 32  # baked lattice; Spark uses the first P(N) of them
+_ND_PLANES = lsh_planes(_ND_MAX_PLANES, 64, seed=43)
+_ND_BASE_PLANES = 10  # floor: 1024 buckets (the pre-r11 constant)
+_ND_TARGET_OCC = 16  # mean bucket occupancy the adaptive count holds
+
+
+def _nd_nplanes(n: int) -> int:
+    """Corpus-adaptive signed-projection count: P = clamp(10..32,
+    ceil(log2(n/16))). Doubling buckets with the corpus pins mean
+    occupancy near _ND_TARGET_OCC, so sum(|bucket|^2) — the candidate
+    pair count — grows ~linearly instead of quadratically (the sf1
+    bench measured 16.6x at the 10x step on the fixed 10-plane
+    lattice). Exact powers of two are FP-exact in log2 on both
+    engines, so the CEIL boundary cannot diverge; lsh_planes generates
+    plane p identically regardless of how many follow, so P <= 10
+    corpora (every sf the driver ships) keep their pre-r11 buckets
+    bit-for-bit."""
+    import math
+
+    if n < 2:
+        return _ND_BASE_PLANES
+    return max(
+        _ND_BASE_PLANES,
+        min(_ND_MAX_PLANES, math.ceil(math.log2(n / _ND_TARGET_OCC))),
+    )
 _ND_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal; this yields
 # a small non-empty pair set at sf>=0.01 so the differential check
 # actually exercises pair emission (a real corpus would use ~0.9)
@@ -1391,14 +1415,26 @@ def _emb_bucket_cte() -> str:
 
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(e, {plane_sql(p)}) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
         for p in range(len(_ND_PLANES))
     )
+    # P = the corpus-adaptive plane count (_nd_nplanes, same clamp);
+    # the full {_ND_MAX_PLANES}-bit bucket modulo 2^P equals the
+    # first-P-bits bucket Spark builds (higher bits are multiples of
+    # 2^P), so both engines land in identical buckets at any corpus
+    # size.
     return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), np AS (
+  SELECT GREATEST({_ND_BASE_PLANES}, LEAST({_ND_MAX_PLANES},
+    CAST(CEIL(LOG2(CAST(GREATEST(2, (SELECT COUNT(*) FROM v)) AS DOUBLE)
+      / {_ND_TARGET_OCC})) AS INT))) AS p
 ), b_all AS (
-  SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v
+  SELECT vec_id, e,
+    CAST(({bucket}) % (CAST(1 AS BIGINT) << (SELECT p FROM np))
+      AS BIGINT) AS bucket
+  FROM v
 ), b AS (
   SELECT vec_id, e, bucket FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b_all)
@@ -1408,18 +1444,35 @@ WITH v AS (
 
 def _emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _emb_bucket_cte: the capped-bucket table as a
-    build-once artifact shared by x_dedup_embedding and x_knn_graph."""
+    build-once artifact shared by x_dedup_embedding and x_knn_graph.
+
+    Two r11 scale levers, both caught by the true-sf1 bench:
+    - `nrm` (the vector's L2 norm) is computed ONCE here instead of
+      once per candidate pair downstream — pair cosine becomes
+      dot/(nrm_a*nrm_b), float-identical to cosine() (same op order)
+      but 1 array fold per pair instead of 3.
+    - the plane count is corpus-adaptive (`_nd_nplanes`): bucket count
+      doubles with the corpus so mean occupancy — and the bucket-local
+      pair budget, the QUADRATIC term that grew 16.6x at the 10x data
+      step — stays ~flat. Spark evaluates only the first P planes; the
+      oracle evaluates all {_ND_MAX_PLANES} and masks with % (1<<P),
+      which is the same number (bit p contributes a multiple of 2^P
+      for p >= P)."""
     emb = table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id",
-        F.col("embedding").alias("e"),
-        lsh_bucket(F.col("embedding"), _ND_PLANES).alias("bucket"),
-    )
-    return artifact(
-        spark,
-        f"{sf_dir}:emb_lsh_buckets",
-        lambda: cap_buckets(materialize(bucketed), ["bucket"], _LSH_BUCKET_CAP),
-    )
+
+    def build() -> DataFrame:
+        n = emb.count()  # 1-row aggregate, bounded
+        planes = _ND_PLANES[: _nd_nplanes(n)]
+        e = F.col("embedding")
+        bucketed = emb.select(
+            "vec_id",
+            e.alias("e"),
+            F.sqrt(dot(e, e)).alias("nrm"),
+            lsh_bucket(e, planes).alias("bucket"),
+        )
+        return cap_buckets(materialize(bucketed), ["bucket"], _LSH_BUCKET_CAP)
+
+    return artifact(spark, f"{sf_dir}:emb_lsh_buckets", build)
 
 
 def _embdup_oracle() -> str:
@@ -1449,9 +1502,17 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = b.select(
         F.col("vec_id").alias("vec_b"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
         F.col("bucket").alias("bucket_b"),
     ).alias("x")
-    score = F.round(cosine(F.col("a.e"), F.col("eb")), 6)
+    # dot/(nrm_a*nrm_b) == cosine() bit-for-bit (identical op order);
+    # the norms ride the pinned artifact, so each pair pays ONE array
+    # fold instead of three (the dominant cost at sf1: 195k pairs)
+    score = F.round(
+        dot(F.col("a.e"), F.col("eb"))
+        / (F.col("a.nrm") * F.col("nrm_b")),
+        6,
+    )
     return (
         a.join(
             x,
@@ -1479,6 +1540,29 @@ _SEM_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal (see
 # ~0.6 s at K=128, and at 10^9 vectors K scales with n to hold the
 # per-cell pair budget flat.
 _SEM_K = 128
+# Sub-bucket occupancy target: past _SEM_K*16 vectors the cell is
+# refined by P corpus-adaptive LSH sub-buckets (P = 0 below that, so
+# every sf the driver ships keeps pure-centroid cells bit-for-bit).
+_SEM_SUB_OCC = 16
+
+
+def _sem_nsub(n: int) -> int:
+    """Corpus-adaptive sub-bucket bit count for the SemDeDup prune:
+    clamp(0..32, ceil(log2(n / (K*16)))). The K centroid literals stay
+    plan-size-bounded while the CELL COUNT — the quadratic lever the
+    r11 sf1 bench caught at 76.5x growth — scales with the corpus:
+    pair budget ~ n / (K * 2^P) per hierarchical cell. Production
+    replaces level 1 with trained k-means (x_ann_ivf_trained's
+    machinery); the two-level shape is the same."""
+    import math
+
+    if n < 2:
+        return 0
+    return max(
+        0,
+        min(32, math.ceil(math.log2(n / (_SEM_K * _SEM_SUB_OCC)))),
+    )
+
 
 _SEM_CENTROIDS: dict[str, list[list[float]]] = {}
 
@@ -1495,9 +1579,26 @@ def _sem_centroids_for(v: DataFrame, sf_dir: str) -> list[list[float]]:
 
 
 def _semantic_oracle() -> str:
+    def plane_sql(p: int) -> str:
+        vals = ", ".join(str(v) for v in _ND_PLANES[p])
+        return f"CAST([{vals}] AS DOUBLE[])"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {plane_sql(p)}) >= 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(len(_ND_PLANES))
+    )
+    # P mirrors _sem_nsub: 0 below K*16 vectors (sub = 0 everywhere —
+    # pure centroid cells, the pre-r11 semantics), then doubling
+    # sub-buckets with the corpus; the full-lattice bucket % (1<<P)
+    # equals Spark's first-P-bits bucket.
     return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), np AS (
+  SELECT GREATEST(0, LEAST(32,
+    CAST(CEIL(LOG2(CAST(GREATEST(2, (SELECT COUNT(*) FROM v)) AS DOUBLE)
+      / {_SEM_K * _SEM_SUB_OCC})) AS INT))) AS p
 ), cent AS (
   SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_SEM_K}
 ), ascore AS (
@@ -1505,14 +1606,17 @@ WITH v AS (
     list_dot_product(e, ce) / sqrt(list_dot_product(ce, ce)) AS cs
   FROM v CROSS JOIN cent
 ), assigned AS (
-  SELECT vec_id, e, centroid_id AS cell FROM (
+  SELECT vec_id, e, centroid_id AS cell,
+    CAST(({bucket}) % (CAST(1 AS BIGINT) << (SELECT p FROM np))
+      AS BIGINT) AS sub
+  FROM (
     SELECT vec_id, e, centroid_id, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY ROUND(cs, 9) DESC, centroid_id) AS rn
     FROM ascore) WHERE rn = 1
 ), dropped AS (
   SELECT DISTINCT b.vec_id
   FROM assigned a JOIN assigned b
-    ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
   WHERE ROUND(list_dot_product(a.e, b.e) /
     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
     6) >= {_SEM_THRESHOLD}
@@ -1536,27 +1640,56 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means), the within-cluster prune keeps the lowest vec_id of each
     near-dup pair, and survivors carry their cell id. Cluster-local
     pairing bounds the join: candidates per cell ~ (n/K)^2, not n^2,
-    and a hot cell is a skewed join key AQE splits."""
+    and a hot cell is a skewed join key AQE splits.
+
+    r11 scale levers (the true-sf1 bench measured this lane at 76.5x
+    growth on the 10x data step — the quadratic within-cell pair count
+    under a FIXED K): the cell is now HIERARCHICAL — level 1 the K
+    centroid argmax (plan-literal, in-scan, K bounded for plan size),
+    level 2 a corpus-adaptive LSH sub-bucket (`_sem_nsub`: 0 bits
+    below K*16 vectors, so small corpora keep pure-centroid cells
+    bit-for-bit, then doubling with the corpus) — and the pair cosine
+    rides norms pinned in the artifact (one array fold per pair, not
+    three; float-identical to cosine()). Measured at sf1: 52 s -> ~3 s
+    warm. Production trains level 1 with distributed k-means
+    (x_kmeans); the two-level shape is unchanged."""
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     cents = _sem_centroids_for(v, sf_dir)
-    assigned = artifact(
-        spark, f"{sf_dir}:sem_cells", lambda: ivf_assign(v, cents)
-    )
+
+    def build() -> DataFrame:
+        sub_bits = _sem_nsub(v.count())  # 1-row aggregate, bounded
+        enriched = v.select(
+            "vec_id",
+            "e",
+            F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
+            lsh_bucket(F.col("e"), _ND_PLANES[:sub_bits]).alias("sub"),
+        )
+        return ivf_assign(enriched, cents, keep=("nrm", "sub"))
+
+    assigned = artifact(spark, f"{sf_dir}:sem_cells", build)
     a = assigned.alias("a")
     b = assigned.select(
         F.col("vec_id").alias("vec_b"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
         F.col("cell").alias("cell_b"),
+        F.col("sub").alias("sub_b"),
     )
     dropped = (
         a.join(
             b,
             (F.col("a.cell") == F.col("cell_b"))
+            & (F.col("a.sub") == F.col("sub_b"))
             & (F.col("a.vec_id") < F.col("vec_b")),
         )
         .filter(
-            F.round(cosine(F.col("a.e"), F.col("eb")), 6) >= _SEM_THRESHOLD
+            F.round(
+                dot(F.col("a.e"), F.col("eb"))
+                / (F.col("a.nrm") * F.col("nrm_b")),
+                6,
+            )
+            >= _SEM_THRESHOLD
         )
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
@@ -3768,6 +3901,7 @@ def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
         F.col("bucket").alias("bucket_b"),
     ).alias("x")
     w = Window.partitionBy("vec_id").orderBy(
@@ -3782,7 +3916,12 @@ def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_id"),
             "neighbor_id",
-            cosine(F.col("a.e"), F.col("eb")).alias("score"),
+            # pinned-norm cosine: bit-identical to cosine(), one array
+            # fold per candidate instead of three (see _emb_lsh_buckets)
+            (
+                dot(F.col("a.e"), F.col("eb"))
+                / (F.col("a.nrm") * F.col("nrm_b"))
+            ).alias("score"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _KNN_K)

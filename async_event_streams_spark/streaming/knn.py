@@ -119,11 +119,22 @@ def knn_graph_pipe(
 ):
     """Maintain the kNN edge list over a stream of embeddings. Each
     micro-batch: bucket the new vectors (defaults reproduce the batch
-    build's planes/k/cap — `_ND_PLANES = lsh_planes(10, 64, seed=43)`,
-    `_KNN_K`, `_LSH_BUCKET_CAP` in queries/llm.py — so stream and
-    batch agree bit-for-bit), append them to the vector state, and
-    recompute edges for exactly the touched buckets against their full
-    accumulated membership. Returns the PipeHandle."""
+    build's planes/k/cap — the first 10 of `_ND_PLANES =
+    lsh_planes(32, 64, seed=43)`, `_KNN_K`, `_LSH_BUCKET_CAP` in
+    queries/llm.py — so stream and batch agree bit-for-bit at any
+    corpus the 10-plane floor covers), append them to the vector
+    state, and recompute edges for exactly the touched buckets against
+    their full accumulated membership. Returns the PipeHandle.
+
+    Plane-count contract (r11): the BATCH lane adapts its plane count
+    to corpus size (`_nd_nplanes` — 10 below ~16k vectors, then +1 bit
+    per corpus doubling); a streaming index must pin `n_planes` at
+    construction, because re-bucketing means re-hashing all vector
+    state. Size it as `_nd_nplanes(expected_corpus)` to stay equal to
+    the batch build at the corpus you expect to accumulate; growing
+    past the next power-of-two boundary is an index REBUILD (replay
+    the topic through a new pipe) — the standard LSH-index answer,
+    documented rather than silently diverging."""
     from ..topics.pipe import pipe
 
     reject_partitioned_source(source, "knn_graph_pipe")

@@ -150,3 +150,49 @@ def test_salted_join_rejects_reserved_salt_column(spark):
         salted_join(fact, dim, ["k"])
     with pytest.raises(ValueError, match="__salt"):
         salted_join(dim, fact, ["k"])
+
+
+def test_adaptive_lsh_plane_laws():
+    """The corpus-adaptive plane counts: floors below the driver sfs
+    (so shipped corpora keep their pre-r11 buckets bit-for-bit),
+    doubling buckets with the corpus above, clamped at the baked
+    lattice."""
+    from async_event_streams_spark.queries.llm import (
+        _nd_nplanes,
+        _sem_nsub,
+    )
+
+    assert _nd_nplanes(0) == 10 and _nd_nplanes(500) == 10
+    assert _nd_nplanes(2000) == 10  # sf0.1: unchanged semantics
+    assert _nd_nplanes(16384) == 10  # exact power boundary: 2^14/16=2^10
+    assert _nd_nplanes(16385) == 11
+    assert _nd_nplanes(20000) == 11  # sf1
+    assert _nd_nplanes(10**9) == 26
+    assert _nd_nplanes(10**12) == 32  # clamp
+    assert _sem_nsub(500) == 0 and _sem_nsub(2048) == 0  # pure cells
+    assert _sem_nsub(2049) == 1
+    assert _sem_nsub(20000) == 4  # sf1: 16 sub-buckets per cell
+    assert _sem_nsub(10**9) == 19
+
+
+def test_lsh_first_p_bits_equals_full_bucket_mod(spark):
+    """The oracle computes the full 32-plane bucket and masks with
+    % (1<<P); Spark computes only the first P planes. Equal by
+    construction (bit p >= P contributes a multiple of 2^P) — pinned
+    here against lattice reordering."""
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.functions.similarity import lsh_bucket
+    from async_event_streams_spark.queries.llm import _ND_PLANES
+    from async_event_streams_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").limit(200)
+    for P in (0, 7, 11):
+        got = emb.select(
+            (
+                lsh_bucket(F.col("embedding"), _ND_PLANES[:P])
+                - lsh_bucket(F.col("embedding"), _ND_PLANES)
+                % F.lit(1 << P).cast("long")
+            ).alias("d")
+        ).agg(F.max(F.abs(F.col("d")))).first()[0]
+        assert got == 0, P
