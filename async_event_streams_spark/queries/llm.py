@@ -4605,6 +4605,153 @@ def x_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH banding tuner: the (rows-per-band, n-bands) grid a 100 TB dedup
+# deployment actually chooses between. Components budget ≤ 32 (the
+# signature cost ceiling); includes the production 2×2 config.
+_LSH_TUNE_GRID = [
+    (1, 2), (1, 4), (1, 8),
+    (2, 2), (2, 4), (2, 8), (2, 16),
+    (4, 2), (4, 4), (4, 8),
+    (8, 2), (8, 4),
+]
+
+
+def _lsh_tune_oracle() -> str:
+    """Generate the tuner oracle: one UNION ALL block per grid config,
+    each computing P(candidate | s) = 1 − (1 − s^r)^b with CHAINED
+    left-associated multiplies (never POWER(), whose last-ulp rounding
+    is not pinned across engines) so Spark and DuckDB run the identical
+    IEEE op sequence on the identical per-pair s."""
+    tau = _VERIFY_THRESHOLD
+    blocks = []
+    for r, b in _LSH_TUNE_GRID:
+        sr = " * ".join(["s"] * r)
+        qb = " * ".join(["q"] * b)
+        blocks.append(f"""
+SELECT CAST({r} AS BIGINT) AS rows_per_band,
+  CAST({b} AS BIGINT) AS n_bands,
+  CAST({r * b} AS BIGINT) AS n_components,
+  CAST(SUM(CASE WHEN s >= {tau} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_pairs,
+  CAST(SUM(CASE WHEN s < {tau} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_noise_pairs,
+  CAST(ROUND(CAST(SUM(CASE WHEN s >= {tau} THEN p_ppm END) AS DOUBLE)
+    / NULLIF(COUNT(CASE WHEN s >= {tau} THEN p_ppm END), 0)) AS BIGINT)
+    AS exp_recall_ppm,
+  CAST(ROUND(CAST(SUM(CASE WHEN s < {tau} THEN p_ppm END) AS DOUBLE)
+    / NULLIF(COUNT(CASE WHEN s < {tau} THEN p_ppm END), 0)) AS BIGINT)
+    AS exp_noise_ppm
+FROM (SELECT s, CAST(ROUND((1.0 - ({qb})) * 1000000.0) AS BIGINT) AS p_ppm
+      FROM (SELECT s, (1.0 - ({sr})) AS q FROM j))""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH cand AS ({_MINHASH_ORACLE}),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sets AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+j AS (
+  SELECT CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+    / (len(a.sh) + len(b.sh)
+       - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS s
+  FROM cand JOIN sets a ON a.doc_id = cand.doc_a
+            JOIN sets b ON b.doc_id = cand.doc_b
+)
+{body}
+"""
+
+
+@query("x_lsh_tune", oracle=_lsh_tune_oracle())
+def x_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter tuner — the decision table behind the
+    (rows-per-band r, bands b) choice every MinHash deployment makes:
+    for each budget-feasible config, the expected detect-probability
+    S-curve P(candidate | s) = 1 − (1 − s^r)^b evaluated against THIS
+    corpus's observed candidate-pair similarity histogram. Per config:
+    expected recall over verified near-dups (s ≥ τ, the pairs the
+    pipeline must keep catching) and expected noise admission over the
+    spurious collisions (s < τ, the verification cost driver), in ppm.
+
+    The pair sample is candidates-conditioned by design: it reuses the
+    production pipeline's own LSH candidate pairs plus their exact
+    Jaccard (the x_dedup_verified precision stage), so the histogram is
+    the one observable a running deployment has. x_minhash_fidelity
+    complements with the unconditioned low-s mass from the absolute-
+    capped random sample.
+
+    Determinism discipline: s is one double division of exact integer
+    set sizes; the S-curve is evaluated with chained left-associated
+    multiplies generated per literal config — never pow(), whose
+    last-ulp rounding differs across engines — then quantized to
+    integer ppm per pair before any aggregation, so both engines
+    average identical int64s.
+
+    Scale shape: the pair table is the capped-bucket LSH candidate set
+    (linear in corpus size, never all-pairs) built from the pinned
+    `minhash_bands` + `shingle_sets` artifacts shared with the dedup
+    family; the 12-config grid is constant, evaluated as 12×2
+    conditional sums inside ONE partial-aggregate pass over the pairs
+    (map-side combine → 1-row exchange), then exploded to the 12-row
+    report JVM-side. No reference analog (driver mandate extension)."""
+    import functools
+    import operator
+
+    tau = _VERIFY_THRESHOLD
+    candidates = x_dedup_minhash(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    sets = artifact(
+        spark,
+        f"{sf_dir}:shingle_sets",
+        lambda: docs.select(
+            "doc_id",
+            F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+        ),
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b_ = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    pairs = (
+        candidates.join(a, "doc_a")
+        .join(b_, "doc_b")
+        .select((inter.cast("double") / union).alias("s"))
+    )
+    is_dup = F.col("s") >= tau
+    aggs = [
+        F.sum(F.when(is_dup, 1).otherwise(0)).cast("long").alias("nd"),
+        F.sum(F.when(~is_dup, 1).otherwise(0)).cast("long").alias("nn"),
+    ]
+    for r, b in _LSH_TUNE_GRID:
+        sr = functools.reduce(operator.mul, [F.col("s")] * r)
+        q = F.lit(1.0) - sr
+        qb = functools.reduce(operator.mul, [q] * b)
+        p_ppm = F.round((F.lit(1.0) - qb) * 1000000.0).cast("long")
+        aggs.append(F.sum(F.when(is_dup, p_ppm)).alias(f"sd_{r}_{b}"))
+        aggs.append(F.sum(F.when(~is_dup, p_ppm)).alias(f"sn_{r}_{b}"))
+    one = pairs.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.lit(b).cast("long").alias("n_bands"),
+            F.lit(r * b).cast("long").alias("n_components"),
+            F.col("nd").alias("n_dup_pairs"),
+            F.col("nn").alias("n_noise_pairs"),
+            F.when(
+                F.col("nd") > 0,
+                F.round(F.col(f"sd_{r}_{b}").cast("double") / F.col("nd")),
+            )
+            .cast("long")
+            .alias("exp_recall_ppm"),
+            F.when(
+                F.col("nn") > 0,
+                F.round(F.col(f"sn_{r}_{b}").cast("double") / F.col("nn")),
+            )
+            .cast("long")
+            .alias("exp_noise_ppm"),
+        )
+        for r, b in _LSH_TUNE_GRID
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("cfg")).select("cfg.*")
+
+
 _ZIPF_TOP = 1000
 
 _ZIPF_ORACLE = f"""
