@@ -13,6 +13,11 @@ from .windows import (  # noqa: F401
 )
 from .stateful import running_max_by_key, sessionize  # noqa: F401
 from .scd2 import scd2_intervals_stream  # noqa: F401
+from .asof import (  # noqa: F401
+    asof_batch_twin,
+    asof_stream,
+    merged_timeline,
+)
 from .funnel import funnel_stage_stream  # noqa: F401
 from .dedup import exact_dedup_pipe, partitioned_exact_dedup_pipes  # noqa: F401
 from .neardedup import (  # noqa: F401
