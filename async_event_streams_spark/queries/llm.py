@@ -206,6 +206,42 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {_VERIFY_THRESHOLD}
 """
 
 
+def _cand_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify-stage pair table — every LSH candidate pair with its
+    exact raw Jaccard — pinned build-once: a production pipeline
+    materializes verified pairs once per corpus and every consumer
+    (threshold dedup, windowed dedup, cluster graph, fuzzy decontam,
+    the banding tuner) reads the table instead of re-running the band
+    self-join + verification join."""
+
+    def build() -> DataFrame:
+        candidates = x_dedup_minhash(spark, sf_dir)
+        docs = table(spark, sf_dir, "documents")
+        s = artifact(
+            spark,
+            f"{sf_dir}:shingle_sets",
+            lambda: docs.select(
+                "doc_id",
+                F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+            ),
+        )
+        a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+        b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+        inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+        union = F.size("sha") + F.size("shb") - inter
+        return (
+            candidates.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (inter.cast("double") / union).alias("s"),
+            )
+        )
+
+    return artifact(spark, f"{sf_dir}:cand_jaccard", build)
+
+
 @query("x_dedup_verified", oracle=_VERIFIED_ORACLE)
 def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production near-dup pipeline composed end-to-end:
@@ -213,28 +249,12 @@ def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram Jaccard verification (precision stage) → threshold. The
     synthetic corpus contains both genuine near-dups (J≈0.99) and
     spurious band collisions (J≈0.01); the verify stage separates them.
-    Verification cost is O(candidates), never O(n²)."""
-    candidates = x_dedup_minhash(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents")
-    s = artifact(
-        spark,
-        f"{sf_dir}:shingle_sets",
-        lambda: docs.select(
-            "doc_id",
-            F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
-        ),
-    )
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    union = F.size("sha") + F.size("shb") - inter
+    Verification cost is O(candidates), never O(n²) — and paid ONCE:
+    the scored pair table is the pinned `cand_jaccard` artifact."""
     return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
+        _cand_jaccard(spark, sf_dir)
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            "doc_a", "doc_b", F.round(F.col("s"), 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= _VERIFY_THRESHOLD)
     )
@@ -4685,8 +4705,8 @@ def x_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     average identical int64s.
 
     Scale shape: the pair table is the capped-bucket LSH candidate set
-    (linear in corpus size, never all-pairs) built from the pinned
-    `minhash_bands` + `shingle_sets` artifacts shared with the dedup
+    (linear in corpus size, never all-pairs) read from the pinned
+    `cand_jaccard` verify-stage artifact shared with the dedup
     family; the 12-config grid is constant, evaluated as 12×2
     conditional sums inside ONE partial-aggregate pass over the pairs
     (map-side combine → 1-row exchange), then exploded to the 12-row
@@ -4695,25 +4715,7 @@ def x_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import operator
 
     tau = _VERIFY_THRESHOLD
-    candidates = x_dedup_minhash(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents")
-    sets = artifact(
-        spark,
-        f"{sf_dir}:shingle_sets",
-        lambda: docs.select(
-            "doc_id",
-            F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
-        ),
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    b_ = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    union = F.size("sha") + F.size("shb") - inter
-    pairs = (
-        candidates.join(a, "doc_a")
-        .join(b_, "doc_b")
-        .select((inter.cast("double") / union).alias("s"))
-    )
+    pairs = _cand_jaccard(spark, sf_dir).select("s")
     is_dup = F.col("s") >= tau
     aggs = [
         F.sum(F.when(is_dup, 1).otherwise(0)).cast("long").alias("nd"),

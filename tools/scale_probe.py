@@ -146,6 +146,10 @@ PROBE_QUERIES = [
     "c_window_bollinger",
     "x_template_detect",
     "c_window_drawdown",
+    # r11 addition: the banding tuner — candidate pairs grow ~linearly
+    # (capped LSH buckets), the config grid is constant, so the 12×2
+    # conditional-sum pass must stay ~linear
+    "x_lsh_tune",
 ]
 
 KEY_STRIDE = 100_000_000
