@@ -390,6 +390,89 @@ def c_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_audience_overlap",
+    # The sketch estimate is engine-specific (Datasketches HLL), so the
+    # hash-checked payload is the exact overlap; the sketch lane ships
+    # as an "inclusion-exclusion estimate within 15% of exact" boolean
+    # (intersection error is inherently looser than union error — the
+    # subtraction cancels shared mass, amplifying relative error on
+    # small overlaps; 15% is the honest bound for this sketch size).
+    oracle=(
+        "WITH u AS (SELECT DISTINCT event_type, user_id FROM events) "
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "CAST(COUNT(*) AS BIGINT) AS exact_overlap, true AS sketch_ok "
+        "FROM u a JOIN u b ON a.user_id = b.user_id "
+        "AND a.event_type < b.event_type "
+        "GROUP BY a.event_type, b.event_type"
+    ),
+)
+def c_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix — |users(A) ∩ users(B)| for every pair
+    of event types — the set-INTERSECTION half of the sketch algebra
+    c_agg_hll_union ships the union half of. The sketch lane estimates
+    the intersection by inclusion-exclusion over HLL sketches:
+    est(A∩B) = est(A) + est(B) − est(A∪B), the standard HLL recipe
+    (sketches cannot intersect directly; only union is closed). This is
+    the 100 TB audience/segment-overlap dashboard: per-segment
+    kilobyte sketches persist once, and any pairwise (or k-way, by the
+    same identity) overlap is computed from the sketch table alone —
+    never a re-scan of the raw events.
+
+    Scale shape: the exact anchor is one (type, user) partial-agg
+    distinct + a user-keyed equi-join whose per-user fan-out is
+    bounded by #types² (types are a small enum; a whale USER adds
+    rows to the distinct pass, not to the join fan-out). The sketch
+    lane aggregates to ONE row per type (kilobytes), so the pairwise
+    inclusion-exclusion runs on a |types|-row table — broadcast-sized
+    at any corpus scale. The exact count hash-anchors the check; the
+    estimate ships as a tolerance verdict (the c_agg_hll_union
+    discipline)."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("event_type", "user_id").distinct()
+    a = u.select(F.col("event_type").alias("type_a"), "user_id")
+    b = u.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("exact_overlap"))
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+    )
+    sa = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("est").alias("est_a"),
+    )
+    sb = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("est").alias("est_b"),
+    )
+    est_inter = (
+        F.col("est_a")
+        + F.col("est_b")
+        - F.hll_sketch_estimate(F.hll_union(F.col("sk_a"), F.col("sk_b")))
+    )
+    pairs = (
+        sa.crossJoin(sb)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", est_inter.alias("est_inter"))
+    )
+    rel_err = F.abs(F.col("est_inter") - F.col("exact_overlap")) / F.col(
+        "exact_overlap"
+    )
+    return exact.join(pairs, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_overlap",
+        (rel_err < F.lit(0.15)).alias("sketch_ok"),
+    )
+
+
+@query(
     "c_agg_approx_quantile",
     # Same tolerance-encoding as c_agg_approx_distinct: the sketch value
     # is engine-specific, so Spark ships the exact quantile plus a

@@ -146,10 +146,13 @@ PROBE_QUERIES = [
     "c_window_bollinger",
     "x_template_detect",
     "c_window_drawdown",
-    # r11 addition: the banding tuner — candidate pairs grow ~linearly
+    # r11 additions: the banding tuner — candidate pairs grow ~linearly
     # (capped LSH buckets), the config grid is constant, so the 12×2
-    # conditional-sum pass must stay ~linear
+    # conditional-sum pass must stay ~linear; audience overlap — the
+    # (type,user) distinct + bounded-fan-out user join and a
+    # |types|-row sketch table must both stay ~linear
     "x_lsh_tune",
+    "c_audience_overlap",
 ]
 
 KEY_STRIDE = 100_000_000
