@@ -19,6 +19,11 @@ globally, is the arbiter in the coherence test).
 State is O(keys) — one (type, start, last) tuple per user — so the
 pipe holds at any stream length; timestamps live in the state tuple
 as int64 microseconds (simple state-schema types only).
+
+Both streaming engines (applyInPandasWithState and Spark 4's
+transformWithStateInPandas) wrap the SAME `_fold_events` transition —
+the timeseries.py discipline that keeps the engine port a wiring
+change; the property suite drives the fold once for both.
 """
 
 from __future__ import annotations
@@ -56,55 +61,120 @@ SCD2_STATE_SCHEMA = (
 )
 
 
-def _update(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """The per-key state transition (module-level so the Spark-free
-    property test, tests/test_scd2_properties.py, can drive it
-    against a prefix-recompute reference)."""
+def _fold_events(st: tuple | None, events) -> tuple[dict, tuple]:
+    """The per-key transition shared by BOTH streaming engines
+    (applyInPandasWithState and transformWithStateInPandas — the
+    timeseries.py discipline) and driven Spark-free by the property
+    tests: (state tuple | None, iterable of (t_us, eid, etype)) →
+    (closed-interval output columns, new state tuple)."""
     cur_type, from_us, last_us, last_eid = (
-        state.get if state.exists else (None, UNSET_US, UNSET_US, -1)
+        st if st is not None else (None, UNSET_US, UNSET_US, -1)
     )
-    out_type: list[str] = []
-    out_from: list[int] = []
-    out_to: list[int] = []
-    pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
-    if pdf is not None:
-        for t_us, eid, etype in zip(
-            ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"]
-        ):
-            t_us, eid = int(t_us), int(eid)
-            if (t_us, eid) <= (last_us, last_eid):
-                continue  # per-key FIFO contract violation: drop
-            last_us, last_eid = t_us, eid
-            if cur_type is None:
-                cur_type, from_us = str(etype), t_us
-            elif str(etype) != cur_type:
-                out_type.append(cur_type)
-                out_from.append(from_us)
-                out_to.append(t_us)
-                cur_type, from_us = str(etype), t_us
-    state.update((cur_type, from_us, last_us, last_eid))
-    if not out_type:
-        return
-    yield pd.DataFrame(
+    out: dict[str, list] = {"type": [], "from": [], "to": []}
+    for t_us, eid, etype in events:
+        t_us, eid = int(t_us), int(eid)
+        if (t_us, eid) <= (last_us, last_eid):
+            continue  # per-key FIFO contract violation: drop
+        last_us, last_eid = t_us, eid
+        if cur_type is None:
+            cur_type, from_us = str(etype), t_us
+        elif str(etype) != cur_type:
+            out["type"].append(cur_type)
+            out["from"].append(from_us)
+            out["to"].append(t_us)
+            cur_type, from_us = str(etype), t_us
+    return out, (cur_type, from_us, last_us, last_eid)
+
+
+def _events_from_pdf(pdf: pd.DataFrame | None):
+    if pdf is None:
+        return []
+    return zip(ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"])
+
+
+def _out_frame(key: tuple, out: dict) -> pd.DataFrame:
+    return pd.DataFrame(
         {
-            "user_id": [key[0]] * len(out_type),
-            "event_type": out_type,
-            "valid_from": pd.to_datetime(out_from, unit="us"),
-            "valid_to": pd.to_datetime(out_to, unit="us"),
+            "user_id": [key[0]] * len(out["type"]),
+            "event_type": out["type"],
+            "valid_from": pd.to_datetime(out["from"], unit="us"),
+            "valid_to": pd.to_datetime(out["to"], unit="us"),
         }
     )
 
-def scd2_intervals_stream(df: DataFrame) -> DataFrame:
+
+def _update(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The applyInPandasWithState wrapper around `_fold_events`
+    (module-level so the Spark-free property test,
+    tests/test_scd2_properties.py, can drive it against a
+    prefix-recompute reference)."""
+    pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
+    out, new_state = _fold_events(
+        tuple(state.get) if state.exists else None, _events_from_pdf(pdf)
+    )
+    state.update(new_state)
+    if out["type"]:
+        yield _out_frame(key, out)
+
+
+class Scd2Processor:
+    """transformWithStateInPandas wrapper around the same fold (duck-
+    typed off StatefulProcessor for protobuf-free importability — the
+    timeseries.py gate)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("scd2_state", SCD2_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues=None
+    ) -> Iterator[pd.DataFrame]:
+        pdf = ordered_events(rows)
+        out, new_state = _fold_events(
+            tuple(self._state.get()) if self._state.exists() else None,
+            _events_from_pdf(pdf),
+        )
+        self._state.update(new_state)
+        if out["type"]:
+            yield _out_frame(key, out)
+
+    def close(self) -> None:
+        pass
+
+
+def scd2_intervals_stream(df: DataFrame, engine: str = "auto") -> DataFrame:
     """(user_id, event_type, ts, event_id) stream → closed SCD2
     interval rows [valid_from, valid_to). The OPEN interval per key is
     state, not output — append-mode downstream sinks only ever see
-    finalized history rows (emitting the open row would retract)."""
-    return df.groupBy("user_id").applyInPandasWithState(
-        _update,
+    finalized history rows (emitting the open row would retract).
+
+    engine="tws" rides transformWithStateInPandas (requires protobuf);
+    "compat" rides applyInPandasWithState; "auto" picks tws when
+    available. Both wrap the SAME `_fold_events` transition."""
+    from .stateful import _protobuf_available
+
+    if engine == "auto":
+        engine = "tws" if _protobuf_available() else "compat"
+    if engine == "compat":
+        return df.groupBy("user_id").applyInPandasWithState(
+            _update,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if engine != "tws":
+        raise ValueError(f"unknown engine {engine!r} (tws|compat|auto)")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "Scd2StatefulProcessor", (StatefulProcessor,),
+        dict(Scd2Processor.__dict__),
+    )
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=cls(),
         outputStructType=SCD2_OUTPUT_SCHEMA,
-        stateStructType=SCD2_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeMode="none",
     )
