@@ -53,66 +53,130 @@ FUNNEL_STATE_SCHEMA = (
 _STEPS = ("view", "click", "purchase")
 
 
-def _update(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """The per-key state transition (module-level so the Spark-free
-    property test, tests/test_timeseries_properties.py's funnel
-    sibling, can drive it against a prefix-recompute reference)."""
+def _fold_events(st: tuple | None, events) -> tuple[dict, tuple]:
+    """The per-key transition shared by BOTH streaming engines (the
+    timeseries.py discipline) and driven Spark-free by the property
+    tests: (state tuple | None, iterable of (t_us, eid, etype)) →
+    (stage-advance output columns, new state tuple)."""
     t1, t2, t3, last_us, last_eid = (
-        state.get
-        if state.exists
-        else (UNSET_US, UNSET_US, UNSET_US, UNSET_US, -1)
+        st if st is not None else (UNSET_US, UNSET_US, UNSET_US, UNSET_US, -1)
     )
-    out_stage: list[int] = []
-    out_at: list[int] = []
-    pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
-    if pdf is not None:
-        for t_us, eid, etype in zip(
-            ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"]
+    out: dict[str, list] = {"stage": [], "at": []}
+    for t_us, eid, etype in events:
+        t_us, eid = int(t_us), int(eid)
+        if (t_us, eid) <= (last_us, last_eid):
+            continue  # per-key FIFO contract violation: drop
+        last_us, last_eid = t_us, eid
+        if etype == _STEPS[0] and t1 == UNSET_US:
+            t1 = t_us
+            out["stage"].append(1)
+            out["at"].append(t_us)
+        elif (
+            etype == _STEPS[1]
+            and t2 == UNSET_US
+            and t1 != UNSET_US
+            and t_us > t1
         ):
-            t_us, eid = int(t_us), int(eid)
-            if (t_us, eid) <= (last_us, last_eid):
-                continue  # per-key FIFO contract violation: drop
-            last_us, last_eid = t_us, eid
-            if etype == _STEPS[0] and t1 == UNSET_US:
-                t1 = t_us
-                out_stage.append(1)
-                out_at.append(t_us)
-            elif (
-                etype == _STEPS[1]
-                and t2 == UNSET_US
-                and t1 != UNSET_US
-                and t_us > t1
-            ):
-                t2 = t_us
-                out_stage.append(2)
-                out_at.append(t_us)
-            elif (
-                etype == _STEPS[2]
-                and t3 == UNSET_US
-                and t2 != UNSET_US
-                and t_us > t2
-            ):
-                t3 = t_us
-                out_stage.append(3)
-                out_at.append(t_us)
-    state.update((t1, t2, t3, last_us, last_eid))
-    if not out_stage:
-        return
-    yield pd.DataFrame(
+            t2 = t_us
+            out["stage"].append(2)
+            out["at"].append(t_us)
+        elif (
+            etype == _STEPS[2]
+            and t3 == UNSET_US
+            and t2 != UNSET_US
+            and t_us > t2
+        ):
+            t3 = t_us
+            out["stage"].append(3)
+            out["at"].append(t_us)
+    return out, (t1, t2, t3, last_us, last_eid)
+
+
+def _events_from_pdf(pdf: pd.DataFrame | None):
+    if pdf is None:
+        return []
+    return zip(ts_us(pdf["ts"]), pdf["event_id"], pdf["event_type"])
+
+
+def _out_frame(key: tuple, out: dict) -> pd.DataFrame:
+    return pd.DataFrame(
         {
-            "user_id": [key[0]] * len(out_stage),
-            "stage": out_stage,
-            "reached_at": pd.to_datetime(out_at, unit="us"),
+            "user_id": [key[0]] * len(out["stage"]),
+            "stage": out["stage"],
+            "reached_at": pd.to_datetime(out["at"], unit="us"),
         }
     )
 
-def funnel_stage_stream(df: DataFrame) -> DataFrame:
+
+def _update(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The applyInPandasWithState wrapper around `_fold_events`
+    (module-level so the Spark-free property test can drive it
+    against a prefix-recompute reference)."""
+    pdf = ordered_events(pdf_iter)  # chunk-safe concat-then-sort
+    out, new_state = _fold_events(
+        tuple(state.get) if state.exists else None, _events_from_pdf(pdf)
+    )
+    state.update(new_state)
+    if out["stage"]:
+        yield _out_frame(key, out)
+
+
+class FunnelProcessor:
+    """transformWithStateInPandas wrapper around the same fold (duck-
+    typed off StatefulProcessor for protobuf-free importability — the
+    timeseries.py gate)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("funnel_state", FUNNEL_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues=None
+    ) -> Iterator[pd.DataFrame]:
+        pdf = ordered_events(rows)
+        out, new_state = _fold_events(
+            tuple(self._state.get()) if self._state.exists() else None,
+            _events_from_pdf(pdf),
+        )
+        self._state.update(new_state)
+        if out["stage"]:
+            yield _out_frame(key, out)
+
+    def close(self) -> None:
+        pass
+
+
+def funnel_stage_stream(df: DataFrame, engine: str = "auto") -> DataFrame:
     """(user_id, event_type, ts, event_id) stream → one append row per
     stage ADVANCE: (user_id, stage 1..3, reached_at). A user's rows
     are strictly increasing in stage; the latest row is their current
-    funnel position."""
+    funnel position.
+
+    engine="tws" rides transformWithStateInPandas (requires protobuf);
+    "compat" rides applyInPandasWithState; "auto" picks tws when
+    available. Both wrap the SAME `_fold_events` transition."""
+    from .stateful import _protobuf_available
+
+    if engine == "auto":
+        engine = "tws" if _protobuf_available() else "compat"
+    if engine == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+        )
+
+        cls = type(
+            "FunnelStatefulProcessor", (StatefulProcessor,),
+            dict(FunnelProcessor.__dict__),
+        )
+        return df.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    if engine != "compat":
+        raise ValueError(f"unknown engine {engine!r} (tws|compat|auto)")
     return df.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
