@@ -5795,6 +5795,112 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEPBEST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_VERIFIED_ORACLE}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT reach.doc_id, e.d FROM reach JOIN edges e ON e.s = reach.r
+),
+clusters AS (
+  SELECT doc_id, CAST(MIN(r) AS BIGINT) AS canonical_id
+  FROM reach GROUP BY doc_id
+),
+t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_toks,
+    CAST((len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x)))
+      * 1000000) // len(toks) AS BIGINT) AS stop_ppm,
+    CAST((len(list_distinct(toks)) * 1000000) // len(toks) AS BIGINT)
+      AS ttr_ppm,
+    CAST((length(text) * 1000000) // len(toks) AS BIGINT) AS awl_micro,
+    CAST((len(regexp_extract_all(text, '{_PUNCT_RE}')) * 1000000)
+      // greatest(length(text), 1) AS BIGINT) AS punct_ppm
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+    CAST({_QC_BIAS} + {_QC_W_STOP} * stop_ppm + {_QC_W_TTR} * ttr_ppm
+      + {_QC_W_LEN} * least(n_toks, {_QC_LEN_CAP})
+      - abs(awl_micro - {_QC_AWL_TARGET}) // 4
+      - {_QC_W_PUNCT} * punct_ppm AS BIGINT) AS logit_micro
+  FROM f
+),
+j AS (
+  SELECT c.canonical_id, c.doc_id, q.logit_micro
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+),
+mx AS (
+  SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+    MAX(logit_micro) AS keep_logit_micro
+  FROM j GROUP BY canonical_id
+),
+pick AS (
+  SELECT j.canonical_id, CAST(MIN(j.doc_id) AS BIGINT) AS keep_doc
+  FROM j JOIN mx ON mx.canonical_id = j.canonical_id
+   AND j.logit_micro = mx.keep_logit_micro
+  GROUP BY j.canonical_id
+)
+SELECT mx.canonical_id, mx.n_members, pick.keep_doc,
+  mx.keep_logit_micro,
+  CAST(pick.keep_doc <> mx.canonical_id AS INTEGER) AS quality_override
+FROM mx JOIN pick ON pick.canonical_id = mx.canonical_id
+"""
+
+
+@query("x_dedup_keepbest", oracle=_KEEPBEST_ORACLE)
+def x_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup survivor selection — KEEP-BEST instead of
+    keep-lowest-id: per near-dup cluster, the member with the highest
+    model quality score (x_quality_classifier's exact integer logit,
+    ties to the smaller doc_id) wins; `quality_override` flags the
+    clusters where that survivor differs from the min-id canonical —
+    the direct measure of what id-based dedup throws away. This is the
+    policy production pipelines actually run (keep the cleanest copy
+    of a duplicated page, not the first-crawled one); composing the CC
+    cluster labels with the classifier keeps ONE selection semantics
+    across both.
+
+    Determinism discipline: the quality key is the classifier's exact
+    integer logit (no float enters the argmax) and the pick is a
+    two-step MAX-then-MIN — any engine computes the identical winner.
+
+    Scale shape: cluster labels ride the log-diameter CC machinery on
+    the pinned pair artifact; the classifier is a zero-exchange
+    projection; the argmax is two slim partial aggregations keyed on
+    canonical_id (one row per cluster) plus a doc_id-keyed join that
+    only ever carries pair-graph nodes — never the whole corpus."""
+    labels = x_dedup_clusters(spark, sf_dir)
+    q = x_quality_classifier(spark, sf_dir).select("doc_id", "logit_micro")
+    j = labels.join(q, "doc_id")
+    mx = j.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("logit_micro").alias("keep_logit_micro"),
+    )
+    pick = (
+        j.join(mx, "canonical_id")
+        .filter(F.col("logit_micro") == F.col("keep_logit_micro"))
+        .groupBy("canonical_id")
+        .agg(F.min("doc_id").alias("keep_doc"))
+    )
+    return mx.join(pick, "canonical_id").select(
+        "canonical_id",
+        "n_members",
+        "keep_doc",
+        "keep_logit_micro",
+        (F.col("keep_doc") != F.col("canonical_id"))
+        .cast("int")
+        .alias("quality_override"),
+    )
+
+
 _SYL_RE = "[aeiouy]+"
 
 

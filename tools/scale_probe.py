@@ -153,6 +153,9 @@ PROBE_QUERIES = [
     # |types|-row sketch table must both stay ~linear
     "x_lsh_tune",
     "c_audience_overlap",
+    # keep-best survivor: CC labels on the pinned pair artifact + the
+    # zero-exchange classifier + two one-row-per-cluster aggregations
+    "x_dedup_keepbest",
 ]
 
 KEY_STRIDE = 100_000_000
