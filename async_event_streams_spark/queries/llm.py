@@ -7427,6 +7427,261 @@ def x_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.unionAll(overall)
 
 
+def _filtered_chain_sql() -> str:
+    """The FILTERED trained-IVF search as a reusable CTE chain: the
+    kmeans training chain up to `afinal`, then label-aware query set,
+    probe list, and PRE-filtered candidates (the label predicate
+    applied inside the cell-keyed join, before the top-k)."""
+    km = _kmeans_oracle()
+    body = km[: km.index("SELECT vec_id, CAST(cid AS BIGINT)")]
+    return (
+        body
+        + f""",
+fq AS (
+  SELECT v.vec_id AS query_id, v.x AS qx, e.label AS qlbl
+  FROM v JOIN embeddings e ON e.vec_id = v.vec_id
+  WHERE v.vec_id < {_IVFT_Q}
+),
+fprobe AS (
+  SELECT query_id, qx, qlbl, cid FROM (
+    SELECT q.query_id, q.qx, q.qlbl, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY CAST(SUM((q.qx[i] - c.c[i]) * (q.qx[i] - c.c[i]))
+                      AS BIGINT), c.cid) AS rn
+    FROM fq q, c{_KM_ITERS} c, unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+    GROUP BY q.query_id, q.qx, q.qlbl, c.cid
+  ) WHERE rn <= {_IVFT_PROBES}
+),
+fcand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    CAST(SUM((p.qx[i] - a.x[i]) * (p.qx[i] - a.x[i])) AS BIGINT) AS d
+  FROM fprobe p JOIN afinal a ON a.cid = p.cid
+  JOIN embeddings e2 ON e2.vec_id = a.vec_id
+    AND e2.label = p.qlbl,
+    unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id
+),
+fann AS (
+  SELECT query_id, neighbor_id, d AS d_micro2,
+    CAST(rank AS BIGINT) AS rank
+  FROM (
+    SELECT query_id, neighbor_id, d,
+      ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+    FROM fcand
+  ) WHERE rank <= {_IVFT_TOPK}
+)"""
+    )
+
+
+def _filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the filtered trained-IVF search (shared by the
+    registered query and the recall dashboard)."""
+    V = _km_vectors(spark, sf_dir)
+    cent = _km_centroids(spark, sf_dir)
+    assigned = _km_assign(V, cent).select("vec_id", "cid", "x")
+    labels = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("lbl")
+    )
+    q = (
+        V.filter(F.col("vec_id") < _IVFT_Q)
+        .join(labels, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("x").alias("qx"),
+            F.col("lbl").alias("qlbl"),
+        )
+    )
+    dprobe = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    wq = Window.partitionBy("query_id").orderBy("dp", "cid")
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qx", "qlbl", "cid", dprobe.alias("dp"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFT_PROBES)
+        .select("query_id", "qx", "qlbl", "cid")
+    )
+    dcand = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("x"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    cand = (
+        assigned.join(labels, "vec_id")
+        .join(F.broadcast(probe), "cid")
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("lbl") == F.col("qlbl"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dcand.alias("d_micro2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("d_micro2", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _IVFT_TOPK)
+        .select("query_id", "neighbor_id", "d_micro2", "rank")
+    )
+
+
+@query(
+    "x_ann_filtered",
+    oracle=_filtered_chain_sql()
+    + """
+SELECT query_id, neighbor_id, d_micro2, rank FROM fann
+""",
+)
+def x_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the modern vector-store feature every
+    RAG deployment asks for: top-k restricted by a metadata predicate
+    (here: candidates sharing the query's label — "search within my
+    class"), over the TRAINED-IVF lane. The filter is applied INSIDE
+    the cell-keyed candidate join, before the top-k — the PRE-filter
+    architecture; post-filtering a global unfiltered top-k returns
+    fewer than k rows whenever neighbors straddle labels, the classic
+    filtered-search recall bug. Everything stays on the integer
+    lattice (exact int64 L2, id tiebreak), so the whole pipeline —
+    training, assignment, probing, filtered scoring — is
+    bit-reproducible and fully hash-checked, no tolerance anywhere.
+
+    Scale shape: identical to x_ann_ivf_trained plus one slim
+    vec_id-keyed label join on the candidate side (at 100 TB the label
+    lives IN the assignment table — zero extra joins; a
+    highly-selective filter instead flips the plan to filter-first
+    brute force over the survivors, the cost crossover every
+    filtered-ANN engine documents). The oracle replays training AND
+    filtered search in one unrolled CTE chain."""
+    return _filtered_ivf(spark, sf_dir)
+
+
+@query(
+    "x_ann_filtered_recall",
+    oracle=_filtered_chain_sql()
+    + f""",
+fexact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, v2.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY CAST(SUM((q.qx[i] - v2.x[i]) * (q.qx[i] - v2.x[i]))
+                      AS BIGINT), v2.vec_id) AS rank
+    FROM fq q
+    JOIN v v2 ON v2.vec_id <> q.query_id
+    JOIN embeddings e3 ON e3.vec_id = v2.vec_id AND e3.label = q.qlbl,
+      unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+    GROUP BY q.query_id, v2.vec_id
+  ) WHERE rank <= {_IVFT_TOPK}
+),
+hits AS (
+  SELECT x.query_id,
+    CAST(COUNT(*) AS BIGINT) AS n_exact,
+    CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM fexact x LEFT JOIN fann a
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY x.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, n_exact, n_hits,
+  CAST((n_hits * 1000000) // n_exact AS BIGINT) AS recall_ppm
+FROM hits
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n_exact) AS BIGINT),
+  CAST(SUM(n_hits) AS BIGINT),
+  CAST((SUM(n_hits) * 1000000) // SUM(n_exact) AS BIGINT)
+FROM hits
+""",
+)
+def x_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 dashboard for the FILTERED-IVF lane vs the exact
+    filtered baseline (brute-force integer L2 among same-label
+    vectors) — the x_ann_recall discipline applied to filtered search,
+    per query + the corpus row (query_id = −1). Filtered recall is a
+    DIFFERENT number from unfiltered recall: with the filter thinning
+    every probed cell, the same probe budget covers a larger fraction
+    of each query's true candidate set — this dial says whether
+    _IVFT_PROBES still holds under the predicate or the lane should
+    flip to filter-first brute force. Exact integers on both sides; no
+    rounding discipline at all."""
+    exact_d = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("x"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    V = _km_vectors(spark, sf_dir)
+    labels = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("lbl")
+    )
+    q = (
+        V.filter(F.col("vec_id") < _IVFT_Q)
+        .join(labels, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("x").alias("qx"),
+            F.col("lbl").alias("qlbl"),
+        )
+    )
+    wx = Window.partitionBy("query_id").orderBy("d_micro2", "neighbor_id")
+    exact = (
+        V.join(labels, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("lbl") == F.col("qlbl"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            exact_d.alias("d_micro2"),
+        )
+        .withColumn("rank", F.row_number().over(wx))
+        .filter(F.col("rank") <= _IVFT_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    ann = _filtered_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = (
+        exact.join(
+            ann,
+            (exact.query_id == ann.query_id)
+            & (exact.neighbor_id == ann.ann_neighbor),
+            "left",
+        )
+        .select(exact.query_id, "neighbor_id", "ann_neighbor")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("ann_neighbor").cast("long").alias("n_hits"),
+        )
+    )
+    hits = materialize(hits)
+    per_q = hits.select(
+        F.col("query_id").cast("long"),
+        "n_exact",
+        "n_hits",
+        F.expr("(n_hits * 1000000) DIV n_exact")
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+    overall = hits.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.expr("(sum(n_hits) * 1000000) DIV sum(n_exact)")
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+    return per_q.unionAll(overall)
+
+
 # ---------------------------------------------------------------------------
 # Training-data prep: quality-ordered curriculum phases (round 9)
 # ---------------------------------------------------------------------------

@@ -156,6 +156,9 @@ PROBE_QUERIES = [
     # keep-best survivor: CC labels on the pinned pair artifact + the
     # zero-exchange classifier + two one-row-per-cluster aggregations
     "x_dedup_keepbest",
+    # filtered ANN: same cell-keyed equi-join as the trained IVF plus a
+    # slim label join — must track x_ann_ivf_trained's growth
+    "x_ann_filtered",
 ]
 
 KEY_STRIDE = 100_000_000
