@@ -159,6 +159,9 @@ PROBE_QUERIES = [
     # filtered ANN: same cell-keyed equi-join as the trained IVF plus a
     # slim label join — must track x_ann_ivf_trained's growth
     "x_ann_filtered",
+    # span scrub: the dup_spans exchange skeleton + the slim canonical
+    # join + bounded k-fan-out coverage — must track x_dup_spans
+    "x_span_scrub",
 ]
 
 KEY_STRIDE = 100_000_000
