@@ -76,9 +76,15 @@ def write_segment(topic_dir: str, idx: int, rows: list[dict]) -> str:
     path = segment_path(topic_dir, idx)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        for row in rows:
-            f.write(json.dumps(row, default=_json_default))
-            f.write("\n")
+        # single buffered write, compact separators — the per-row
+        # write()+spacing overhead measured on the publish hot path
+        f.write(
+            "".join(
+                json.dumps(row, default=_json_default, separators=(",", ":"))
+                + "\n"
+                for row in rows
+            )
+        )
     os.replace(tmp, path)
     return path
 

@@ -261,7 +261,12 @@ class Topic:
             out = []
             if txn is not None:
                 out.append({"__txn__": txn})
-            now = datetime.now(timezone.utc)
+            # One shared per-batch timestamp, pre-serialized ONCE: a
+            # datetime value makes json.dumps fall into the `default=`
+            # callback for EVERY row (the publish hot path's dominant
+            # per-row cost, measured); the isoformat string is what the
+            # reader parses either way.
+            now = datetime.now(timezone.utc).isoformat()
             for i, row in enumerate(rows):
                 rec = {
                     "event_id": first + i,
