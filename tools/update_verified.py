@@ -173,19 +173,37 @@ def main() -> None:
     bench = bench_queries()
     refreshed = 0
     if bench:
-        def sub_bench(m: re.Match) -> str:
-            nonlocal refreshed
-            name = m.group(1)
-            if name in bench:
-                refreshed += 1
-                return f'"{name}": {bench[name]}'
-            return m.group(0)
-
+        # rewrite the whole block: substitution-only misses queries added
+        # since the last refresh, which then silently fall back to the
+        # 0.3 s default and skew the fast-first window ranking (r11
+        # ADVICE). Merge: existing entries keep their value unless the
+        # bench measured them; measured names absent from the block are
+        # APPENDED.
         block = re.search(
-            r"\n_BENCH_SEC: dict\[str, float\] = \{[^{}]*\}", out
+            r"\n_BENCH_SEC: dict\[str, float\] = \{([^{}]*)\}", out
         )
         if block:
-            new_bench = re.sub(r'"([a-z0-9_]+)": ([0-9.]+)', sub_bench, block.group(0))
+            pairs = {
+                k: float(v)
+                for k, v in re.findall(
+                    r'"([a-z0-9_]+)": ([0-9.]+)', block.group(1)
+                )
+            }
+            for name, sec in bench.items():
+                if name in QUERIES and pairs.get(name) != sec:
+                    refreshed += 1
+                pairs[name] = sec
+            names = sorted(n for n in pairs if n in QUERIES)
+            lines = [
+                "    "
+                + " ".join(f'"{n}": {pairs[n]},' for n in names[i : i + 2])
+                for i in range(0, len(names), 2)
+            ]
+            new_bench = (
+                "\n_BENCH_SEC: dict[str, float] = {\n"
+                + "\n".join(lines)
+                + "\n}"
+            )
             out = out[: block.start()] + new_bench + out[block.end():]
 
     unverified = [n for n in QUERIES if n not in recorded]
