@@ -3939,18 +3939,18 @@ def x_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: span digests explode once (16-byte md5s, never
     raw text); the spread + canonical table is ONE digest-keyed
-    aggregation; removability is a digest-keyed equi-join; coverage
-    fans out a bounded k per removable span and collapses to ONE
-    covered-positions array per affected doc; the rewrite itself is a
-    doc-keyed join + a codegen higher-order filter over the token
-    array — the WORDS never explode and never shuffle (the first
-    word-exploded formulation measured 4.2 s vs 3.1 s at sf0.1; the
-    remaining floor is the span-digest aggregation shared with
-    x_dup_spans).
-    The per-word membership probe is O(|covered|) per word — fine at
-    document scale; a pathological single-doc boilerplate wall flips
-    to a sorted-array binary probe, same contract. No self-join, no
-    window over the corpus."""
+    aggregation; removability is a digest-keyed equi-join; removable
+    spans then merge into disjoint covered INTERVALS relationally
+    (gaps-and-islands: running-max window partitioned by doc_id —
+    never corpus-global) so overlap collapses before any fan-out; the
+    rewrite slices the token array between consecutive intervals and
+    flattens — each token is touched exactly once, O(n + m log m) per
+    doc even on a boilerplate wall where every span is removable (the
+    r11 per-word array_contains probe was O(n·|covered|) there; the
+    word-exploded formulation before that measured 4.2 s vs 3.1 s at
+    sf0.1). The WORDS never explode and never shuffle; the k-wide
+    per-span position fan-out is gone too (intervals carry the width).
+    No self-join, no window over the corpus."""
     k = _SPAN_K
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -3971,34 +3971,61 @@ def x_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pos") == F.col("canon.pos"))
         )
     )
-    cov = (
-        removable.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-            ).alias("wordpos"),
+    # removable spans → disjoint covered intervals, relationally:
+    # running max(e) over earlier spans of the doc starts a new island
+    # whenever a span begins past prev_e + 1 (adjacent spans merge —
+    # the gap slice between them would be empty anyway).
+    span_iv = removable.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("s"),
+        (F.col("pos") + F.lit(k - 1)).cast("int").alias("e"),
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_e = F.max("e").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        span_iv.withColumn(
+            "new_isl",
+            F.when(
+                prev_e.isNull() | (F.col("s") > prev_e + 1), F.lit(1)
+            ).otherwise(F.lit(0)),
         )
-        .groupBy("doc_id")
-        .agg(F.collect_set("wordpos").alias("ps"))
+        .withColumn(
+            "isl",
+            F.sum("new_isl").over(
+                by_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    cov = isl.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed"),
     )
     j = t.join(cov, "doc_id", "left").select(
         "doc_id",
         "toks",
-        F.coalesce(F.col("ps"), F.array().cast("array<bigint>")).alias("ps"),
-    )
-    kept = F.filter(
-        F.col("toks"),
-        lambda x, i: ~F.array_contains(
-            F.col("ps"), (i + 1).cast("bigint")
+        F.coalesce(
+            F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("ivs"),
+        F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias(
+            "n_removed"
         ),
     )
-    n_words = F.size("toks").cast("long")
-    n_removed = F.size("ps").cast("long")
+    # kept = the m+1 gap slices around the m disjoint intervals,
+    # flattened in order: gap j spans (prev_e(j), next_s(j)) where
+    # prev_e(0)=0 and next_s(m)=n+1. Each token is copied once.
+    kept = F.expr(
+        "flatten(transform(sequence(0, size(ivs)), j -> slice(toks,"
+        " (IF(j = 0, 0, ivs[j - 1].e)) + 1,"
+        " (IF(j = size(ivs), size(toks) + 1, ivs[j].s))"
+        " - IF(j = 0, 0, ivs[j - 1].e) - 1)))"
+    )
     return j.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_removed.alias("n_removed"),
-        F.expr("(size(ps) * CAST(1000000 AS BIGINT)) DIV size(toks)")
+        F.size("toks").cast("long").alias("n_words"),
+        "n_removed",
+        F.expr("(n_removed * CAST(1000000 AS BIGINT)) DIV size(toks)")
         .cast("long")
         .alias("removed_ppm"),
         F.md5(F.array_join(kept, " ")).alias("kept_md5"),

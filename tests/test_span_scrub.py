@@ -61,3 +61,30 @@ def test_scrub_invariants(spark, sf_dir):
         assert r.removed_ppm == (r.n_removed * 1000000) // r.n_words
         if r.n_removed == r.n_words:
             assert r.kept_md5 == empty_md5
+
+def test_scrub_boilerplate_wall(spark, tmp_path):
+    """Pathological shape from the r11 verdict: a boilerplate wall
+    where EVERY span is removable (whole docs covered). The r11
+    per-word array_contains probe was O(n·|covered|) = quadratic here;
+    the interval rewrite is O(n) — 4000-word walls must finish in
+    seconds, and the canonical-survivor semantics must hold exactly:
+    doc 1 keeps only its first word (span 1 is corpus-canonical, spans
+    2.. cover positions 2..n), every other doc is scrubbed empty."""
+    import time
+
+    n = 4000
+    wall = " ".join(["wall"] * n)
+    sf = str(tmp_path / "sf_wall")
+    spark.createDataFrame(
+        [(d, wall) for d in range(1, 4)], "doc_id int, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    t0 = time.monotonic()
+    rows = {r.doc_id: r for r in QUERIES["x_span_scrub"](spark, sf).collect()}
+    dt = time.monotonic() - t0
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    one_word_md5 = hashlib.md5(b"wall").hexdigest()
+    assert rows[1].n_words == n and rows[1].n_removed == n - 1
+    assert rows[1].kept_md5 == one_word_md5
+    for d in (2, 3):
+        assert rows[d].n_removed == n and rows[d].kept_md5 == empty_md5
+    assert dt < 60, f"boilerplate wall took {dt:.1f}s — probe regressed"
