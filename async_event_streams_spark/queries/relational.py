@@ -437,9 +437,13 @@ def c_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").cast("long").alias("exact_overlap"))
     )
+    # one sketch-build per type; estimate the aliased sketch afterwards
+    # (a second hll_sketch_agg inside the same agg would redo the
+    # register-merge work per group — r11 ADVICE)
     sk = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).select(
+        "event_type", "sk", F.hll_sketch_estimate("sk").alias("est")
     )
     sa = sk.select(
         F.col("event_type").alias("type_a"),

@@ -224,7 +224,25 @@ def merged_timeline(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
     o = orders.select(
         F.col("o_custkey").alias("user_id"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        # NOT cast(o_orderdate as timestamp): o_orderdate is
+        # TIMESTAMP_NTZ, and that cast resolves the wall clock in the
+        # SESSION timezone — these micros persist in checkpointed
+        # state, so resuming under a different
+        # spark.sql.session.timeZone would shift order rows against
+        # stored watermarks (r11 ADVICE). unix_date over the date part
+        # plus the wall-clock time of day is timezone-independent
+        # (date-cast and hour/minute/second of an NTZ read the wall
+        # clock directly); it equals the cast exactly when the session
+        # runs UTC (the engine's session default, session.py:52).
+        (
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+            * F.lit(86_400_000_000).cast("long")
+            + (
+                F.hour("o_orderdate").cast("long") * 3_600_000_000
+                + F.minute("o_orderdate").cast("long") * 60_000_000
+                + F.second("o_orderdate").cast("long") * 1_000_000
+            )
+        ).alias("t"),
         F.lit(0).alias("is_event"),
         F.col("o_orderkey").alias("sid"),
         F.lit(None).cast("long").alias("eid"),
