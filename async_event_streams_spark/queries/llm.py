@@ -7856,6 +7856,448 @@ def x_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity search: filtered-ANN crossover dispatch (round 12)
+# ---------------------------------------------------------------------------
+
+# The cost crossover every filtered-ANN engine documents (pgvector,
+# qdrant, the x_ann_filtered docstring): under a highly-selective
+# predicate, exact scoring over the predicate's SURVIVORS beats
+# probing index cells that the filter then mostly throws away. The
+# dispatch threshold is an ABSOLUTE survivor count, not a selectivity
+# fraction — that is the scale-correct form: with the metadata column
+# bucketed/partitioned (the 100 TB layout), retrieving k survivors
+# costs O(survivors) regardless of corpus size, while the IVF lane's
+# probed-cell volume grows with N/K. Fraction-style predicates
+# (label = x, ~10% of any corpus) therefore flip to the index lane as
+# the corpus grows; absolute-size predicates (a ~20-row tenant) stay
+# exact forever — the workload below contains both kinds so the
+# dispatch is exercised at every scale.
+_CROSS_N = 32  # exact filter-first when survivors <= this
+_CROSS_TENANT_ROWS = 20  # absolute tenant size for the tight predicate
+
+
+def _cross_dist(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _cross_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, lbl, tenant): label is the loose fraction-style
+    predicate attribute; tenant buckets the corpus into ~20-row
+    absolute-size groups (n_tenants = N DIV 20 — in-plan 1-row
+    broadcast, no driver collect)."""
+    emb = table(spark, sf_dir, "embeddings")
+    nt = emb.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"CAST(count(1) DIV {_CROSS_TENANT_ROWS} AS BIGINT)"),
+        ).alias("n_tenants")
+    )
+    return emb.crossJoin(F.broadcast(nt)).select(
+        "vec_id",
+        F.col("label").cast("long").alias("lbl"),
+        (F.col("vec_id") % F.col("n_tenants")).cast("long").alias("tenant"),
+    )
+
+
+def _cross_queries(V: DataFrame, meta: DataFrame) -> DataFrame:
+    """Query set with its per-query predicate kind and EXACT survivor
+    count (the dispatch input): even query_ids filter loose (same
+    label), odd ones tight (same tenant). Survivor counts come from
+    broadcast-sized attribute histograms — one partial agg each, never
+    a scan per query."""
+    q = (
+        V.filter(F.col("vec_id") < _IVFT_Q)
+        .join(meta, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("x").alias("qx"),
+            F.col("lbl").alias("qlbl"),
+            F.col("tenant").alias("qtenant"),
+            (F.col("vec_id") % 2 == 1).alias("tight"),
+        )
+    )
+    hl = meta.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("nl"))
+    ht = meta.groupBy("tenant").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    return materialize(
+        q.join(F.broadcast(hl), F.col("qlbl") == F.col("lbl"))
+        .join(F.broadcast(ht), F.col("qtenant") == F.col("tenant"))
+        .select(
+            "query_id",
+            "qx",
+            "qlbl",
+            "qtenant",
+            "tight",
+            # the query itself always matches its own predicate
+            (
+                F.when(F.col("tight"), F.col("nt")).otherwise(F.col("nl"))
+                - 1
+            )
+            .cast("long")
+            .alias("n_surv"),
+        )
+    )
+
+
+def _cross_brute(
+    qset: DataFrame, V: DataFrame, meta: DataFrame
+) -> DataFrame:
+    """Filter-first exact scoring: retrieve each query's survivors by
+    attribute equi-join (the label/tenant-bucketed layout at 100 TB),
+    score exactly. Two slim equi-joins (one per predicate kind), the
+    handful of queries broadcast."""
+    cand_v = meta.join(V, "vec_id")
+    loose = cand_v.join(
+        F.broadcast(qset.filter(~F.col("tight"))),
+        F.col("lbl") == F.col("qlbl"),
+    )
+    tight = cand_v.join(
+        F.broadcast(qset.filter(F.col("tight"))),
+        F.col("tenant") == F.col("qtenant"),
+    )
+    return (
+        loose.unionByName(tight)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cross_dist("qx", "x").alias("d_micro2"),
+        )
+    )
+
+
+def _cross_parts(spark: SparkSession, sf_dir: str):
+    """Shared build for the crossover query and its cost/recall dial:
+    (q2, probe, assigned, result)."""
+    V = _km_vectors(spark, sf_dir)
+    meta = _cross_meta(spark, sf_dir)
+    cent = _km_centroids(spark, sf_dir)
+    q2 = _cross_queries(V, meta)
+
+    bcand = _cross_brute(q2.filter(F.col("n_surv") <= _CROSS_N), V, meta)
+
+    qi = q2.filter(F.col("n_surv") > _CROSS_N)
+    wq = Window.partitionBy("query_id").orderBy("dp", "cid")
+    probe = (
+        qi.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qx",
+            "qlbl",
+            "qtenant",
+            "tight",
+            "cid",
+            _cross_dist("qx", "c").alias("dp"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFT_PROBES_F)
+        .drop("rn", "dp")
+    )
+    assigned = _km_assign(V, cent).select("vec_id", "cid", "x")
+    pred = F.when(
+        F.col("tight"), F.col("tenant") == F.col("qtenant")
+    ).otherwise(F.col("lbl") == F.col("qlbl"))
+    icand = (
+        assigned.join(meta, "vec_id")
+        .join(F.broadcast(probe), "cid")
+        .filter(pred & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cross_dist("qx", "x").alias("d_micro2"),
+        )
+    )
+    allc = bcand.withColumn("lane", F.lit("exact")).unionByName(
+        icand.withColumn("lane", F.lit("ivf"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("d_micro2", "neighbor_id")
+    result = (
+        allc.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _IVFT_TOPK)
+        .select("query_id", "neighbor_id", "d_micro2", "rank", "lane")
+    )
+    return q2, probe, assigned, result
+
+
+def _crossover_chain_sql() -> str:
+    """The crossover dispatch as a CTE chain over the kmeans training
+    body: metadata, per-query survivor counts, the filter-first branch,
+    the pre-filtered IVF branch, and their union `xtop`."""
+    km = _kmeans_oracle()
+    body = km[: km.index("SELECT vec_id, CAST(cid AS BIGINT)")]
+    return (
+        body
+        + f""",
+xm AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+    CAST(vec_id % GREATEST(1,
+      (SELECT COUNT(*) FROM embeddings) // {_CROSS_TENANT_ROWS})
+      AS BIGINT) AS tenant
+  FROM embeddings
+),
+xq AS (
+  SELECT v.vec_id AS query_id, v.x AS qx, m.lbl AS qlbl,
+    m.tenant AS qtenant, (v.vec_id % 2 = 1) AS tight
+  FROM v JOIN xm m ON m.vec_id = v.vec_id
+  WHERE v.vec_id < {_IVFT_Q}
+),
+xhl AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n FROM xm GROUP BY lbl),
+xht AS (
+  SELECT tenant, CAST(COUNT(*) AS BIGINT) AS n FROM xm GROUP BY tenant
+),
+xq2 AS (
+  SELECT q.query_id, q.qx, q.qlbl, q.qtenant, q.tight,
+    CAST((CASE WHEN q.tight THEN ht.n ELSE hl.n END) - 1 AS BIGINT)
+      AS n_surv
+  FROM xq q
+  JOIN xhl hl ON hl.lbl = q.qlbl
+  JOIN xht ht ON ht.tenant = q.qtenant
+),
+xbcand AS (
+  SELECT q.query_id, m.vec_id AS neighbor_id,
+    CAST(SUM((q.qx[i] - v2.x[i]) * (q.qx[i] - v2.x[i])) AS BIGINT) AS d
+  FROM xq2 q
+  JOIN xm m ON (CASE WHEN q.tight THEN m.tenant = q.qtenant
+                     ELSE m.lbl = q.qlbl END)
+  JOIN v v2 ON v2.vec_id = m.vec_id,
+    unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+  WHERE q.n_surv <= {_CROSS_N} AND m.vec_id <> q.query_id
+  GROUP BY q.query_id, m.vec_id
+),
+xbtop AS (
+  SELECT query_id, neighbor_id, d AS d_micro2, CAST(rank AS BIGINT) AS rank
+  FROM (
+    SELECT query_id, neighbor_id, d,
+      ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+    FROM xbcand
+  ) WHERE rank <= {_IVFT_TOPK}
+),
+xprobe AS (
+  SELECT query_id, qx, qlbl, qtenant, tight, cid FROM (
+    SELECT q.query_id, q.qx, q.qlbl, q.qtenant, q.tight, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY CAST(SUM((q.qx[i] - c.c[i]) * (q.qx[i] - c.c[i]))
+                      AS BIGINT), c.cid) AS rn
+    FROM xq2 q, c{_KM_ITERS} c, unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+    WHERE q.n_surv > {_CROSS_N}
+    GROUP BY q.query_id, q.qx, q.qlbl, q.qtenant, q.tight, c.cid
+  ) WHERE rn <= {_IVFT_PROBES_F}
+),
+xicand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    CAST(SUM((p.qx[i] - a.x[i]) * (p.qx[i] - a.x[i])) AS BIGINT) AS d
+  FROM xprobe p
+  JOIN afinal a ON a.cid = p.cid
+  JOIN xm m ON m.vec_id = a.vec_id
+    AND (CASE WHEN p.tight THEN m.tenant = p.qtenant
+              ELSE m.lbl = p.qlbl END),
+    unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id
+),
+xitop AS (
+  SELECT query_id, neighbor_id, d AS d_micro2, CAST(rank AS BIGINT) AS rank
+  FROM (
+    SELECT query_id, neighbor_id, d,
+      ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+    FROM xicand
+  ) WHERE rank <= {_IVFT_TOPK}
+),
+xtop AS (
+  SELECT query_id, neighbor_id, d_micro2, rank, 'exact' AS lane
+  FROM xbtop
+  UNION ALL
+  SELECT query_id, neighbor_id, d_micro2, rank, 'ivf' AS lane
+  FROM xitop
+)"""
+    )
+
+
+@query(
+    "x_ann_crossover",
+    oracle=_crossover_chain_sql()
+    + """
+SELECT query_id, neighbor_id, d_micro2, rank, lane FROM xtop
+""",
+)
+def x_ann_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search with AUTOMATIC lane dispatch — the
+    crossover the x_ann_filtered docstring names: per query, if its
+    metadata predicate leaves at most _CROSS_N survivors, score them
+    EXACTLY via a filter-first attribute equi-join (recall 1 by
+    construction); otherwise run the pre-filtered trained-IVF search.
+    The workload mixes the two predicate shapes real deployments mix:
+    even query_ids filter on label (a FRACTION of any corpus — flips
+    to the index lane as N grows), odd ones on a ~20-row tenant
+    bucket (ABSOLUTE size — stays exact at any N). Dispatch reads
+    EXACT survivor counts from broadcast-sized attribute histograms,
+    so the rule itself costs two partial aggs, and every branch stays
+    on the integer lattice — the whole dispatched result is
+    hash-checked, lane column included.
+
+    Scale shape: the absolute threshold is the scale-correct rule —
+    under a bucketed metadata layout, exact-over-survivors costs
+    O(survivors) independent of corpus size while probed-cell volume
+    grows with N/K; the brute branch is two attribute equi-joins with
+    the query set broadcast, the IVF branch is the x_ann_filtered
+    cell-keyed join. No cross join anywhere but the K-row centroid
+    broadcast."""
+    _, _, _, result = _cross_parts(spark, sf_dir)
+    return result
+
+
+@query(
+    "x_ann_crossover_cost",
+    oracle=_crossover_chain_sql()
+    + f""",
+xexact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, m.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY CAST(SUM((q.qx[i] - v2.x[i]) * (q.qx[i] - v2.x[i]))
+                      AS BIGINT), m.vec_id) AS rank
+    FROM xq2 q
+    JOIN xm m ON (CASE WHEN q.tight THEN m.tenant = q.qtenant
+                       ELSE m.lbl = q.qlbl END)
+    JOIN v v2 ON v2.vec_id = m.vec_id,
+      unnest(range(1, {_KM_DIM} + 1)) AS u(i)
+    WHERE m.vec_id <> q.query_id
+    GROUP BY q.query_id, m.vec_id
+  ) WHERE rank <= {_IVFT_TOPK}
+),
+xcsize AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM afinal GROUP BY cid
+),
+xscan AS (
+  SELECT q.query_id,
+    CASE WHEN q.n_surv <= {_CROSS_N} THEN 'exact' ELSE 'ivf' END AS lane,
+    q.n_surv,
+    CAST(CASE WHEN q.n_surv <= {_CROSS_N} THEN q.n_surv
+         ELSE (SELECT SUM(cs.n) FROM xprobe p
+               JOIN xcsize cs ON cs.cid = p.cid
+               WHERE p.query_id = q.query_id) END AS BIGINT) AS scan_rows
+  FROM xq2 q
+),
+xhits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+    CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits
+  FROM xexact e LEFT JOIN xtop t
+    ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT s.query_id, s.lane, s.n_surv, s.scan_rows, h.n_exact, h.n_hits,
+  CAST((h.n_hits * 1000000) // h.n_exact AS BIGINT) AS recall_ppm
+FROM xscan s JOIN xhits h ON h.query_id = s.query_id
+UNION ALL
+SELECT CAST(-1 AS BIGINT), 'all', CAST(SUM(s.n_surv) AS BIGINT),
+  CAST(SUM(s.scan_rows) AS BIGINT), CAST(SUM(h.n_exact) AS BIGINT),
+  CAST(SUM(h.n_hits) AS BIGINT),
+  CAST((SUM(h.n_hits) * 1000000) // SUM(h.n_exact) AS BIGINT)
+FROM xscan s JOIN xhits h ON h.query_id = s.query_id
+""",
+)
+def x_ann_crossover_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crossover lane's recall/COST dial — per query (plus the
+    corpus row, query_id = −1): which lane the dispatch picked, the
+    exact survivor count that drove it, the rows each lane SCANS
+    (survivors for filter-first; the probed cells' total population
+    for IVF — the quantity the crossover rule trades), and recall@5
+    against the exact filtered baseline. Filter-first rows read
+    recall 1000000 ppm by construction — the dial exists to show what
+    the IVF rows pay in recall for their bounded scan, and what the
+    exact rows pay in scan for their perfect recall: the cost model
+    behind _CROSS_N, measured rather than asserted (the
+    x_ann_filtered_recall discipline extended with the cost axis)."""
+    q2, probe, assigned, result = _cross_parts(spark, sf_dir)
+    V = _km_vectors(spark, sf_dir)
+    meta = _cross_meta(spark, sf_dir)
+    wx = Window.partitionBy("query_id").orderBy("d_micro2", "neighbor_id")
+    exact = (
+        _cross_brute(q2, V, meta)
+        .withColumn("rank", F.row_number().over(wx))
+        .filter(F.col("rank") <= _IVFT_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    csize = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    iv_scan = (
+        probe.join(F.broadcast(csize), "cid")
+        .groupBy("query_id")
+        .agg(F.sum("cn").cast("long").alias("iv_rows"))
+    )
+    scan = (
+        q2.select(
+            "query_id",
+            "n_surv",
+            F.when(F.col("n_surv") <= _CROSS_N, F.lit("exact"))
+            .otherwise(F.lit("ivf"))
+            .alias("lane"),
+        )
+        .join(iv_scan, "query_id", "left")
+        .select(
+            "query_id",
+            "lane",
+            "n_surv",
+            F.when(F.col("lane") == "exact", F.col("n_surv"))
+            .otherwise(F.coalesce(F.col("iv_rows"), F.lit(0)))
+            .cast("long")
+            .alias("scan_rows"),
+        )
+    )
+    ann = result.select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = (
+        exact.join(
+            ann,
+            (exact.query_id == ann.query_id)
+            & (exact.neighbor_id == ann.ann_neighbor),
+            "left",
+        )
+        .select(exact.query_id, "neighbor_id", "ann_neighbor")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("ann_neighbor").cast("long").alias("n_hits"),
+        )
+    )
+    joined = materialize(scan.join(hits, "query_id"))
+    per_q = joined.select(
+        F.col("query_id").cast("long"),
+        "lane",
+        "n_surv",
+        "scan_rows",
+        "n_exact",
+        "n_hits",
+        F.expr("(n_hits * 1000000) DIV n_exact")
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+    overall = joined.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.lit("all").alias("lane"),
+        F.sum("n_surv").cast("long").alias("n_surv"),
+        F.sum("scan_rows").cast("long").alias("scan_rows"),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.expr("(sum(n_hits) * 1000000) DIV sum(n_exact)")
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+    return per_q.unionAll(overall)
+
+
+# ---------------------------------------------------------------------------
 # Training-data prep: quality-ordered curriculum phases (round 9)
 # ---------------------------------------------------------------------------
 

@@ -160,8 +160,14 @@ PROBE_QUERIES = [
     # slim label join — must track x_ann_ivf_trained's growth
     "x_ann_filtered",
     # span scrub: the dup_spans exchange skeleton + the slim canonical
-    # join + bounded k-fan-out coverage — must track x_dup_spans
+    # join + island-merge intervals — must track x_dup_spans
     "x_span_scrub",
+    # crossover dispatch: at K× the loose (label) predicates' survivor
+    # counts grow K× (stay IVF) while tenant buckets stay ~20 rows
+    # (stay exact) — the absolute-threshold rule must keep the same
+    # lane split and the whole plan must stay ~linear
+    "x_ann_crossover",
+    "x_ann_crossover_cost",
 ]
 
 KEY_STRIDE = 100_000_000
