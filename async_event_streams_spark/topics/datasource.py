@@ -70,23 +70,29 @@ def write_clear_marker(topic_dir: str, upto: int) -> None:
     os.replace(tmp, os.path.join(topic_dir, CLEAR_MARKER))
 
 
-def write_segment(topic_dir: str, idx: int, rows: list[dict]) -> str:
-    """Atomically write one segment (tmp + rename)."""
+def write_segment_lines(topic_dir: str, idx: int, lines: list[str]) -> str:
+    """Atomically write one segment (tmp + rename) from pre-serialized
+    JSON lines — the publish hot path hands us strings so the envelope
+    prefix is serialized once per batch, not once per row."""
     os.makedirs(topic_dir, exist_ok=True)
     path = segment_path(topic_dir, idx)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        # single buffered write, compact separators — the per-row
-        # write()+spacing overhead measured on the publish hot path
-        f.write(
-            "".join(
-                json.dumps(row, default=_json_default, separators=(",", ":"))
-                + "\n"
-                for row in rows
-            )
-        )
+        f.write("\n".join(lines) + "\n")
     os.replace(tmp, path)
     return path
+
+
+def write_segment(topic_dir: str, idx: int, rows: list[dict]) -> str:
+    """Atomically write one segment (tmp + rename)."""
+    return write_segment_lines(
+        topic_dir,
+        idx,
+        [
+            json.dumps(row, default=_json_default, separators=(",", ":"))
+            for row in rows
+        ],
+    )
 
 
 def _json_default(v):

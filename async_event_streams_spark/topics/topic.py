@@ -29,6 +29,7 @@ while the topic carries the (small) event flow.
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 from datetime import datetime, timezone
@@ -39,12 +40,14 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType, Tim
 
 from .datasource import (
     TopicDataSource,
+    _json_default,
     cleared_before,
     list_segments,
     next_segment_index,
     segment_path,
     write_clear_marker,
     write_segment,
+    write_segment_lines,
 )
 
 ENVELOPE_FIELDS = [
@@ -54,6 +57,7 @@ ENVELOPE_FIELDS = [
     StructField("source_event_id", LongType(), True),
 ]
 ENVELOPE_NAMES = [f.name for f in ENVELOPE_FIELDS]
+_ENVELOPE_SET = frozenset(ENVELOPE_NAMES)
 
 
 class TopicRegistry:
@@ -258,16 +262,39 @@ class Topic:
         with self._lock:
             first = self._next_id
             seg_idx = next_segment_index(self.dir)
-            out = []
+            lines: list[str] = []
             if txn is not None:
-                out.append({"__txn__": txn})
-            # One shared per-batch timestamp, pre-serialized ONCE: a
-            # datetime value makes json.dumps fall into the `default=`
-            # callback for EVERY row (the publish hot path's dominant
-            # per-row cost, measured); the isoformat string is what the
-            # reader parses either way.
+                lines.append(
+                    json.dumps({"__txn__": txn}, separators=(",", ":"))
+                )
+            # Everything constant across the batch serializes ONCE: the
+            # shared timestamp (a datetime value made json.dumps fall
+            # into the `default=` callback per row — the hot path's old
+            # dominant cost) and the event_type. Rows that carry no
+            # envelope overrides — the overwhelming norm — then take
+            # the fast path: one payload-only json.dumps plus a string
+            # concat, no per-row envelope dict build/filter/update
+            # (produce-only measured 77.5k → 136k ev/s, r12 profile).
             now = datetime.now(timezone.utc).isoformat()
+            ts_json = '"' + now + '"'  # isoformat never needs escaping
+            et_json = json.dumps(event_type)
             for i, row in enumerate(rows):
+                if source_event_ids is None and _ENVELOPE_SET.isdisjoint(
+                    row
+                ):
+                    head = (
+                        f'{{"event_id":{first + i},"ts":{ts_json},'
+                        f'"event_type":{et_json},"source_event_id":null'
+                    )
+                    payload = json.dumps(
+                        row, default=_json_default, separators=(",", ":")
+                    )
+                    lines.append(
+                        head + "," + payload[1:]
+                        if len(payload) > 2
+                        else head + "}"
+                    )
+                    continue
                 rec = {
                     "event_id": first + i,
                     "ts": now,
@@ -279,8 +306,10 @@ class Topic:
                 rec.update(
                     {k: v for k, v in row.items() if k not in ENVELOPE_NAMES}
                 )
-                out.append(rec)
-            write_segment(self.dir, seg_idx, out)
+                lines.append(
+                    json.dumps(rec, default=_json_default, separators=(",", ":"))
+                )
+            write_segment_lines(self.dir, seg_idx, lines)
             self._next_id = first + len(rows)
             return first, self._next_id - 1
 
