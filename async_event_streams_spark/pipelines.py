@@ -90,19 +90,24 @@ def dedup_near(
     )
     sig = sk.select(
         "doc_id",
-        "sh",
         *[minhash_component(F.col("hs"), k).alias(f"h{k}") for k in range(4)],
     )
+    # Band rows stay SLIM (doc_id, bi, bk): the shingle arrays never
+    # ride the band shuffle or the self-join. Verification re-attaches
+    # them to the (much smaller) DISTINCT candidate-pair set via two
+    # doc_id equi-joins — one exact Jaccard per pair instead of one
+    # per band collision (the r11 cand_jaccard lesson; the array-
+    # carrying form measured 25.8 s cold / 10.9 s warm at sf1, this
+    # one 7.5 / 8.2 — the remaining floor is the pinned sketch build).
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("bi"), F.concat("h0", "h1").alias("bk")),
                 F.struct(F.lit(1).alias("bi"), F.concat("h2", "h3").alias("bk")),
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.bi", "band.bk")
+    ).select("doc_id", "band.bi", "band.bk")
     # Bucket-size guard: find degenerate band keys (slim partial-agg
     # count, column-pruned to the keys) and anti-join them away with a
     # broadcast — the big side never shuffles for the guard.
@@ -121,17 +126,31 @@ def dedup_near(
         )
     bands = bands.join(F.broadcast(oversized), ["bi", "bk"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size("a.sh") + F.size("b.sh") - inter
-    dup_ids = (
+    pairs = (
         a.join(
             b,
             (F.col("a.bi") == F.col("b.bi"))
             & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(inter.cast("double") / union >= jaccard_threshold)
-        .select(F.col("b.doc_id").alias("doc_id"))  # drop the later copy
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    sh_tbl = sk.select("doc_id", "sh")
+    cand = pairs.join(
+        sh_tbl.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")),
+        "da",
+    ).join(
+        sh_tbl.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")),
+        "db",
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - inter
+    dup_ids = (
+        cand.filter(inter.cast("double") / union >= jaccard_threshold)
+        .select(F.col("db").alias("doc_id"))  # drop the later copy
         .distinct()
     )
     return docs.join(dup_ids, "doc_id", "left_anti")
