@@ -3820,19 +3820,61 @@ GROUP BY doc_id
 """
 
 
-def dup_span_stats(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (doc_id, toks) — shared by the span-dedup family (the
+    tokenize pass re-ran once per consuming plan branch unpinned)."""
+    return artifact(
+        spark,
+        f"scrub_tokens:{sf_dir}",
+        lambda: table(spark, sf_dir, "documents").select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        ),
+    )
+
+
+def _span_table(spark: SparkSession, sf_dir: str, k: int = _SPAN_K) -> DataFrame:
+    """Pinned (doc_id, pos, d) k-gram span digests — the corpus
+    artifact both the dup-span MEASURE (x_dup_spans) and the REMOVAL
+    (x_span_scrub) read, built once per session like the LSH band
+    tables."""
+    t = _doc_tokens(spark, sf_dir)
+    return artifact(
+        spark,
+        f"scrub_spans:{sf_dir}:{k}",
+        lambda: t.select(
+            "doc_id",
+            F.posexplode(
+                shingle_digests(shingles(F.col("toks"), k=k))
+            ).alias("sp0", "d"),
+        ).select("doc_id", (F.col("sp0") + 1).alias("pos"), "d"),
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame | None = None,
+    k: int = _SPAN_K,
+    spans: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, n_spans, n_dup) for x_dup_spans — exposed as the
     shared core so the hypothesis property test exercises THIS code
-    path (not a reimplementation) against the pure-Python reference."""
-    # Tokens are BOUND to a projected column before the shingle chain:
-    # inlined, the split regex re-evaluates inside each zip_with pass
-    # (measured 0.63 vs 0.44 s for the k=5 chain at sf0.1).
-    sh = docs.select("doc_id", tokens(F.col("text")).alias("__t")).select(
-        "doc_id",
-        F.explode(shingle_digests(shingles(F.col("__t"), k=k))).alias("d"),
-    )
+    path (not a reimplementation) against the pure-Python reference.
+    `spans` (doc_id, d) short-circuits the explode with a pre-built
+    span table (x_dup_spans passes the pinned _span_table artifact)."""
+    if spans is None:
+        # Tokens are BOUND to a projected column before the shingle
+        # chain: inlined, the split regex re-evaluates inside each
+        # zip_with pass (measured 0.63 vs 0.44 s for k=5 at sf0.1).
+        spans = docs.select(
+            "doc_id", tokens(F.col("text")).alias("__t")
+        ).select(
+            "doc_id",
+            F.explode(
+                shingle_digests(shingles(F.col("__t"), k=k))
+            ).alias("d"),
+        )
     occ = (
-        sh.groupBy("doc_id", "d")
+        spans.select("doc_id", "d")
+        .groupBy("doc_id", "d")
         .agg(F.count("*").alias("c"))
         .withColumn("nd", F.count("*").over(Window.partitionBy("d")))
     )
@@ -3863,8 +3905,7 @@ def x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doc_id-keyed rollup. Self-repetition inside one document
     (c > 1, nd = 1) deliberately does NOT count as duplication; the
     x_repetition query owns that signal."""
-    docs = table(spark, sf_dir, "documents")
-    return dup_span_stats(docs).select(
+    return dup_span_stats(spans=_span_table(spark, sf_dir)).select(
         "doc_id",
         "n_spans",
         "n_dup",
@@ -3952,29 +3993,15 @@ def x_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-span position fan-out is gone too (intervals carry the width).
     No self-join, no window over the corpus."""
     k = _SPAN_K
-    docs = table(spark, sf_dir, "documents")
     # Both the token table and the span-digest table feed TWO plan
     # branches each (spans -> canonical agg AND removability join;
     # toks -> spans AND the rewrite) — unpinned, the tokenize+shingle+
     # digest explode re-ran per branch and dominated the sf1 wall
     # (stage-profiled: ~13 s of the 17.4 s was recomputed span builds).
-    # Pinned artifacts are the production shape anyway: the span-digest
-    # table is a reusable corpus artifact, like the LSH band tables.
-    t = artifact(
-        spark,
-        f"scrub_tokens:{sf_dir}",
-        lambda: docs.select("doc_id", tokens(F.col("text")).alias("toks")),
-    )
-    spans = artifact(
-        spark,
-        f"scrub_spans:{sf_dir}:{k}",
-        lambda: t.select(
-            "doc_id",
-            F.posexplode(
-                shingle_digests(shingles(F.col("toks"), k=k))
-            ).alias("sp0", "d"),
-        ).select("doc_id", (F.col("sp0") + 1).alias("pos"), "d"),
-    )
+    # The pinned tables are the shared span-dedup corpus artifacts
+    # (_span_table feeds the x_dup_spans measure too).
+    t = _doc_tokens(spark, sf_dir)
+    spans = _span_table(spark, sf_dir, k)
     g = spans.groupBy("d").agg(
         F.countDistinct("doc_id").alias("nd"),
         F.min(F.struct("doc_id", "pos")).alias("canon"),
