@@ -3248,6 +3248,30 @@ FROM s GROUP BY doc_id
 """
 
 
+def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (doc_id, w1, w2) corpus transition stream — shared by
+    the two bigram LMs (x_bigram_logprob, x_kneser_ney). Unpinned,
+    the token zip-explode re-ran once per consuming branch (count
+    aggregations AND the scoring join — ~3× the corpus explode per
+    query at sf1)."""
+
+    def build():
+        docs = table(spark, sf_dir, "documents")
+        t = tokens(F.col("text"))
+        return docs.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("pr"),
+        ).select("doc_id", "pr.w1", "pr.w2")
+
+    return artifact(spark, f"bigram_stream:{sf_dir}", build)
+
+
 @query("x_bigram_logprob", oracle=_BIGRAM_ORACLE)
 def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score (the CCNet-style perplexity filter, one
@@ -3272,16 +3296,7 @@ def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. No reference analog (driver mandate extension)."""
     docs = table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(t, 1, F.size(t) - 1),
-                F.slice(t, 2, F.size(t) - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("pr"),
-    ).select("doc_id", "pr.w1", "pr.w2")
+    bg = _bigram_stream(spark, sf_dir)
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     vsz = (
@@ -6640,18 +6655,7 @@ def x_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on the bigram, which no hot document can flood; the
     vocab-sized context/continuation tables and the 1-row total ride
     broadcasts. No reference analog (driver mandate extension)."""
-    docs = table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(t, 1, F.size(t) - 1),
-                F.slice(t, 2, F.size(t) - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("pr"),
-    ).select("doc_id", "pr.w1", "pr.w2")
+    bg = _bigram_stream(spark, sf_dir)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
     c2 = materialize(c2)  # four consumers; never re-derive from the corpus
     ctx = c2.groupBy("w1").agg(
