@@ -991,3 +991,35 @@ def test_equidepth_sketch_survives_empty_corpus(spark, sf_dir, tmp_path):
     ).collect()
     assert len(rows) == 8
     assert all(r.n_total == 0 and r.depth_ok for r in rows)
+
+
+def test_ann_crossover_no_cartesian_and_broadcast_probes(spark, sf_dir):
+    """r12 crossover lane: the only nested-loop shapes allowed are the
+    K-row centroid broadcast and the broadcast query set; candidate
+    retrieval is equi-joins (lbl/tenant/cid keyed) — never a corpus
+    cross product."""
+    plan = plan_of(spark, sf_dir, "x_ann_crossover")
+    assert "CartesianProduct" not in plan
+    # the dispatch histograms and the query set ride broadcasts
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_crossover_cost_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_ann_crossover_cost")
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_near_band_join_is_slim(spark, sf_dir):
+    """r12 rewrite: the band self-join must NOT carry the shingle
+    arrays — `sh` re-attaches to the distinct pair set afterwards, so
+    no exchange before the pair join ships an array column named sh."""
+    plan = plan_of(spark, sf_dir, "x_pipeline_report")
+    assert "CartesianProduct" not in plan
+    # the band-bucket self-join section: between the first Exchange of
+    # band rows and the pair distinct there must be no sh column. The
+    # robust proxy: every SMJ/SHJ join on (bi, bk) keys appears with
+    # slim projections — assert the join keys exist and that no
+    # project line carries both bk and sh together.
+    for line in plan.splitlines():
+        if "bk" in line and "Project" in line:
+            assert " sh#" not in line, line
