@@ -2340,6 +2340,172 @@ def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_case_sql(prefix: str) -> str:
+    return " ".join(
+        f"WHEN {prefix}{lg} = m THEN '{lg}'" for lg in _LEXICONS
+    )
+
+
+_LANG_PRIO_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN {i}" for i, lg in enumerate(_LEXICONS))
+    + f" ELSE {len(_LEXICONS)} END"
+)
+
+
+def _lang_segments_oracle() -> str:
+    sent_scores = ", ".join(
+        "CAST(len(list_filter(regexp_split_to_array(trim(s), '\\s+'), "
+        f"x -> list_contains({_LEXICONS[lg]!r}, x))) AS INTEGER) AS sc_{lg}"
+        for lg in _LEXICONS
+    )
+    m = "GREATEST(" + ", ".join(f"sc_{lg}" for lg in _LEXICONS) + ")"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)) AS ss
+  FROM documents
+),
+sent AS (
+  SELECT doc_id, i, ss[i] AS s
+  FROM t, unnest(range(1, len(ss) + 1)) AS u(i)
+  WHERE ss[i] <> ''
+),
+sc AS (SELECT doc_id, i, {sent_scores} FROM sent),
+sl AS (
+  SELECT doc_id, i,
+    CASE WHEN m = 0 THEN 'unknown' {_lang_case_sql("sc_")} END AS lang
+  FROM (SELECT *, {m} AS m FROM sc)
+),
+seg AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_sentences,
+    CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND lang <> prev
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+    CAST(COUNT(DISTINCT CASE WHEN lang <> 'unknown' THEN lang END)
+      AS BIGINT) AS n_langs
+  FROM (SELECT doc_id, lang,
+          LAG(lang) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM sl)
+  GROUP BY doc_id
+),
+cnts AS (
+  SELECT doc_id, lang, COUNT(*) AS c,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY COUNT(*) DESC, {_LANG_PRIO_SQL}) AS rn
+  FROM sl GROUP BY doc_id, lang
+)
+SELECT s.doc_id, s.n_sentences, s.n_segments, c.lang AS primary_lang,
+  CAST(((s.n_sentences - c.c) * 1000000) // s.n_sentences AS BIGINT)
+    AS minority_ppm,
+  s.n_langs >= 2 AS mixed
+FROM seg s JOIN cnts c ON c.doc_id = s.doc_id AND c.rn = 1
+"""
+
+
+@query("x_lang_segments", oracle=_lang_segments_oracle())
+def x_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch / language-contamination report — x_lang_id one
+    level down: language ID per SENTENCE, consecutive same-language
+    sentences collapsed to segments, and a per-doc mixing report
+    (sentence count, segment count, majority language, minority
+    sentence share in ppm, mixed flag). Per-DOC LID silently mislabels
+    code-switched documents as their majority language; monolingual
+    training corpora need the sentence-level contamination number to
+    gate on (the same reason CCNet runs LID per paragraph). A real LID
+    model slots in behind the same per-sentence argmax contract as a
+    pandas UDF.
+
+    Determinism: sentence split on the literal [.!?]+ regex, empties
+    dropped; scores are exact stopword-hit counts; argmax ties break
+    by the fixed lexicon order, zero-hit sentences are 'unknown' (a
+    label, so an en→unknown→en doc counts 3 segments — interleaved
+    junk is itself a signal); the primary language breaks count ties
+    by the same order; minority_ppm is an integer DIV.
+
+    Scale shape: the sentence explode is bounded per doc; scoring is a
+    local higher-order filter against LITERAL lexicon arrays (no join,
+    no broadcast, whole-stage codegen); the segment fold is one lag
+    window PARTITIONED BY doc_id (bounded by a doc's sentence count —
+    never a corpus-wide window) and the majority pick is a slim
+    (doc, lang)-keyed count + per-doc top-1. Everything downstream of
+    the explode is sentence-COUNT sized, not text sized."""
+    docs = table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(F.col("text"), r"[.!?]+"),
+                    lambda s: F.trim(s),
+                ),
+                lambda s: s != "",
+            )
+        ).alias("i", "s"),
+    )
+    toks = tokens(F.col("s"))
+    scored = sents.select(
+        "doc_id",
+        "i",
+        *[
+            stopword_count(toks, lex).alias(f"sc_{lg}")
+            for lg, lex in _LEXICONS.items()
+        ],
+    )
+    m = F.greatest(*[F.col(f"sc_{lg}") for lg in _LEXICONS])
+    lang = F.when(m == 0, F.lit("unknown"))
+    for lg in _LEXICONS:
+        lang = lang.when(F.col(f"sc_{lg}") == m, F.lit(lg))
+    slang = scored.select("doc_id", "i", lang.alias("lang"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    seg = (
+        slang.withColumn("prev", F.lag("lang").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (F.col("lang") != F.col("prev")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("n_segments"),
+            F.countDistinct(
+                F.when(F.col("lang") != "unknown", F.col("lang"))
+            )
+            .cast("long")
+            .alias("n_langs"),
+        )
+    )
+    prio = F.when(F.lit(False), F.lit(0))
+    for idx, lg in enumerate(_LEXICONS):
+        prio = prio.when(F.col("lang") == lg, F.lit(idx))
+    prio = prio.otherwise(F.lit(len(_LEXICONS)))
+    wp = Window.partitionBy("doc_id").orderBy(F.desc("c"), prio.asc())
+    primary = (
+        slang.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("primary_lang"), "c")
+    )
+    return seg.join(primary, "doc_id").select(
+        "doc_id",
+        "n_sentences",
+        "n_segments",
+        "primary_lang",
+        F.expr("((n_sentences - c) * CAST(1000000 AS BIGINT)) DIV n_sentences")
+        .cast("long")
+        .alias("minority_ppm"),
+        (F.col("n_langs") >= 2).alias("mixed"),
+    )
+
+
 @query(
     "x_fingerprint",
     oracle=f"""
