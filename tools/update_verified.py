@@ -194,9 +194,19 @@ def main() -> None:
                     refreshed += 1
                 pairs[name] = sec
             names = sorted(n for n in pairs if n in QUERIES)
+
+            def _fmt(v: float) -> str:
+                # Fixed notation only: raw float repr can emit scientific
+                # notation (5e-05), which the '"name": ([0-9.]+)' parser
+                # above would silently mis-read as 5.0 on the next refresh.
+                s = format(v, ".6f").rstrip("0").rstrip(".")
+                return s or "0.0"
+
             lines = [
                 "    "
-                + " ".join(f'"{n}": {pairs[n]},' for n in names[i : i + 2])
+                + " ".join(
+                    f'"{n}": {_fmt(pairs[n])},' for n in names[i : i + 2]
+                )
                 for i in range(0, len(names), 2)
             ]
             new_bench = (
