@@ -240,7 +240,14 @@ def merged_timeline(events: DataFrame, orders: DataFrame) -> DataFrame:
             + (
                 F.hour("o_orderdate").cast("long") * 3_600_000_000
                 + F.minute("o_orderdate").cast("long") * 60_000_000
-                + F.second("o_orderdate").cast("long") * 1_000_000
+                # date_part('SECOND') keeps the fractional part
+                # (DECIMAL(8,6)), so sub-second NTZ order timestamps
+                # round-trip instead of collapsing to the second and
+                # reordering against event rows (r12 ADVICE).
+                + (
+                    F.expr("date_part('SECOND', o_orderdate)")
+                    * 1_000_000
+                ).cast("long")
             )
         ).alias("t"),
         F.lit(0).alias("is_event"),

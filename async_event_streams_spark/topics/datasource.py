@@ -78,7 +78,10 @@ def write_segment_lines(topic_dir: str, idx: int, lines: list[str]) -> str:
     path = segment_path(topic_dir, idx)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        # empty batch -> empty file (not a single blank line): readers
+        # skip blanks today, but a blank-line segment is a latent format
+        # change for any future consumer (r12 ADVICE).
+        f.write("\n".join(lines) + "\n" if lines else "")
     os.replace(tmp, path)
     return path
 

@@ -155,3 +155,45 @@ def test_asof_stream_restart_resumes_state(spark, sf_dir, tmp_path):
     }
     assert emitted == want
     t.close()
+
+
+def test_merged_timeline_subsecond_micros(spark):
+    """Sub-second NTZ order timestamps must keep their fractional part
+    in the timeline key (r12 ADVICE: F.second truncated to the second,
+    which could reorder a sub-second order against event rows)."""
+    from pyspark.sql import functions as F
+
+    from async_event_streams_spark.streaming.asof import merged_timeline
+
+    orders = spark.createDataFrame(
+        [(1, 7)], "o_orderkey long, o_custkey long"
+    ).withColumn(
+        "o_orderdate",
+        F.lit("2024-03-05 12:34:56.789123").cast("timestamp_ntz"),
+    )
+    events = spark.createDataFrame(
+        [(7, 1)], "user_id long, event_id long"
+    ).withColumn(
+        "ts", F.lit("2024-03-05 12:34:56.5").cast("timestamp_ntz")
+    )
+    rows = {
+        r["is_event"]: r["t"]
+        for r in merged_timeline(events, orders).collect()
+    }
+    # absolute expectation, independent of session tz (NTZ wall clock)
+    expected_order = (
+        spark.range(1)
+        .select(
+            (
+                F.unix_date(F.lit("2024-03-05").cast("date")).cast("long")
+                * 86_400_000_000
+                + (12 * 3600 + 34 * 60) * 1_000_000
+                + 56_789_123
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert rows[0] == expected_order
+    assert rows[0] % 1_000_000 == 789_123
+    assert rows[1] % 1_000_000 == 500_000
+    assert rows[1] < rows[0]  # event at .5s sorts before order at .789s
