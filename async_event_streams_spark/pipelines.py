@@ -81,16 +81,32 @@ def dedup_near(
     round-1 100x dup-heavy probe grew 44.8x without this). Oversized
     buckets hold exact/boilerplate duplicates that ``dedup_exact``
     already owns; the drop count is logged."""
+    # Bind the shingle array ONCE: the digest and distinct columns
+    # both derive from it, and inlining the tokenize+zip_with chain
+    # into each (the collapsed-projection form) evaluated it twice —
+    # the sk build measured 8.8 s at sf1 inlined vs ~5 s bound (r13
+    # stage profile; same fix as x_distinct_ngrams' bound tokens).
     sk = materialize(
         docs.select(
+            "doc_id", shingles(tokens(F.col("text"))).alias("__raw")
+        ).select(
             "doc_id",
-            shingle_digests(shingles(tokens(F.col("text")))).alias("hs"),
-            F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+            shingle_digests(F.col("__raw")).alias("hs"),
+            F.array_distinct(F.col("__raw")).alias("sh"),
         )
     )
-    sig = sk.select(
-        "doc_id",
-        *[minhash_component(F.col("hs"), k).alias(f"h{k}") for k in range(4)],
+    # sig is PINNED too: the band self-join reads it as BOTH sides,
+    # and each side re-evaluated the four minhash array transforms
+    # over the full digest table (~5.7 s of the sf1 pipeline_report
+    # cost). 4 short strings per doc — checkpoint-cheap.
+    sig = materialize(
+        sk.select(
+            "doc_id",
+            *[
+                minhash_component(F.col("hs"), k).alias(f"h{k}")
+                for k in range(4)
+            ],
+        )
     )
     # Band rows stay SLIM (doc_id, bi, bk): the shingle arrays never
     # ride the band shuffle or the self-join. Verification re-attaches
