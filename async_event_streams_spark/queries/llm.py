@@ -8805,6 +8805,169 @@ def x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval: cross-encoder-style exact re-rank of the hybrid shortlist
+# (round 13 — the stage after x_hybrid_rrf in the standard serving stack)
+# ---------------------------------------------------------------------------
+
+# Integer micro-unit weights of the deterministic interaction scorer.
+# A learned cross-encoder slots in behind the same contract: per
+# (query, candidate) pair, a score computed from BOTH sides' full
+# content — only the scoring function changes, never the plan shape.
+_RR_W_COV = 400_000   # per query term present in the document
+_RR_PROX_BASE = 200_000   # full-coverage proximity bonus at span==n_terms
+_RR_PROX_SLOPE = 2_000    # bonus decay per token of first-occurrence span
+
+
+def _rerank_exact_oracle() -> str:
+    terms = _search_terms()
+    pos_cols = ", ".join(
+        f"COALESCE(list_position(toks, '{t}'), 0) AS p_{i}"
+        for i, t in enumerate(terms)
+    )
+    p = [f"p_{i}" for i in range(len(terms))]
+    cov = " + ".join(f"(CASE WHEN {pi} > 0 THEN 1 ELSE 0 END)" for pi in p)
+    span = f"GREATEST({', '.join(p)}) - LEAST({', '.join(p)}) + 1"
+    return f"""
+WITH short AS ({_hybrid_rrf_oracle()}),
+qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+       WHERE vec_id = {_RRF_VEC_QUERY}),
+feat AS (
+  SELECT s.rank AS rank_rrf, s.doc_id, s.rrf_ppm, {pos_cols}
+  FROM short s JOIN (SELECT doc_id, {_SQL_TOKS} AS toks
+                     FROM documents) d USING (doc_id)),
+scored AS (
+  SELECT rank_rrf, doc_id, rrf_ppm,
+    COALESCE(CAST(ROUND(
+      (list_dot_product(qe, ce) /
+       (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))))
+      * 1000000) AS BIGINT), 0) AS sem_ppm,
+    CAST({cov} AS BIGINT) AS coverage,
+    CAST(CASE WHEN {cov} = {len(terms)} THEN {span} ELSE 0 END AS BIGINT)
+      AS span
+  FROM feat CROSS JOIN qe
+  LEFT JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings) e ON e.vec_id = feat.doc_id),
+fin AS (
+  SELECT *,
+    sem_ppm + coverage * {_RR_W_COV}
+      + CASE WHEN coverage = {len(terms)} THEN
+          GREATEST(0, {_RR_PROX_BASE} - span * {_RR_PROX_SLOPE})
+        ELSE 0 END AS score_micro
+  FROM scored)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+    AS BIGINT) AS rank_re,
+  doc_id, CAST(rank_rrf AS BIGINT) AS rank_rrf,
+  CAST(score_micro AS BIGINT) AS score_micro, sem_ppm, coverage, span
+FROM fin ORDER BY rank_re
+"""
+
+
+@query("x_rerank_exact", oracle=_rerank_exact_oracle())
+def x_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style EXACT re-rank of x_hybrid_rrf's shortlist —
+    the second stage of the standard retrieval stack: cheap recallers
+    (BM25 + ANN) nominate ~10 candidates, then an expensive exact
+    scorer that sees the query AND the full candidate content together
+    re-orders them. The scorer here is deterministic and integer-
+    valued (micro-units): full-precision cosine of the query embedding
+    against the candidate embedding (ppm, 0 when the candidate has no
+    embedding row — re-rankers must tolerate partially-embedded
+    corpora), plus query-term coverage over the candidate TEXT, plus a
+    first-occurrence proximity bonus (GREATEST−LEAST span of the three
+    terms' first positions — an interaction feature no bi-encoder or
+    inverted index can see, the defining capability of the re-rank
+    stage).
+
+    Scale shape: cost is O(|shortlist|) BY CONSTRUCTION regardless of
+    corpus size — the shortlist (≤10 rows) broadcasts into a semi-scan
+    of documents for text features and a left equi-join against
+    embeddings for the exact cosine; both big tables are touched once,
+    column-pruned, and never shuffle (at 100 TB a point-lookup index
+    or row-key fetch replaces the scan; the plan above it is
+    unchanged). The oracle replays the ENTIRE two-tower + fusion +
+    re-rank chain as one CTE pipeline, so stage contracts are
+    differential-tested end to end."""
+    terms = _search_terms()
+    short = x_hybrid_rrf(spark, sf_dir).select(
+        F.col("rank").alias("rank_rrf"), "doc_id", "rrf_ppm"
+    )
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    qe = F.broadcast(
+        emb.filter(F.col("vec_id") == _RRF_VEC_QUERY).select(
+            F.col("embedding").alias("qe")
+        )
+    )
+    d = docs.join(F.broadcast(short), "doc_id").select(
+        "doc_id",
+        "rank_rrf",
+        "rrf_ppm",
+        tokens(F.col("text")).alias("toks"),
+    )
+    pos = [
+        F.array_position(F.col("toks"), t).alias(f"p_{i}")
+        for i, t in enumerate(terms)
+    ]
+    feat = d.select("doc_id", "rank_rrf", "rrf_ppm", *pos)
+    cov = sum(
+        (F.col(f"p_{i}") > 0).cast("int") for i in range(len(terms))
+    )
+    p_cols = [F.col(f"p_{i}") for i in range(len(terms))]
+    span = F.greatest(*p_cols) - F.least(*p_cols) + F.lit(1)
+    scored = (
+        feat.crossJoin(qe)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("ce"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "rank_rrf",
+            "rrf_ppm",
+            F.coalesce(
+                F.round(cosine(F.col("qe"), F.col("ce")) * 1000000, 0).cast(
+                    "long"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("sem_ppm"),
+            cov.cast("long").alias("coverage"),
+            F.when(cov == len(terms), span)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("span"),
+        )
+    )
+    fin = scored.withColumn(
+        "score_micro",
+        (
+            F.col("sem_ppm")
+            + F.col("coverage") * _RR_W_COV
+            + F.when(
+                F.col("coverage") == len(terms),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.lit(_RR_PROX_BASE) - F.col("span") * _RR_PROX_SLOPE,
+                ),
+            ).otherwise(F.lit(0))
+        ).cast("long"),
+    )
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return fin.select(
+        F.row_number().over(w).cast("long").alias("rank_re"),
+        "doc_id",
+        F.col("rank_rrf").cast("long").alias("rank_rrf"),
+        "score_micro",
+        "sem_ppm",
+        "coverage",
+        "span",
+    ).orderBy("rank_re")
+
+
+# ---------------------------------------------------------------------------
 # Training-data prep: class-balanced subsample (round 9)
 # ---------------------------------------------------------------------------
 
