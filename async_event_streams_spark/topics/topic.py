@@ -176,7 +176,15 @@ class Topic:
         self._queries: list = []  # live subscriber StreamingQuery objects
         self.registry = registry or DEFAULT_REGISTRY
         self.registry.add_topic(self)
-        self._register_datasource()
+        # spark=None is the PRODUCER-ONLY mode: a separate producer
+        # process (the cluster-realistic shape — producers are their
+        # own services, not driver threads) appends to the shard's
+        # segment log through post() without any SparkSession; the
+        # subscribe/batch_df consumer surface stays with the session
+        # that owns the drain side. Mirrors reference/src/lib.rs:31-40
+        # (producers hold only a channel handle, not the executor).
+        if spark is not None:
+            self._register_datasource()
 
     def _register_datasource(self) -> None:
         key = id(self.spark)
