@@ -28,6 +28,50 @@ TABLE_NAMES = (
 # engine targets (they grow ~linearly but stay << fact tables).
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
+# Adaptive scan FAN-OUT for the two tables whose consumers do heavy
+# per-row higher-order work (tokenize/shingle/md5 chains over text,
+# array folds over embeddings). The synthetic single-file tables are
+# written as ONE parquet row group up through 500k rows (pyarrow's
+# default max_rows_per_group is 1Mi), and Spark cannot split inside a
+# row group — so every tokenize stage in the engine ran ONE task
+# regardless of cores (found by the r13 sf10 probe: a 32-core box
+# spending minutes in a single straggler). When the file layout yields
+# big row groups, one cheap round-robin repartition after the scan
+# unlocks the full core count for every downstream HOF stage; the rule
+# self-disables on properly-laid-out data (many files / many row
+# groups — the only layout that exists at cluster scale), so no real
+# deployment ever pays the extra exchange.
+FANOUT_TABLES = frozenset({"documents", "embeddings"})
+FANOUT_ROWS_PER_TASK = 1_000  # ≥ ~0.25 s of HOF work per task
+FANOUT_MAX_BYTES = 2 << 30  # never shuffle a >2 GiB single file for this
+
+
+def _fanout_partitions(spark: SparkSession, path: str) -> int:
+    """Target partition count when `path` is a single parquet file
+    whose row groups are too coarse to feed the cores; 0 = leave the
+    scan alone."""
+    import os
+
+    try:
+        size = os.path.getsize(path)  # raises for directory datasets
+    except OSError:
+        return 0
+    if size > FANOUT_MAX_BYTES:
+        return 0
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return 0
+    cores = spark.sparkContext.defaultParallelism
+    if meta.num_row_groups >= max(2, cores // 2):
+        return 0  # splittable enough already
+    rows = meta.num_rows
+    if rows // max(1, meta.num_row_groups) <= FANOUT_ROWS_PER_TASK:
+        return 0  # row groups already small enough
+    return min(cores, max(2, rows // FANOUT_ROWS_PER_TASK))
+
 
 # Analyzed-plan cache: a DataFrame is an immutable logical plan, so the
 # (session, dir, table) triple can be built once and reused — each
@@ -71,7 +115,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC so timestamp rendering and year()/date_trunc() agree with
     # the (naive-timestamp) SQL oracle regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = _normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    df = _normalize_nanos(spark.read.parquet(path))
+    if name in FANOUT_TABLES:
+        n = _fanout_partitions(spark, path)
+        if n:
+            df = df.repartition(n)
     _TABLE_CACHE[key] = (spark, df)
     return df
 
