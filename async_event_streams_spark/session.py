@@ -53,7 +53,17 @@ def get_spark(
         # The driver's events.parquet uses TIMESTAMP(NANOS), which the
         # vectorized reader rejects; read as long and convert in tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 32g default: local mode conflates driver + executor memory in
+        # ONE JVM, so pinned localCheckpoint blocks (the materialize/
+        # artifact discipline) and broadcast builds share a heap. The
+        # 8g default OOM'd a broadcast at sf10 (500k docs) on the
+        # second pass while the first pass's ~3-4 GB of checkpoint
+        # blocks awaited the ContextCleaner (r13 sf10 probe); the box
+        # has 128 GiB. On a real cluster these budgets are separate
+        # per-executor settings and none of this conflation exists.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g")
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

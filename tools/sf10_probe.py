@@ -16,8 +16,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
-import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -41,15 +41,33 @@ DEFAULT_NAMES = [
 ]
 
 
+def oracle_child(sf: str, name: str) -> int:
+    """Child-process mode: run ONE DuckDB oracle and print its row
+    count + value hash. Isolated in a process because DuckDB holds the
+    GIL through result materialization - an in-process timer thread
+    cannot interrupt it, and a runaway oracle at 500k docs was
+    measured at >30 GB RSS; the parent enforces a hard timeout+kill."""
+    from oracle_compare import duckdb_conn, value_hash
+
+    from async_event_streams_spark.queries import ORACLES
+
+    con = duckdb_conn(sf)
+    pdf = con.execute(ORACLES[name]).fetchdf()
+    print(json.dumps({"rows": len(pdf), "hash": value_hash(pdf)}))
+    return 0
+
+
 def main() -> int:
     args = sys.argv[1:]
+    if args[:1] == ["--oracle-one"]:
+        return oracle_child(args[1], args[2])
     sf = os.path.join(REPO, ".testdata", "sf10")
     if args and args[0] == "--sf":
         sf = args[1]
         args = args[2:]
     names = args or DEFAULT_NAMES
 
-    from oracle_compare import duckdb_conn, value_hash
+    from oracle_compare import value_hash
 
     from async_event_streams_spark.queries import ORACLES, QUERIES
     from async_event_streams_spark.session import get_spark
@@ -59,8 +77,6 @@ def main() -> int:
     QUERIES["b4_classify_fizzbuzz"](spark, sf).write.mode(
         "overwrite"
     ).format("noop").save()
-    con = duckdb_conn(sf)
-
     fails = 0
     total_sec = 0.0
     for name in names:
@@ -85,24 +101,28 @@ def main() -> int:
                 # SCALE-SKIPPED (correctness for those lanes stands on
                 # the sf0.001/0.01/0.1/sf1 hash-greens), never a red.
                 budget = float(os.environ.get("SF10_ORACLE_BUDGET", "300"))
-                timer = threading.Timer(budget, con.interrupt)
-                timer.start()
                 try:
-                    oracle_pdf = con.execute(ORACLES[name]).fetchdf()
-                except Exception as e:  # noqa: BLE001 — interrupt lands here
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--oracle-one", sf, name],
+                        capture_output=True, text=True, timeout=budget,
+                        cwd=REPO,
+                    )
+                    res = json.loads(out.stdout.strip().splitlines()[-1])
+                except subprocess.TimeoutExpired:
                     row["oracle_sec"] = round(time.perf_counter() - t0, 2)
                     row["hash_match"] = "oracle_budget_exceeded"
-                    row["oracle_note"] = f"{type(e).__name__}"
+                except Exception as e:  # noqa: BLE001 - child crash
+                    row["oracle_sec"] = round(time.perf_counter() - t0, 2)
+                    row["hash_match"] = "oracle_error"
+                    row["oracle_note"] = f"{type(e).__name__}: {e}"[:200]
+                    fails += 1
                 else:
                     row["oracle_sec"] = round(time.perf_counter() - t0, 2)
-                    row["rows"] = f"{len(spark_pdf)}/{len(oracle_pdf)}"
-                    row["hash_match"] = value_hash(spark_pdf) == value_hash(
-                        oracle_pdf
-                    )
+                    row["rows"] = f"{len(spark_pdf)}/{res['rows']}"
+                    row["hash_match"] = value_hash(spark_pdf) == res["hash"]
                     if not row["hash_match"]:
                         fails += 1
-                finally:
-                    timer.cancel()
             else:
                 row["hash_match"] = None
         except Exception as e:  # noqa: BLE001 — probe must finish the list
