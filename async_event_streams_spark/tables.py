@@ -70,7 +70,12 @@ def _fanout_partitions(spark: SparkSession, path: str) -> int:
     rows = meta.num_rows
     if rows // max(1, meta.num_row_groups) <= FANOUT_ROWS_PER_TASK:
         return 0  # row groups already small enough
-    return min(cores, max(2, rows // FANOUT_ROWS_PER_TASK))
+    n = min(cores, rows // FANOUT_ROWS_PER_TASK)
+    # below 4-way the exchange costs more than the parallelism buys
+    # (sf0.1 embeddings = 2k rows -> 2-way fan-out measured 2.4-3.6x
+    # SLOWER across its consumers: one extra shuffle + stage per query
+    # for work that was already sub-second)
+    return n if n >= 4 else 0
 
 
 # Analyzed-plan cache: a DataFrame is an immutable logical plan, so the
