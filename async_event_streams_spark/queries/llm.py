@@ -9151,3 +9151,186 @@ def x_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: DSIR data selection (round 13)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed-feature buckets
+_DSIR_TARGET_LANG = "en"  # the target-domain slice p_target is fit on
+_DSIR_SEL_DIV = 10  # select ceil(n_docs / 10)
+
+_DSIR_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, lang, unnest({_sql_shingles_k(2)}) AS gr FROM t),
+f AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(gr), 1, 8))::UBIGINT % {_DSIR_B} AS BIGINT) AS b
+  FROM g
+),
+cr AS (SELECT b, COUNT(*) AS c FROM f GROUP BY b),
+ct AS (SELECT b, COUNT(*) AS c FROM f
+       WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM f
+          WHERE lang <> '{_DSIR_TARGET_LANG}') AS to_,
+         (SELECT COUNT(*) FROM f WHERE lang = '{_DSIR_TARGET_LANG}') AS tt
+),
+lam AS (
+  SELECT cr.b,
+    CAST(ROUND(LOG2(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                    / (tot.tt + {_DSIR_B})) * 1e9) AS BIGINT)
+    - CAST(ROUND(LOG2(CAST(cr.c - COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                      / (tot.to_ + {_DSIR_B})) * 1e9) AS BIGINT) AS lam
+  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot
+),
+dc AS (SELECT doc_id, b, COUNT(*) AS n FROM f GROUP BY doc_id, b),
+sc AS (
+  SELECT doc_id, SUM(n) AS n_grams, SUM(n * lam) AS score
+  FROM dc JOIN lam USING (b) GROUP BY doc_id
+),
+alldocs AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+    CAST(COALESCE(sc.score, 0) AS BIGINT) AS score_nanobits
+  FROM documents d LEFT JOIN sc USING (doc_id)
+),
+k AS (SELECT (COUNT(*) + {_DSIR_SEL_DIV - 1}) // {_DSIR_SEL_DIV} AS k
+      FROM documents)
+SELECT doc_id, n_grams, score_nanobits,
+  CAST(ROW_NUMBER() OVER (ORDER BY score_nanobits DESC, doc_id)
+    AS INTEGER) AS sel_rank,
+  ROW_NUMBER() OVER (ORDER BY score_nanobits DESC, doc_id) <= k.k
+    AS selected
+FROM alldocs, k
+"""
+
+
+@query("x_dsir_select", oracle=_DSIR_ORACLE)
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit two hashed-bigram
+    bag-of-ngrams LMs — the TARGET domain (here the lang='en' slice,
+    the published recipe's target-corpus stand-in) and its COMPLEMENT —
+    and score every document by its log importance odds
+    sum_g [log2 p_target(bucket(g)) - log2 p_other(bucket(g))], add-one
+    smoothed over the fixed bucket space. The top ceil(n/10) by
+    (score, doc_id) are the selected training subset — the paper's
+    top-k selection variant, deterministic end to end (the Gumbel
+    resampling variant slots in as one extra seeded-hash key column).
+    The denominator LM is the complement slice rather than the raw
+    corpus: with target ⊂ raw the two estimators converge once counts
+    dominate the smoothing prior, but at small corpus scale the raw
+    denominator compresses every ratio below 1 (target mass is counted
+    on both sides) and featureless docs would outrank everything —
+    the log-ODDS form keeps both signs meaningful at every scale.
+
+    Determinism: features hash through md5 (first 8 hex → int mod B,
+    engine-identical); each bucket's two log2 terms are quantized to
+    integer nanobits SEPARATELY (the exact x_unigram_logprob rounding
+    shape, already proven cross-engine) and the per-doc score is an
+    exact integer dot product of (bucket count × bucket lambda); ties
+    break by doc_id; docs with <2 tokens score 0 on 0 grams.
+
+    Scale shape: the lambda table is AT MOST B={1024} rows — built
+    from two partial-agg bucket counts and BROADCAST onto the slim
+    per-doc bucket-count frame (doc_id-keyed partial agg, never the
+    raw gram stream twice thanks to one shared explode); the global
+    top-fraction rank rides the range-partitioned prefix machinery
+    (functions/order.py), never a single-task ROW_NUMBER. At 100 TB
+    the only corpus-sized exchange is the (doc_id, bucket) partial
+    aggregation — the exact-dedup cost class."""
+    from ..functions.order import global_row_number
+
+    docs = table(spark, sf_dir, "documents")
+    # ONE explode, ONE corpus-sized exchange: the gram stream folds
+    # straight into per-(doc, bucket) counts (partial agg collapses a
+    # doc's repeats map-side); every LM statistic below derives from
+    # this slim frame, which is also what the scorer consumes — so the
+    # corpus text is read and exploded exactly once.
+    dcl = materialize(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(shingles(tokens(F.col("text")), k=2)).alias("gr"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("gr")), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(_DSIR_B),
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    is_t = F.col("lang") == _DSIR_TARGET_LANG
+    cr = dcl.groupBy("b").agg(F.sum("n").alias("cr"))
+    ct = dcl.filter(is_t).groupBy("b").agg(F.sum("n").alias("ct"))
+    tot = dcl.agg(
+        F.sum(F.when(~is_t, F.col("n")).otherwise(0)).alias("to_"),
+        F.sum(F.when(is_t, F.col("n")).otherwise(0)).alias("tt"),
+    )
+
+    def _nanobits(c, t):
+        return (
+            F.round(
+                F.log2(c.cast("double") / (t + F.lit(_DSIR_B))) * 1e9
+            ).cast("long")
+        )
+
+    tgt = F.coalesce(F.col("ct"), F.lit(0))
+    lam = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                _nanobits(tgt + 1, F.col("tt"))
+                - _nanobits(F.col("cr") - tgt + 1, F.col("to_"))
+            ).alias("lam"),
+        )
+    )
+    sc = (
+        dcl.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lam")).cast("long").alias(
+                "score_nanobits"
+            ),
+        )
+    )
+    alldocs = (
+        docs.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("score_nanobits", F.lit(0))
+            .cast("long")
+            .alias("score_nanobits"),
+        )
+    )
+    k = docs.agg(
+        F.expr(
+            f"CAST((COUNT(*) + {_DSIR_SEL_DIV - 1}) DIV {_DSIR_SEL_DIV}"
+            " AS BIGINT)"
+        ).alias("__k")
+    )
+    ranked = global_row_number(
+        alldocs.withColumn("__neg", -F.col("score_nanobits")),
+        ["__neg", "doc_id"],
+        "sel_rank",
+    )
+    return ranked.join(F.broadcast(k)).select(
+        "doc_id",
+        "n_grams",
+        "score_nanobits",
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        (F.col("sel_rank") <= F.col("__k")).alias("selected"),
+    )
