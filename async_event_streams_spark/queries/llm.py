@@ -9240,7 +9240,11 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-fraction rank rides the range-partitioned prefix machinery
     (functions/order.py), never a single-task ROW_NUMBER. At 100 TB
     the only corpus-sized exchange is the (doc_id, bucket) partial
-    aggregation — the exact-dedup cost class."""
+    aggregation — the exact-dedup cost class. Probes: 10× growth 1.33,
+    100× growth 18.8 (the flat part is the rank/LM machinery; the
+    linear part is one md5 per gram — the repo's cross-engine hash
+    convention; a production deployment swaps xxhash64 there, same
+    bucket contract, ~10× cheaper and Spark-side only)."""
     from ..functions.order import global_row_number
 
     docs = table(spark, sf_dir, "documents")
