@@ -62,3 +62,15 @@ def stopword_count(toks: Column, stopwords: list[str]) -> Column:
     """Number of tokens that are in the (small, literal) stopword list."""
     stop_arr = F.array(*[F.lit(s) for s in stopwords])
     return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+
+# Stopword lexicons for the heuristic language-ID family (x_lang_id,
+# x_lang_segments, streaming/langseg.py). Fixed dict order is the
+# documented argmax/majority tie-break priority; a real LID model slots
+# in behind the same per-unit argmax contract as a pandas UDF.
+LEXICONS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "que"],
+    "fr": ["le", "les", "des", "et", "une"],
+}

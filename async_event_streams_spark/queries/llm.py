@@ -2284,12 +2284,10 @@ def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LEXICONS = {
-    "en": ["the", "a", "of", "and", "to"],
-    "de": ["der", "die", "das", "und", "ist"],
-    "es": ["el", "la", "los", "y", "que"],
-    "fr": ["le", "les", "des", "et", "une"],
-}
+# Canonical home is functions/text.py (shared with the streaming
+# lang-segments twin); aliased here so every existing query body and
+# oracle builder reads the same object under its established name.
+from ..functions.text import LEXICONS as _LEXICONS  # noqa: E402
 
 
 def _lang_id_oracle() -> str:
@@ -2429,81 +2427,16 @@ def x_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     window PARTITIONED BY doc_id (bounded by a doc's sentence count —
     never a corpus-wide window) and the majority pick is a slim
     (doc, lang)-keyed count + per-doc top-1. Everything downstream of
-    the explode is sentence-COUNT sized, not text sized."""
+    the explode is sentence-COUNT sized, not text sized.
+
+    The kernel itself lives in streaming/langseg.py (ONE definition,
+    shared with the streaming twin — reports maintained incrementally
+    as documents arrive ride the identical construction, so stream ==
+    batch by shared code, not by a copied twin)."""
+    from ..streaming.langseg import lang_segment_report
+
     docs = table(spark, sf_dir, "documents")
-    sents = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(
-                F.transform(
-                    F.split(F.col("text"), r"[.!?]+"),
-                    lambda s: F.trim(s),
-                ),
-                lambda s: s != "",
-            )
-        ).alias("i", "s"),
-    )
-    toks = tokens(F.col("s"))
-    scored = sents.select(
-        "doc_id",
-        "i",
-        *[
-            stopword_count(toks, lex).alias(f"sc_{lg}")
-            for lg, lex in _LEXICONS.items()
-        ],
-    )
-    m = F.greatest(*[F.col(f"sc_{lg}") for lg in _LEXICONS])
-    lang = F.when(m == 0, F.lit("unknown"))
-    for lg in _LEXICONS:
-        lang = lang.when(F.col(f"sc_{lg}") == m, F.lit(lg))
-    slang = scored.select("doc_id", "i", lang.alias("lang"))
-    w = Window.partitionBy("doc_id").orderBy("i")
-    seg = (
-        slang.withColumn("prev", F.lag("lang").over(w))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sentences"),
-            (
-                F.lit(1)
-                + F.sum(
-                    F.when(
-                        F.col("prev").isNotNull()
-                        & (F.col("lang") != F.col("prev")),
-                        1,
-                    ).otherwise(0)
-                )
-            )
-            .cast("long")
-            .alias("n_segments"),
-            F.countDistinct(
-                F.when(F.col("lang") != "unknown", F.col("lang"))
-            )
-            .cast("long")
-            .alias("n_langs"),
-        )
-    )
-    prio = F.when(F.lit(False), F.lit(0))
-    for idx, lg in enumerate(_LEXICONS):
-        prio = prio.when(F.col("lang") == lg, F.lit(idx))
-    prio = prio.otherwise(F.lit(len(_LEXICONS)))
-    wp = Window.partitionBy("doc_id").orderBy(F.desc("c"), prio.asc())
-    primary = (
-        slang.groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("primary_lang"), "c")
-    )
-    return seg.join(primary, "doc_id").select(
-        "doc_id",
-        "n_sentences",
-        "n_segments",
-        "primary_lang",
-        F.expr("((n_sentences - c) * CAST(1000000 AS BIGINT)) DIV n_sentences")
-        .cast("long")
-        .alias("minority_ppm"),
-        (F.col("n_langs") >= 2).alias("mixed"),
-    )
+    return lang_segment_report(docs.select("doc_id", "text"))
 
 
 @query(
@@ -9209,7 +9142,7 @@ FROM alldocs, k
 
 @query("x_dsir_select", oracle=_DSIR_ORACLE)
 def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    """DSIR-style data selection (Xie et al., 2023 — "Data Selection for
     Language Models via Importance Resampling"): fit two hashed-bigram
     bag-of-ngrams LMs — the TARGET domain (here the lang='en' slice,
     the published recipe's target-corpus stand-in) and its COMPLEMENT —
@@ -9233,7 +9166,7 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer dot product of (bucket count × bucket lambda); ties
     break by doc_id; docs with <2 tokens score 0 on 0 grams.
 
-    Scale shape: the lambda table is AT MOST B={1024} rows — built
+    Scale shape: the lambda table is AT MOST 1024 (_DSIR_B) rows — built
     from two partial-agg bucket counts and BROADCAST onto the slim
     per-doc bucket-count frame (doc_id-keyed partial agg, never the
     raw gram stream twice thanks to one shared explode); the global

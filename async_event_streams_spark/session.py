@@ -64,6 +64,15 @@ def get_spark(
         .config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g")
         )
+        # The ContextCleaner only reclaims dropped checkpoint/broadcast/
+        # shuffle blocks after a driver GC collects their weak refs; in
+        # a 32g heap full GCs are rare, so a long session (the 240-query
+        # bench, the sf10 probe) accumulates gigabytes of dead blocks —
+        # the pressure behind the r13 broadcast OOM and a measured 5x
+        # late-session slowdown on x_pipeline_report. Spark's standard
+        # mitigation: periodic driver GC (default 30min) tightened to
+        # 5min so multi-query sessions reclaim between queries.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -81,3 +81,10 @@ from .timeseries import (  # noqa: F401
     rolling_median_batch_twin,
     timeseries_stream,
 )
+from .langseg import (  # noqa: F401
+    lang_mix_rollup,
+    lang_mix_snapshot,
+    lang_segment_report,
+    lang_segments_pipe,
+    lang_segments_snapshot,
+)

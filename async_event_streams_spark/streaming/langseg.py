@@ -18,14 +18,14 @@ rows (the kernel is deterministic), so like MIN/set-union state this
 is the idempotent exactly-once family — compaction and crash replay
 provably cannot change the snapshot.
 
-The LID kernel here is the SERVING TWIN of the registered query's:
-`lang_segment_report` mirrors x_lang_segments' construction (same
-sentence regex, lexicons imported from the query module, same
-tie-break order, same integer-ppm arithmetic), and
-tests/test_streaming_langseg.py asserts bit-equality against the
-registered x_lang_segments itself on the driver's documents table,
-wave-by-wave equality on constructed code-switched corpora, and
-equality across compaction and a full pipe restart.
+`lang_segment_report` below is the ONE canonical kernel — the
+registered x_lang_segments (queries/llm.py) delegates to it, so
+stream and batch agree by shared code rather than by a copied twin
+(lexicons live in functions/text.py). tests/test_streaming_langseg.py
+asserts bit-equality against the registered query on both the
+driver's documents table and a constructed code-switched corpus,
+wave-by-wave stream==batch equality, and equality across compaction
+and a full pipe restart.
 """
 
 from __future__ import annotations
@@ -44,18 +44,18 @@ _REPORT_SCHEMA = (
 
 
 def lang_segment_report(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → the per-doc code-switch report — the exact
-    x_lang_segments output contract (queries/llm.py): sentence split
-    on [.!?]+ with empties dropped, per-sentence stopword-lexicon
+    """(doc_id, text) → the per-doc code-switch report — THE kernel
+    behind x_lang_segments (queries/llm.py delegates here): sentence
+    split on [.!?]+ with empties dropped, per-sentence stopword-lexicon
     argmax (ties break by lexicon order, zero hits → 'unknown'),
     consecutive same-language sentences collapsed to segments, and
     the per-doc report (sentence count, segment count, majority
     language with count ties broken by lexicon order, minority
     sentence share as an integer-DIV ppm, mixed flag). A doc whose
-    text has no non-empty sentences produces NO row — the batch
-    query's posexplode contract, mirrored here so stream == batch."""
+    text has no non-empty sentences produces NO row (the posexplode
+    contract)."""
+    from ..functions.text import LEXICONS as _LEXICONS
     from ..functions.text import stopword_count, tokens
-    from ..queries.llm import _LEXICONS
 
     sents = docs.select(
         "doc_id",

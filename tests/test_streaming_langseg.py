@@ -1,13 +1,11 @@
 """Streaming lang-segments (streaming/langseg.py): after every wave
 the per-doc snapshot equals the batch report over all documents sent
 so far — on a constructed code-switched corpus (the driver testdata
-has no sentence punctuation), across compaction and a restart, and
-the serving kernel bit-matches the REGISTERED x_lang_segments on the
-real documents table."""
+has no sentence punctuation), across compaction and a restart — and
+the shared kernel equals the REGISTERED x_lang_segments on both the
+real documents table and the constructed corpus."""
 
 from __future__ import annotations
-
-import os
 
 from async_event_streams_spark.streaming.langseg import (
     lang_mix_rollup,
@@ -17,8 +15,6 @@ from async_event_streams_spark.streaming.langseg import (
     lang_segments_snapshot,
 )
 from async_event_streams_spark.topics import Topic, TopicRegistry
-
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 _SCHEMA = "doc_id long, text string"
 
@@ -96,6 +92,18 @@ def test_streaming_langseg_equals_batch(spark, tmp_path):
         assert all(row[0] != 6 for row in got)
         # doc 4's 2-2 majority tie broke to en by lexicon order
         assert [r for r in got if r[0] == 4][0][3] == "en"
+
+        # the final snapshot ALSO equals the registered x_lang_segments
+        # run over the same corpus (the multi-sentence paths — segment
+        # collapse, ties, ppm — cross-checked against the registry, not
+        # just kernel-vs-itself)
+        from async_event_streams_spark.queries import QUERIES
+
+        sf = str(tmp_path / "sf_langseg")
+        spark.createDataFrame(sofar, _SCHEMA).write.parquet(
+            f"{sf}/documents.parquet"
+        )
+        assert got == _report_rows(QUERIES["x_lang_segments"](spark, sf))
     finally:
         h.stop()
         src.close()
@@ -128,17 +136,17 @@ def test_streaming_langseg_restart(spark, tmp_path):
         src.close()
 
 
-def test_langseg_kernel_matches_registered_query(spark):
-    """The serving twin == the registered x_lang_segments, bit for bit,
-    on the real documents table (the twin-constants discipline from
-    streaming/prep.py — drift in either kernel fails here)."""
+def test_langseg_kernel_matches_registered_query(spark, sf_dir):
+    """The shared kernel == the registered x_lang_segments, bit for
+    bit, on the real documents table (delegation means this can only
+    break if the registered query stops delegating)."""
     from async_event_streams_spark.queries import QUERIES
     from async_event_streams_spark.tables import table
 
     got = _report_rows(
         lang_segment_report(
-            table(spark, SF_DIR, "documents").select("doc_id", "text")
+            table(spark, sf_dir, "documents").select("doc_id", "text")
         )
     )
-    want = _report_rows(QUERIES["x_lang_segments"](spark, SF_DIR))
+    want = _report_rows(QUERIES["x_lang_segments"](spark, sf_dir))
     assert got and got == want
