@@ -17,6 +17,7 @@ boundaries are unambiguous.
 
 from __future__ import annotations
 
+from pyspark.storagelevel import StorageLevel as _SL
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -98,7 +99,7 @@ def global_row_number(
     # (and the final window) reuse them.
     with_pid = parts.withColumn(
         "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_SL.DISK_ONLY)
 
     counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = (
@@ -151,7 +152,7 @@ def global_running_sum(
     parts = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     with_pid = parts.withColumn(
         "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_SL.DISK_ONLY)
 
     totals = with_pid.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -226,7 +227,7 @@ def grouped_rank(
     # sampling) so the counts branch and the data branch agree.
     with_pid = parts.withColumn(
         "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_SL.DISK_ONLY)
 
     counts = with_pid.groupBy("__pid", *group_cols).agg(F.count("*").alias("__cnt"))
     w_off = (

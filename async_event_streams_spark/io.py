@@ -9,6 +9,7 @@ relational surface applies.
 
 from __future__ import annotations
 
+from pyspark.storagelevel import StorageLevel as _SL
 from pyspark.sql import DataFrame, SparkSession
 
 from .topics.topic import Topic
@@ -95,7 +96,7 @@ def split_quarantine(df: DataFrame, quarantine_col: str = "_corrupt_record"):
     row can't flip sides between the two reads."""
     from pyspark.sql import functions as F
 
-    pinned = df.localCheckpoint(eager=False)
+    pinned = df.localCheckpoint(eager=False, storageLevel=_SL.DISK_ONLY)
     good = pinned.filter(F.col(quarantine_col).isNull()).drop(quarantine_col)
     bad = pinned.filter(F.col(quarantine_col).isNotNull())
     return good, bad

@@ -26,8 +26,21 @@ def materialize(df: DataFrame) -> DataFrame:
     queries that measured ~4× slower. At cluster scale the same role is
     played by writing the intermediate table; localCheckpoint is the
     in-session equivalent (materialized partitions, truncated lineage).
-    """
-    return df.localCheckpoint(eager=False)
+
+    DISK_ONLY storage, not the MEMORY_AND_DISK default: checkpoint
+    blocks live in the unified memory pool's STORAGE half, and a long
+    multi-query session (the 240-query bench at sf1) accumulates
+    enough pinned artifact blocks to squeeze the EXECUTION half —
+    measured as a uniform 3-7x in-session inflation of shuffle/sort-
+    heavy queries vs their isolated runs (x_distinct_ngrams 3.0 ->
+    10.9 s, x_kcenter_sample 2.3 -> 8.1, x_frame_sample 0.8 -> 5.9).
+    On local disk the re-read rides the OS page cache (still memory-
+    speed when free memory allows, evictable when it doesn't — the
+    right priority order); on a real cluster the artifact would be a
+    written table with the same property."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
 
 # Build-once artifact memo: signature/sketch/index tables that a
