@@ -3305,43 +3305,141 @@ FROM s GROUP BY doc_id
 """
 
 
+def _unigram_doc_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned per-doc unigram-LM score frame (doc_id, n_tokens,
+    bits_per_token) — the kernel behind x_unigram_logprob, shared by
+    the CCNet-style bucketing consumer (x_ccnet_buckets) so the corpus
+    tokenize/explode/score runs once per dataset, not once per
+    consumer (the x_prep_pipeline gram-table lesson applied to the LM
+    scorer). Slim output: |docs| rows × 3 columns."""
+
+    def build():
+        docs = table(spark, sf_dir, "documents")
+        w = docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        vc = w.groupBy("w").agg(F.count("*").alias("c"))
+        tot = vc.agg(F.sum("c").alias("n"))
+        probs = vc.crossJoin(F.broadcast(tot)).select(
+            "w",
+            F.round(-F.log2(F.col("c").cast("double") / F.col("n")) * 1e9)
+            .cast("long")
+            .alias("nanobits"),
+        )
+        n = F.count("*")
+        return (
+            w.join(F.broadcast(probs), "w")
+            .groupBy("doc_id")
+            .agg(
+                n.cast("long").alias("n_tokens"),
+                F.round(F.sum("nanobits").cast("double") / n / 1e9, 6).alias(
+                    "bits_per_token"
+                ),
+            )
+        )
+
+    return artifact(spark, f"unigram_doc_bits:{sf_dir}", build)
+
+
 @query("x_unigram_logprob", oracle=_UNIGRAM_ORACLE)
 def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: fit corpus unigram probabilities in one
     pass, then score each doc by mean -log2 p(token) — the cheap
     perplexity proxy training pipelines use to rank/filter web text
     (docs of rare gibberish score high, templated boilerplate low).
-    Scale shape: the vocabulary table is tiny relative to the corpus
-    (Heaps' law) and is BROADCAST onto the exploded token stream; the
-    only shuffles move slim (token) and (doc_id, bits) rows — partial
-    aggregation applies to both groupBys, and the corpus text column
-    is read once. The per-doc mean sums QUANTIZED integer nano-bits
-    (round(bits*1e9) per token) rather than raw doubles: both engines
-    quantize the same per-token double to the same integer, and the
-    integer sum is exact, so no partial-agg order can flip the rounded
-    mean (the c_tpch_q10 half-cent lesson applied to log-probs)."""
+    Scale shape (in _unigram_doc_bits, now a build-once pinned
+    artifact shared with x_ccnet_buckets): the vocabulary table is
+    tiny relative to the corpus (Heaps' law) and is BROADCAST onto the
+    exploded token stream; the only shuffles move slim (token) and
+    (doc_id, bits) rows — partial aggregation applies to both
+    groupBys, and the corpus text column is read once. The per-doc
+    mean sums QUANTIZED integer nano-bits (round(bits*1e9) per token)
+    rather than raw doubles: both engines quantize the same per-token
+    double to the same integer, and the integer sum is exact, so no
+    partial-agg order can flip the rounded mean (the c_tpch_q10
+    half-cent lesson applied to log-probs)."""
+    return _unigram_doc_bits(spark, sf_dir)
+
+
+_CCNET_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+vc AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM vc),
+s AS (
+  SELECT w.doc_id,
+    CAST(ROUND(-LOG2(CAST(vc.c AS DOUBLE) / tot.n) * 1e9) AS BIGINT)
+      AS nanobits
+  FROM w JOIN vc ON w.w = vc.w CROSS JOIN tot
+),
+d AS (
+  SELECT doc_id,
+    ROUND(CAST(SUM(nanobits) AS DOUBLE) / COUNT(*) / 1e9, 6)
+      AS bits_per_token
+  FROM s GROUP BY doc_id
+),
+rk AS (
+  SELECT d.doc_id, t.lang, d.bits_per_token,
+    ROW_NUMBER() OVER (PARTITION BY t.lang
+                       ORDER BY d.bits_per_token, d.doc_id) AS k,
+    COUNT(*) OVER (PARTITION BY t.lang) AS n
+  FROM d JOIN t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, lang, bits_per_token,
+  CASE WHEN 3 * k <= n THEN 'head'
+       WHEN 3 * k <= 2 * n THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM rk
+"""
+
+
+@query("x_ccnet_buckets", oracle=_CCNET_ORACLE)
+def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): within each language, rank documents by LM score
+    (bits/token, low = fluent) and cut the ranking into terciles —
+    head / middle / tail — the partition CCNet publishes and
+    downstream recipes sample from (e.g. keep head+middle, or
+    temperature-mix by bucket). The LM is the corpus unigram proxy
+    from the pinned _unigram_doc_bits artifact, shared with
+    x_unigram_logprob, so the tokenize/score pass is build-once per
+    dataset.
+
+    Bucket boundaries are RANK-based, not value-interpolated: doc k of
+    n (ordered by (bits_per_token, doc_id) — unique tie-break) is
+    'head' iff 3k <= n, 'middle' iff 3k <= 2n — pure int64
+    arithmetic, so both engines cut identically; a percentile_cont
+    cutoff would hinge on last-ulp interpolation agreement. Scale
+    shape: the within-language rank is the range-partitioned global
+    rank over (lang, bits, doc_id) (functions/order.py — a giant
+    language spans MANY partitions, no per-language sort task), and
+    per-language ranks are recovered by subtracting a broadcast
+    |langs|-row offset table. No corpus-sized shuffle beyond the
+    ranking exchange itself; the documents join ships only
+    (doc_id, lang)."""
+    from ..functions.order import global_row_number
+
     docs = table(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    d = _unigram_doc_bits(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
     )
-    vc = w.groupBy("w").agg(F.count("*").alias("c"))
-    tot = vc.agg(F.sum("c").alias("n"))
-    probs = vc.crossJoin(F.broadcast(tot)).select(
-        "w",
-        F.round(-F.log2(F.col("c").cast("double") / F.col("n")) * 1e9)
-        .cast("long")
-        .alias("nanobits"),
+    r = global_row_number(
+        d, [F.col("lang"), F.col("bits_per_token"), F.col("doc_id")], "__rn"
     )
-    n = F.count("*")
-    return (
-        w.join(F.broadcast(probs), "w")
-        .groupBy("doc_id")
-        .agg(
-            n.cast("long").alias("n_tokens"),
-            F.round(F.sum("nanobits").cast("double") / n / 1e9, 6).alias(
-                "bits_per_token"
-            ),
-        )
+    sizes = r.groupBy("lang").agg(
+        F.count("*").alias("__n"), F.min("__rn").alias("__first")
+    )
+    k = (F.col("__rn") - F.col("__first") + 1).cast("long")
+    n = F.col("__n").cast("long")
+    return r.join(F.broadcast(sizes), "lang").select(
+        "doc_id",
+        "lang",
+        "bits_per_token",
+        F.when(3 * k <= n, "head")
+        .when(3 * k <= 2 * n, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
 
 
