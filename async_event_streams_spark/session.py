@@ -44,6 +44,20 @@ def get_spark(
         # the shuffle. No-op at test SF (application-side threshold);
         # tests/test_plans.py proves injection with thresholds lowered.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # AQE sort-merge -> shuffled-hash rewrite (guide §3.1): when
+        # every post-shuffle partition of the build side is observed
+        # below this threshold at runtime, the sort on both sides is
+        # dropped and each partition builds a hash table instead. The
+        # guard is AQE's own measured partition sizes, so at 100 TB
+        # (partitions >> 128 MB) the plan stays SortMergeJoin and
+        # nothing can OOM; on small/medium shuffles it removes two
+        # Sorts per join. Measured on the 15 SMJ queries at sf0.1:
+        # suite slice 9.21 -> 8.91 s (x_corpus_diff 0.78x,
+        # x_dedup_windowed 0.85x, x_knn_triangles 0.88x).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "134217728"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config(
             "spark.sql.shuffle.partitions",
