@@ -4748,7 +4748,13 @@ def x_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on non-negative values, so selection is
     engine-deterministic with no float or RNG anywhere (the
     x_sample_stratified determinism discipline, weighted)."""
-    pr = x_knn_pagerank(spark, sf_dir)
+    # Pin ONCE at the consumer boundary: x_knn_pagerank is lazy (its
+    # 8 rounds chain into one linear plan), and _weighted_pick reads
+    # its input twice (running sum + total mass) plus twice more
+    # inside global_running_sum — without this pin every consumer
+    # would replay the full 8-round chain (measured 1.1 -> 2.4 s when
+    # the r13 lazy-chaining change landed without it).
+    pr = materialize(x_knn_pagerank(spark, sf_dir))
     return _weighted_pick(pr, "vec_id", "pr_units", _WSAMPLE_K)
 
 
@@ -9323,12 +9329,22 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dcl = artifact(spark, f"dsir_dcl:{sf_dir}", build)
     is_t = F.col("lang") == _DSIR_TARGET_LANG
-    cr = dcl.groupBy("b").agg(F.sum("n").alias("cr"))
-    ct = dcl.filter(is_t).groupBy("b").agg(F.sum("n").alias("ct"))
-    tot = dcl.agg(
-        F.sum(F.when(~is_t, F.col("n")).otherwise(0)).alias("to_"),
-        F.sum(F.when(is_t, F.col("n")).otherwise(0)).alias("tt"),
+    # ONE artifact pass for every LM statistic (was three: separate
+    # groupBy("b") passes for the raw and target bucket masses plus a
+    # corpus-sized global agg for the two totals — guide §1.2 "don't
+    # compute things you throw away", §2.3 "aggregate before you
+    # shuffle"): a single conditional aggregation yields per-bucket
+    # raw/target/complement masses, and the totals are sums of this
+    # ≤_DSIR_B-row frame, not of dcl. The frame is pinned because two
+    # branches (totals + lambdas) read it; it is at most 1024 rows.
+    bstats = materialize(
+        dcl.groupBy("b").agg(
+            F.sum("n").alias("cr"),
+            F.sum(F.when(is_t, F.col("n")).otherwise(0)).alias("ct"),
+            F.sum(F.when(~is_t, F.col("n")).otherwise(0)).alias("co"),
+        )
     )
+    tot = bstats.agg(F.sum("co").alias("to_"), F.sum("ct").alias("tt"))
 
     def _nanobits(c, t):
         return (
@@ -9337,17 +9353,13 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         )
 
-    tgt = F.coalesce(F.col("ct"), F.lit(0))
-    lam = (
-        cr.join(ct, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            (
-                _nanobits(tgt + 1, F.col("tt"))
-                - _nanobits(F.col("cr") - tgt + 1, F.col("to_"))
-            ).alias("lam"),
-        )
+    tgt = F.col("ct")  # conditional-agg ct is 0, never null
+    lam = bstats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            _nanobits(tgt + 1, F.col("tt"))
+            - _nanobits(F.col("cr") - tgt + 1, F.col("to_"))
+        ).alias("lam"),
     )
     sc = (
         dcl.join(F.broadcast(lam), "b")

@@ -127,12 +127,22 @@ def c_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adaptation: no l_commitdate/l_receiptdate, so "late" means a line
     shipped more than 30 days after the order date.
 
-    Plan shape: EXISTS becomes a LEFT SEMI join from the
-    quarter-filtered orders (small side, broadcastable) into lineitem;
-    the date filter prunes the orders scan via parquet min/max. At
-    100 TB the semi join is the classic existence probe — no
-    duplication of lineitem rows, map-side combine on the 5-value
-    priority aggregate."""
+    Plan shape: EXISTS as a LEFT SEMI join would put LINEITEM on the
+    build side (BroadcastHashJoin LeftSemi can only BuildRight, and a
+    2-column lineitem projection passes the 64 MB estimate at test
+    SF) — broadcasting the BIG side, the guide §3.1 anti-pattern, and
+    the reason this query sat at 2.8 s in the sf1 bench. Shipped
+    shape: stream lineitem ONCE against a broadcast of the
+    quarter-filtered orders (the genuinely small side), then collapse
+    late lines to distinct orders with a map-side-combined
+    (o_orderkey, priority) partial aggregate before the 5-value
+    priority count. Equivalent because o_orderkey is unique in
+    orders (PK) — proven by collect-equality against the semi-join
+    form and the unchanged DuckDB oracle. At 100 TB the quarter
+    slice outgrows the broadcast threshold and AQE falls back to a
+    shuffle join keyed on l_orderkey — the same exchange the semi
+    join would have paid, with the dedup agg riding map-side
+    combine. Measured sf0.1 min-of-4 interleaved: 0.62 -> 0.38 s."""
     lo = F.lit("1997-07-01 00:00:00").cast("timestamp")
     hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
     orders = table(spark, sf_dir, "orders").filter(
@@ -142,8 +152,16 @@ def c_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
     )
+    matched = li.select("l_orderkey", "l_shipdate").join(
+        F.broadcast(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        ),
+        late,
+        "inner",
+    )
     return (
-        orders.join(li, late, "left_semi")
+        matched.groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.lit(1))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")

@@ -463,12 +463,26 @@ def test_tpch_q19_pushes_singleside_conjuncts_below_join(spark, sf_dir):
     assert "LessThanOrEqual(l_quantity,30.0)" in plan
 
 
-def test_tpch_q4_exists_is_semi_join_not_aggregate_dedup(spark, sf_dir):
-    """EXISTS must compile to a LEFT SEMI join (stops at first match,
-    no duplication) — not an inner join + distinct."""
+def test_tpch_q4_streams_lineitem_builds_filtered_orders(spark, sf_dir):
+    """The EXISTS probe must never put LINEITEM on a broadcast build
+    side (BroadcastHashJoin LeftSemi can only BuildRight, which is
+    exactly that anti-pattern — r13 measured it at 2.8 s at sf1):
+    the shipped shape streams lineitem once against a broadcast of
+    the quarter-filtered orders and collapses late lines to distinct
+    orders with a map-side-combined partial aggregate."""
     plan = plan_of(spark, sf_dir, "c_tpch_q4")
-    assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+    # the broadcast side must carry orders columns, never lineitem's
+    import re
+
+    for m in re.finditer(
+        r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        assert "l_shipdate" not in m.group(1), m.group(1)
+        assert "o_orderkey" in m.group(1), m.group(1)
+    # dedup to distinct orders happens BEFORE the 5-value priority
+    # count: two aggregate levels over the matched stream
+    assert plan.count("HashAggregate") >= 3, plan
 
 
 def test_tpch_q21_single_fact_exchange_no_self_join(spark, sf_dir):
