@@ -100,18 +100,41 @@ def _sql_dot_lit(
     cast the array to array<double> (one cast node instead of dim*K).
     `offset` indexes a SUBSPACE of the column ([offset, offset+len)) —
     the product-quantization path dots sub-slices without materializing
-    slice() expressions per element."""
-    if assume_double:
-        terms = (
-            f"{vec_sql}[{offset + i}] * {_sql_double(w)}"
-            for i, w in enumerate(lits)
-        )
-    else:
-        terms = (
-            f"CAST({vec_sql}[{offset + i}] AS DOUBLE) * {_sql_double(w)}"
-            for i, w in enumerate(lits)
-        )
-    return "(" + " + ".join(terms) + ")"
+    slice() expressions per element.
+
+    Two emission forms, same left-to-right double accumulation and
+    bit-identical results (r13 collect-equality check): short vectors
+    unroll into scalar multiply-adds (codegen-friendly straight-line
+    code); long ones emit aggregate(zip_with(slice, <array literal>))
+    — a runtime LOOP whose generated code is O(1) in the vector
+    length. The unrolled form at K-centroid scale (16 centroids x
+    16-64 dims per score array, several arrays per stage) blew the
+    JVM's 64 KB method limit: janino failed, the whole stage fell
+    back to INTERPRETED execution (53 'Code grows beyond 64 KB'
+    fallbacks per bench run on the x_ann_ivf/pq/ivfpq builds), and
+    the 'codegen-friendly' unrolling became the slowest path of all —
+    measured 1.02 -> 0.65 s for the sf0.1 PQ encode scan after the
+    switch. Spark's left-to-right fold in `aggregate` matches the
+    unrolled `+` chain's association exactly, so oracle rounding
+    discipline is untouched."""
+    if len(lits) <= 8:
+        if assume_double:
+            terms = (
+                f"{vec_sql}[{offset + i}] * {_sql_double(w)}"
+                for i, w in enumerate(lits)
+            )
+        else:
+            terms = (
+                f"CAST({vec_sql}[{offset + i}] AS DOUBLE) * {_sql_double(w)}"
+                for i, w in enumerate(lits)
+            )
+        return "(" + " + ".join(terms) + ")"
+    arr = "array(" + ", ".join(_sql_double(w) for w in lits) + ")"
+    x = "x" if assume_double else "CAST(x AS DOUBLE)"
+    return (
+        f"aggregate(zip_with(slice({vec_sql}, {offset + 1}, {len(lits)}), "
+        f"{arr}, (x, y) -> {x} * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
 
 
 def ivf_cell(
