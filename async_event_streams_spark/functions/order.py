@@ -29,14 +29,43 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     projections/filters — or None when the estimate is unavailable.
     Costs no Spark job, which is why the adaptive helpers below can
     consult it per call. When Catalyst cannot estimate, it reports a
-    huge default, which correctly steers `auto` to the scalable path."""
+    huge default, which correctly steers `auto` to the scalable path.
+
+    Pinned intermediates (materialize()/artifact() localCheckpoints)
+    surface as LogicalRDD leaves, where Catalyst substitutes that huge
+    default even for a kilobyte frame — so every ranked/summed consumer
+    of a pinned artifact paid the prefix machinery regardless of size
+    (r13 measured 0.67 vs 0.35 s on a 5 000-row frame). When the
+    checkpoint blocks are already materialized the block manager knows
+    the TRUE bytes: if every leaf is either a measured LogicalRDD or a
+    Catalyst-estimable relation, the leaf-sum is an honest input-size
+    signal and the helpers use min(estimate, leaf-sum). Fail-safe both
+    ways: an unmaterialized checkpoint has no storage entry (huge
+    default stands → scalable path), and a corpus-sized artifact's
+    measured bytes are large → scalable path."""
     try:
-        # py4j renders the Scala BigInt as a Python int (or a JavaObject
-        # whose str() is the number on some versions) — int(str(...))
-        # covers both.
-        return int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
+        plan = df._jdf.queryExecution().optimizedPlan()
+        est = int(str(plan.stats().sizeInBytes()))
+        leaves = plan.collectLeaves()
+        sizes = None
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "LogicalRDD":
+                leaf_est = int(str(leaf.stats().sizeInBytes()))
+                sizes = (sizes or 0) + leaf_est
+                continue
+            rid = leaf.rdd().id()
+            true_size = None
+            for info in (
+                df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo()
+            ):
+                if info.id() == rid:
+                    true_size = info.diskSize() + info.memSize()
+                    break
+            if true_size is None:  # not materialized yet: keep the
+                return est  # fail-safe huge default
+            sizes = (sizes or 0) + int(true_size)
+        return est if sizes is None else min(est, sizes)
     except Exception:
         return None
 
