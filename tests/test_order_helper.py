@@ -183,26 +183,53 @@ def test_plan_size_bytes_sees_through_materialized_checkpoints(
         SMALL_INPUT_BYTES,
         plan_size_bytes,
     )
-    from async_event_streams_spark.queries.llm import _unigram_doc_bits
+    from async_event_streams_spark.queries.llm import tokens
+    from async_event_streams_spark.tables import table
+    from async_event_streams_spark.util import materialize
+    from pyspark.sql import functions as F
 
-    # the REAL artifact whose inflated origin stats motivated the fix:
-    # the per-doc unigram-bits frame (shared by x_unigram_logprob and
-    # x_ccnet_buckets) estimated at ~425 GB at sf0.1 while its true
-    # pinned size is tens of KB — steering every ranked consumer onto
-    # the prefix machinery (0.67 vs 0.35 s measured)
-    df = _unigram_doc_bits(spark, sf_dir)
+    # the REAL build shape whose inflated origin stats motivated the
+    # fix (the _unigram_doc_bits kernel: tokenize/explode over the
+    # corpus, estimated at ~425 GB at sf0.1 while the true pinned size
+    # is tens of KB — steering every ranked consumer onto the prefix
+    # machinery, 0.67 vs 0.35 s measured). Built FRESH via materialize
+    # rather than the artifact() memo so a previously-run test cannot
+    # have warmed the checkpoint (the memo is session-keyed).
+    from async_event_streams_spark.functions.order import global_row_number
+
+    docs = table(spark, sf_dir, "documents")
+    df = materialize(
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    # UNmaterialized: must not throw, and must return Catalyst's own
+    # estimate unchanged (no storage entry exists yet to measure)
     lazy_est = plan_size_bytes(df)
-    assert lazy_est is None or lazy_est > SMALL_INPUT_BYTES  # fail-safe
+    assert lazy_est is not None and lazy_est > 0
     n = df.count()  # materialize the checkpoint blocks
     assert n > 0
-    warm_est = plan_size_bytes(df)
-    assert warm_est is not None and 0 < warm_est <= SMALL_INPUT_BYTES
-    # a derived frame over the pinned leaf is sized from the measured
-    # leaf + the other (estimable) side, not the huge default
-    from async_event_streams_spark.tables import table
-
-    joined = df.join(
-        table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    # materialized: the estimate is capped by the block manager's
+    # MEASURED bytes for the checkpoint RDD (min(est, leaf-sum))
+    rid = df._jdf.queryExecution().optimizedPlan().collectLeaves().apply(0).rdd().id()
+    true_size = next(
+        int(i.diskSize() + i.memSize())
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.id() == rid
     )
-    est2 = plan_size_bytes(joined)
-    assert est2 is not None and est2 <= SMALL_INPUT_BYTES
+    warm_est = plan_size_bytes(df)
+    assert warm_est is not None and 0 < warm_est <= max(true_size, lazy_est)
+    assert warm_est <= true_size or warm_est <= lazy_est
+    # and the behavioral consequence: auto mode over the small warmed
+    # frame takes the plain window (no __pid machinery), while a
+    # forced-big threshold still takes the scalable prefix shape
+    small = (
+        global_row_number(df, ["doc_id"], "rn")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__pid" not in small
+    big = (
+        global_row_number(df, ["doc_id"], "rn", small_input_bytes=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(__pid" in big
