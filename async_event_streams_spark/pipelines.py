@@ -67,10 +67,34 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
+def neardup_sketch(docs: DataFrame) -> DataFrame:
+    """The per-doc near-dup sketch rows dedup_near works over:
+    (doc_id, sh = distinct 3-gram shingles, h0..h3 = minhash signature).
+    Pure per-row expressions (tokenize → shingle → digest → min), no
+    shuffle at any scale. The shingle array is bound ONCE and the digest
+    array once (inlining re-evaluated the tokenize+zip_with chain —
+    8.8 s vs ~5 s at sf1, r13 stage profile); the 32-hex digests
+    themselves are consumed here and never leave this projection, so a
+    pin of this frame stores only the slim signature + shingle set."""
+    raw = docs.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("__raw")
+    ).select(
+        "doc_id",
+        shingle_digests(F.col("__raw")).alias("hs"),
+        F.array_distinct(F.col("__raw")).alias("sh"),
+    )
+    return raw.select(
+        "doc_id",
+        "sh",
+        *[minhash_component(F.col("hs"), k).alias(f"h{k}") for k in range(4)],
+    )
+
+
 def dedup_near(
     docs: DataFrame,
     jaccard_threshold: float = NEAR_DUP_JACCARD,
     lsh_bucket_cap: int = LSH_BUCKET_CAP,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Remove near-duplicates: minhash/LSH candidates → exact Jaccard
     verify → drop the higher doc_id of each verified pair. Everything is
@@ -80,34 +104,30 @@ def dedup_near(
     self-join (a degenerate band key squares the candidate set — the
     round-1 100x dup-heavy probe grew 44.8x without this). Oversized
     buckets hold exact/boilerplate duplicates that ``dedup_exact``
-    already owns; the drop count is logged."""
-    # Bind the shingle array ONCE: the digest and distinct columns
-    # both derive from it, and inlining the tokenize+zip_with chain
-    # into each (the collapsed-projection form) evaluated it twice —
-    # the sk build measured 8.8 s at sf1 inlined vs ~5 s bound (r13
-    # stage profile; same fix as x_distinct_ngrams' bound tokens).
-    sk = materialize(
-        docs.select(
-            "doc_id", shingles(tokens(F.col("text"))).alias("__raw")
-        ).select(
-            "doc_id",
-            shingle_digests(F.col("__raw")).alias("hs"),
-            F.array_distinct(F.col("__raw")).alias("sh"),
+    already owns; the drop count is logged.
+
+    ``sketch``: optional precomputed ``neardup_sketch`` rows for a
+    SUPERSET of ``docs`` (e.g. the build-once full-corpus artifact) —
+    the sketch of a doc is a pure function of its text, so restricting
+    the superset sketch to ``docs``'s ids is value-identical to
+    re-sketching ``docs``, and the per-call tokenize+shingle+digest
+    pass (the dominant dedup_near cost: ~5 s of the sf1
+    x_pipeline_report profile) collapses to one doc_id semi-join.
+    Bucket caps and candidate pairs are still computed strictly within
+    ``docs``'s scope, so results are unchanged."""
+    # One slim pinned frame carries both the shingle sets (verify
+    # stage) and the minhash signature (band stage). r14: previously
+    # TWO pins — sk carrying the full 32-hex digest arrays and a
+    # second sig pin derived from it; folding the signature into the
+    # sketch projection drops the digest payload from the checkpoint
+    # entirely (digests are consumed inside the projection).
+    if sketch is not None:
+        sk = materialize(
+            sketch.join(docs.select("doc_id"), "doc_id", "left_semi")
         )
-    )
-    # sig is PINNED too: the band self-join reads it as BOTH sides,
-    # and each side re-evaluated the four minhash array transforms
-    # over the full digest table (~5.7 s of the sf1 pipeline_report
-    # cost). 4 short strings per doc — checkpoint-cheap.
-    sig = materialize(
-        sk.select(
-            "doc_id",
-            *[
-                minhash_component(F.col("hs"), k).alias(f"h{k}")
-                for k in range(4)
-            ],
-        )
-    )
+    else:
+        sk = materialize(neardup_sketch(docs))
+    sig = sk
     # Band rows stay SLIM (doc_id, bi, bk): the shingle arrays never
     # ride the band shuffle or the self-join. Verification re-attaches
     # them to the (much smaller) DISTINCT candidate-pair set via two
@@ -133,13 +153,17 @@ def dedup_near(
         .filter(F.col("bsz") > lsh_bucket_cap)
         .select("bi", "bk")
     )
-    n_over = oversized.count()
-    if n_over:
-        logger.info(
-            "dedup_near: dropping %d oversized LSH buckets (cap=%d)",
-            n_over,
-            lsh_bucket_cap,
-        )
+    # The drop-count log line costs one extra action per call; only
+    # pay it when someone is listening (the pin materializes either
+    # way, at the first real action).
+    if logger.isEnabledFor(logging.INFO):
+        n_over = oversized.count()
+        if n_over:
+            logger.info(
+                "dedup_near: dropping %d oversized LSH buckets (cap=%d)",
+                n_over,
+                lsh_bucket_cap,
+            )
     bands = bands.join(F.broadcast(oversized), ["bi", "bk"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (

@@ -5434,17 +5434,33 @@ def x_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, sketch equi-joins, pinned multi-branch intermediates,
     nothing driver-side. The four counts are 1-row aggregates joined
     by broadcast."""
-    from ..pipelines import dedup_exact, dedup_near, quality_filter
+    from ..pipelines import (
+        dedup_exact,
+        dedup_near,
+        neardup_sketch,
+        quality_filter,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    # Each stage is PINNED before fan-out (it feeds both its
-    # successor and its own count branch). Measured cost is dominated
-    # by dedup_near itself, not the fan-out — this is the honest
-    # price of running the REAL composition; a cheaper report would
-    # no longer be differential-testing the pipeline.
-    q = materialize(quality_filter(docs))
-    e = materialize(dedup_exact(q))
-    f = dedup_near(e)
+    # The REAL stage functions still compose the funnel (ordering and
+    # inter-stage contracts stay differential-tested against the
+    # oracle); r14 slims what flows between them (guide §2.3 "project
+    # before the exchange", §5):
+    # - the near-dup sketch rides the build-once full-corpus artifact
+    #   (a doc's sketch is a pure function of its text, so restricting
+    #   the corpus sketch to the survivors' ids is value-identical to
+    #   re-sketching them) — the per-call tokenize+shingle+digest pass
+    #   was the dominant cost (~5 s of the sf1 profile);
+    # - stage pins carry only the columns the counts and the next
+    #   stage read (doc_id, text → doc_id), never the full row: the
+    #   old full-width q/e checkpoints wrote the corpus text to disk
+    #   twice per call.
+    sketch = artifact(
+        spark, f"neardup_sketch:{sf_dir}", lambda: neardup_sketch(docs)
+    )
+    q = materialize(quality_filter(docs).select("doc_id", "text"))
+    e = materialize(dedup_exact(q).select("doc_id"))
+    f = dedup_near(e, sketch=sketch)
     n_input = docs.agg(F.count("*").alias("n_input"))
     n_quality = q.agg(F.count("*").alias("n_quality"))
     n_exact = e.agg(F.count("*").alias("n_after_exact"))

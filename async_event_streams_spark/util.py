@@ -56,9 +56,15 @@ def materialize(df: DataFrame) -> DataFrame:
 _ARTIFACTS: dict[tuple[int, str], tuple[object, DataFrame]] = {}
 
 # Per-session LRU bound on live memo entries. Each entry pins a
-# localCheckpoint's blocks; an unbounded memo in a long-lived session
-# accumulates one per sketch/band/TF artifact forever (round-2 advice).
-MAX_ARTIFACTS_PER_SESSION = 32
+# localCheckpoint's blocks (DISK_ONLY since r13, so the bound caps disk
+# + block-manager metadata, not heap); an unbounded memo in a long-lived
+# session accumulates one per sketch/band/TF artifact forever (round-2
+# advice). 64, up from 32: the full suite at ONE scale factor already
+# touches 30 distinct keys, so a bound of 32 sat one eviction away from
+# rebuild thrash (two new r14 keys would have pushed it over); 64 keeps
+# two datasets' worth of index-class artifacts pinned and still bounds
+# a long-lived session.
+MAX_ARTIFACTS_PER_SESSION = 64
 
 # (key, "build"|"hit") event log since the last drain — lets harnesses
 # (bench.py) attribute which timed queries rode a memoized artifact
@@ -66,10 +72,22 @@ MAX_ARTIFACTS_PER_SESSION = 32
 # warm-cache.
 _ARTIFACT_EVENTS: list[tuple[str, str]] = []
 
+# Wall seconds each build took (key -> seconds, cumulative per key so a
+# rebuild after eviction adds up). bench.py copies this into
+# BENCH_DETAIL.json so every one-time index build is a NUMBER beside
+# the warm headline, not a footnote (r13 verdict item 2).
+_ARTIFACT_BUILD_SECS: dict[str, float] = {}
+
 
 def artifact(spark, key: str, build) -> DataFrame:
     """Return the memoized materialized DataFrame for `key`, building
-    it with `build()` (then pinning via `materialize`) on first use."""
+    it with `build()` (then pinning via `materialize`) on first use.
+
+    The build is FORCED here (one count() action) rather than left to
+    the first consumer's action: the cost is identical — the checkpoint
+    materializes exactly once either way — but forcing makes the build
+    a measurable unit (`_ARTIFACT_BUILD_SECS`) instead of an invisible
+    surcharge inside whichever query happens to run first."""
     k = (id(spark), key)
     hit = _ARTIFACTS.get(k)
     if hit is not None and hit[0] is spark:
@@ -85,7 +103,14 @@ def artifact(spark, key: str, build) -> DataFrame:
             dead = True
         if dead:
             _ARTIFACTS.pop(kk, None)
+    import time as _time
+
+    t0 = _time.perf_counter()
     df = materialize(build())
+    df.count()  # force the checkpoint NOW so the build is timed
+    _ARTIFACT_BUILD_SECS[key] = round(
+        _ARTIFACT_BUILD_SECS.get(key, 0.0) + _time.perf_counter() - t0, 3
+    )
     _ARTIFACTS[k] = (spark, df)
     _ARTIFACT_EVENTS.append((key, "build"))
     live = [kk for kk, (sess, _) in _ARTIFACTS.items() if sess is spark]
@@ -115,3 +140,10 @@ def drain_artifact_events() -> list[tuple[str, str]]:
     ev = list(_ARTIFACT_EVENTS)
     _ARTIFACT_EVENTS.clear()
     return ev
+
+
+def artifact_build_secs() -> dict[str, float]:
+    """Cumulative wall seconds spent building each artifact key this
+    process (forced inside artifact(), so the figure is the real
+    materialization cost, not plan-construction time)."""
+    return dict(_ARTIFACT_BUILD_SECS)
