@@ -5373,18 +5373,23 @@ def c_sliding_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you keep only that lane and the hourly sketch table is the
     stored artifact (the c_agg_hll_union architecture, slid)."""
     ev = table(spark, sf_dir, "events")
-    pairs = (
-        ev.select(
+    # The distinct (type, hour, user) collapse is a pure corpus
+    # function fanned out to three consumers (sweep lane, sketch lane,
+    # hour spine) — pinned build-once per (session, dataset) rather
+    # than per call (r14; the artifact/index class: it IS the hourly
+    # activity table a production reach pipeline stores).
+    pairs = artifact(
+        spark,
+        f"reach_pairs:{sf_dir}",
+        lambda: ev.select(
             "event_type",
             F.expr(
                 "CAST(CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600"
                 " AS BIGINT)"
             ).alias("hour"),
             "user_id",
-        )
-        .distinct()
+        ).distinct(),
     )
-    pairs = materialize(pairs)  # sweep lane, sketch lane, hour spine
     exact = sliding_reach_exact(pairs)
 
     # PRODUCTION lane: hourly HLL registers unioned per window

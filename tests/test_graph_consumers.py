@@ -178,7 +178,7 @@ def test_triangle_census_matches_python_reference(spark, pairs):
     if not und_pairs:
         return
     und = spark.createDataFrame(und_pairs, "u long, v long")
-    deg_df, tcnt_df = _triangle_census(und)
+    deg_df, tcnt_df = _triangle_census(spark, None, und)
     got_deg = {r.node: r.degree for r in deg_df.collect()}
     got_tri = {r.node: r.triangles for r in tcnt_df.collect()}
     ref_deg, ref_tri = reference_triangles(und_pairs)
